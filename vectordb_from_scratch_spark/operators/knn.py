@@ -1,0 +1,138 @@
+"""Flat exact k-NN — the reference's core search semantic, distributed.
+
+Reference behavior (``app/core/indexes/flat.py:42-70``): normalize the query,
+linear-scan every stored vector, keep a size-k heap keyed on
+``score if higher_is_better else -score``, return (chunk_id, raw_score)
+sorted by score descending. k is capped at corpus size; k<=0 → empty.
+
+Spark design:
+- Single query → scored scan + ``ORDER BY score DESC LIMIT k``; Catalyst
+  plans ``TakeOrderedAndProject`` — per-partition heaps + driver merge, the
+  distributed version of the reference's heap. No shuffle of the corpus.
+- Batched queries (the interesting case at 100 TB) → broadcast the query set
+  (it is small; corpus is huge), score each (query, corpus) pair, rank with a
+  per-query window. The corpus is NEVER shuffled: with AQE the
+  ``row_number() <= k`` over ``partitionBy(query_id)`` shuffles only
+  (qid, cid, score) triples, not embeddings.
+- For BLAS-rate scoring at scale, ``topk_pandas`` does per-partition NumPy
+  matmul + per-partition top-k, then a tiny global top-k — the same
+  "stack to (m,d), one matmul" trick as the reference rerank
+  (``ivf.py:116-117``) but per Spark partition.
+
+Tie-break is pinned to (score DESC, id ASC) — the reference's tie order is
+incidental heap order (SURVEY.md §2.1 V14); we need determinism for oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import linalg
+
+
+def score_column(metric: str, a: Column | str, b: Column | str) -> tuple[Column, bool]:
+    """(raw score column, higher_is_better) for a registered metric."""
+    builder, higher = linalg.METRICS[metric]
+    return builder(a, b), higher
+
+
+def topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    filter_expr: Column | None = None,
+) -> DataFrame:
+    """Batch exact k-NN, pure built-ins.
+
+    Returns (query_id, vec_id, score) with score RAW (distances not negated —
+    reference ``flat.py:60-70``), ordered within each query by goodness then
+    id. ``filter_expr`` implements the reference's declared-but-unimplemented
+    metadata_filters (``flat.py:46`` TODO) as a corpus pre-filter, which
+    Catalyst pushes into the parquet scan.
+    """
+    if k <= 0:
+        raise ValueError("k must be >= 1 (reference caps k to [1, 100] at the API)")
+    if filter_expr is not None:
+        corpus = corpus.filter(filter_expr)
+    score, higher = score_column(metric, F.col(vec_col), F.col(query_vec_col))
+    scored = corpus.join(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        score.alias("score"),
+    )
+    order = [F.col("score").desc() if higher else F.col("score").asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def topk_pandas(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path batch cosine k-NN: per-partition NumPy matmul + local
+    top-k, then global top-k per query.
+
+    ``queries_pdf`` is a small pandas frame (query_id, query_vec) broadcast
+    to every partition inside the Arrow batch iterator. Each partition emits
+    at most Q*k candidate rows, so the final per-query global top-k shuffles
+    O(partitions * Q * k) tiny rows — the distributed analog of the
+    reference's heap merge, with none of the corpus moving.
+    """
+    import numpy as np
+
+    qids = queries_pdf["query_id"].to_numpy()
+    qmat = np.stack(queries_pdf["query_vec"].to_list()).astype("float64")
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+    qunit = qmat / qnorm[:, None]
+
+    out_schema = f"query_id long, {id_col} long, score double"
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.stack(pdf[vec_col].to_list()).astype("float64")
+            norms = np.linalg.norm(X, axis=1)
+            zero = norms == 0.0
+            norms[zero] = 1.0
+            Xu = X / norms[:, None]
+            S = Xu @ qunit.T  # (m, Q)
+            S[zero, :] = 0.0  # reference: zero vector → score 0.0
+            kk = min(k, S.shape[0])
+            # argpartition per query column — same partial-select as ivf.py:119
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
+            rows = []
+            for j, qid in enumerate(qids):
+                sel = idx[:, j]
+                rows.append(
+                    pd.DataFrame(
+                        {"query_id": qid, id_col: ids[sel], "score": S[sel, j]}
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(part_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -1,0 +1,167 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable, plus its DuckDB oracle SQL.
+
+This is the single source of truth consumed by ``__spark_entry__`` and by
+``tests/test_oracle_parity.py`` (which replicates the driver's check
+locally). Grouped by SURVEY.md §2 inventory sections; each builder's
+docstring cites the reference behavior it reproduces.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.session import load_table
+from vectordb_from_scratch_spark.operators import knn
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# V1/V4/V5/V14 — flat exact k-NN (reference flat.py:42-70), batch form.
+# ---------------------------------------------------------------------------
+
+_KNN_Q = 10  # query set: vec_id < 10
+_KNN_K = 10
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {Q}),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings{where}),
+     s AS (SELECT q.query_id, c.vec_id,
+                  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+                       THEN 0.0
+                       ELSE list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                  END AS score
+           FROM q CROSS JOIN c),
+     r AS (SELECT query_id, vec_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+           FROM s)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {K}
+"""
+
+
+def _emb_queries(emb: DataFrame, n: int = _KNN_Q) -> DataFrame:
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _finish_rank(res: DataFrame) -> DataFrame:
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+@register("knn_cosine_topk", _COS_SQL.format(Q=_KNN_Q, K=_KNN_K, where=""))
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: batch exact cosine k-NN (V1+V4+V5+V14, flat.py:42-70)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn.topk(emb, _emb_queries(emb), k=_KNN_K, metric="cosine")
+    return _finish_rank(res)
+
+
+@register(
+    "knn_cosine_filtered",
+    _COS_SQL.format(Q=_KNN_Q, K=_KNN_K, where=" WHERE label < 5"),
+)
+def knn_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN with a metadata pre-filter — the reference DECLARES
+    metadata_filters but never implements them (flat.py:46 TODO); here it is
+    a corpus filter pushed into the parquet scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn.topk(
+        emb, _emb_queries(emb), k=_KNN_K, metric="cosine", filter_expr=F.col("label") < 5
+    )
+    return _finish_rank(res)
+
+
+_L2_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {Q}),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+     s AS (SELECT q.query_id, c.vec_id, list_distance(qv, cv) AS score
+           FROM q CROSS JOIN c),
+     r AS (SELECT query_id, vec_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rnk
+           FROM s)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {K}
+"""
+
+
+@register("knn_l2_topk", _L2_SQL.format(Q=_KNN_Q, K=_KNN_K))
+def knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 k-NN: raw distance scores, ascending order (V2; flat supports
+    non-cosine metrics, similarity_metrics.py:35-43 + flat.py:60-70)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn.topk(emb, _emb_queries(emb), k=_KNN_K, metric="l2")
+    return _finish_rank(res)
+
+
+_MAN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {Q}),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+     s AS (SELECT q.query_id, c.vec_id,
+                  list_sum(list_transform(range(1, len(qv) + 1),
+                                          i -> abs(qv[i] - cv[i]))) AS score
+           FROM q CROSS JOIN c),
+     r AS (SELECT query_id, vec_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rnk
+           FROM s)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {K}
+"""
+
+
+@register("knn_manhattan_topk", _MAN_SQL.format(Q=_KNN_Q, K=_KNN_K))
+def knn_manhattan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manhattan k-NN (V3, similarity_metrics.py:46-54)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn.topk(emb, _emb_queries(emb), k=_KNN_K, metric="manhattan")
+    return _finish_rank(res)
+
+
+@register(
+    "vec_normalize_norms",
+    """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+       CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE 1.0 END AS post_norm
+FROM embeddings
+""",
+)
+def vec_normalize_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 unit-normalize (indexing.py:16-22): emit each vector's L2 norm and
+    the norm AFTER normalization (1.0, or 0.0 for zero vectors — which the
+    reference leaves unchanged)."""
+    from vectordb_from_scratch_spark.functions import linalg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        F.round(linalg.l2_norm("embedding"), 6).alias("l2_norm"),
+        F.round(linalg.l2_norm(linalg.normalize("embedding")), 0).alias("post_norm"),
+    )
+    return normed

@@ -1,0 +1,73 @@
+"""SparkSession factory + table loading helpers.
+
+The reference app wires a MongoStorage + VectorDBService at startup
+(reference ``app/main.py:34-52``); our analog is a SparkSession with
+scale-appropriate defaults and parquet tables on disk.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
+DRIVER_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "vectordb_from_scratch_spark", cpus: str | None = None) -> SparkSession:
+    """Build a local SparkSession with defaults that mirror what we'd set on
+    a real cluster: AQE on (runtime re-planning, skew handling, broadcast
+    conversion), Arrow on (fast pandas_udf transfer), modest shuffle
+    partition count for local mode.
+
+    On a 1000-executor cluster only ``master`` and ``shuffle.partitions``
+    change; every operator in this package is written against the DataFrame
+    API so the same plans scale out unchanged.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table. Plain ``spark.read.parquet`` so
+    Catalyst gets predicate pushdown + column pruning at the scan."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in DRIVER_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view so ``spark.sql`` queries
+    can reference them by name (mirrors the driver's DuckDB view setup)."""
+    for name in DRIVER_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
