@@ -1,0 +1,76 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line. The driver records this per round as BENCH_r{N}.json."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vectordb_from_scratch_spark import registry  # noqa: E402
+from vectordb_from_scratch_spark.session import get_spark  # noqa: E402
+
+#: Headline queries: one per major operator family. Names must exist in
+#: registry.QUERIES; missing ones are skipped so bench never crashes
+#: mid-round while coverage is still growing.
+HEADLINE = [
+    "knn_cosine_topk",
+    "knn_cosine_filtered",
+    "knn_l2_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "window_running_customer_totals",
+    "events_sessionization",
+    "events_tumbling_windows",
+    "dedup_minhash_lsh",
+    "dedup_embedding_neardup",
+    "text_quality_scores",
+    "ivf_search",
+    "lsh_search",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/parquet footers so per-query numbers measure the query,
+    # not session startup (the driver compares totals at fixed sf).
+    registry.QUERIES["knn_cosine_topk"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

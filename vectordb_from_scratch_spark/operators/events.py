@@ -1,0 +1,178 @@
+"""Event-stream operators over the ``events`` table: tumbling/sliding
+windows, sessionization, per-user funnels.
+
+The reference has no streaming at all (SURVEY.md §2.3); these are the
+Structured-Streaming-shaped extensions. Every operator here is written
+against a static DataFrame — in Spark, windowed aggregation over a static
+frame has IDENTICAL semantics to the streaming version (readStream + the
+same expressions + watermark); ``streaming/`` wires the same logic to
+readStream/writeStream and the tests assert batch/stream equivalence.
+
+Scale notes: all groupings key on (user_id) or (window bucket) — high
+cardinality, well-distributed → clean hash shuffles; sessionization uses a
+per-user sort window, the standard gap-based formulation that needs exactly
+one shuffle on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# --- tumbling windows -----------------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts)      AS window_start,
+       event_type,
+       count(*)                    AS n_events,
+       round(sum(value), 2)        AS total_value,
+       count(DISTINCT user_id)     AS unique_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("events_tumbling_windows", _TUMBLING_SQL)
+def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows. Uses F.window (the streaming-compatible
+    bucketing op) and exposes window.start so the oracle can match on
+    date_trunc."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "unique_users",
+        )
+    )
+
+
+# --- sliding windows --------------------------------------------------------------
+
+_SLIDING_SQL = """
+WITH ev AS (
+  SELECT value,
+         make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000) AS b0
+  FROM events),
+expanded AS (
+  SELECT b0 AS window_start, value FROM ev
+  UNION ALL
+  SELECT b0 - INTERVAL 30 MINUTE, value FROM ev)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM expanded GROUP BY window_start
+"""
+
+
+@register("events_sliding_windows", _SLIDING_SQL)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-minute windows sliding every 30 — each event lands in exactly two
+    buckets. F.window(ts, '60 minutes', '30 minutes') duplicates rows into
+    their buckets JVM-side (explode of 2 structs, no shuffle until the agg)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# --- sessionization ---------------------------------------------------------------
+
+_SESSION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered)
+SELECT user_id, session_id,
+       count(*)                                   AS n_events,
+       round(sum(value), 2)                       AS session_value,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionization", _SESSION_SQL)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): mark session starts with
+    lag(), then a running sum assigns session ids — ONE shuffle on user_id,
+    both windows share the sort. The streaming twin is
+    F.session_window / applyInPandasWithState (see streaming module)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("session_id", F.sum("is_new").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+# --- per-user funnel / behavior stats ------------------------------------------------
+
+_FUNNEL_SQL = """
+SELECT user_id,
+       count(*)                                              AS n_events,
+       count(*) FILTER (WHERE event_type = 'view')           AS views,
+       count(*) FILTER (WHERE event_type = 'click')          AS clicks,
+       count(*) FILTER (WHERE event_type = 'purchase')       AS purchases,
+       round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_value,
+       CAST(min(floor(epoch(ts))) AS BIGINT)                 AS first_seen_epoch,
+       CAST(max(floor(epoch(ts))) AS BIGINT)                 AS last_seen_epoch
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("events_user_funnel", _FUNNEL_SQL)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation per user (view→click→purchase funnel) — the
+    pivot-style shape of behavioral pipelines; single hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    cnt_if = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        cnt_if("view").alias("views"),
+        cnt_if("click").alias("clicks"),
+        cnt_if("purchase").alias("purchases"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2
+        ).alias("purchase_value"),
+        F.min(F.col("ts").cast("long")).alias("first_seen_epoch"),
+        F.max(F.col("ts").cast("long")).alias("last_seen_epoch"),
+    )

@@ -1,0 +1,378 @@
+"""Relational coverage: TPC-H-style join/aggregation/window/set-op queries
+over the driver tables.
+
+The reference has almost none of this (SURVEY.md §2.3: counts only, no
+joins, no windows) — these are the north-star extensions that make the
+engine a real analytics system at 100 TB. Every query here is declarative
+DataFrame API so Catalyst gets pushdown/pruning/join-reordering, and each
+one is oracle-checked against DuckDB.
+
+Scale notes (what survives 1000 executors):
+- fact-fact joins (orders ⋈ lineitem) hash-shuffle on the join key; AQE
+  coalesces/skew-splits at runtime;
+- dim tables (region/nation/customer at TPC-H ratios, and always here)
+  broadcast — no shuffle of the fact side;
+- aggregations are partial (map-side combine) before the exchange — Spark
+  does this automatically for all hash aggregates below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+
+# --- Q1-style pricing summary (pure scan + hash agg; tests partial agg) ----
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- Q3-style shipping priority (dim-filter + 3-way join + agg + top-k) ----
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is the small side → broadcast; orders ⋈ lineitem shuffles on
+    orderkey (the only unavoidable shuffle); top-10 is TakeOrderedAndProject."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# --- Q5-style local supplier volume (5-way join through dim chain) ---------
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5_local_supplier", _Q5_SQL)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All dims broadcast; the fact side is touched once. Catalyst reorders
+    the dim joins; the region filter prunes nation/supplier before the
+    broadcast, so the big lineitem ⋈ orders shuffle is the only exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --- rollup / grouping sets -------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", _ROLLUP_SQL)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*)                    AS cnt
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", _CUBE_SQL)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# --- distinct aggregation ----------------------------------------------------
+
+_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_supps,
+       count(*)                  AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_count_distinct", _DISTINCT_SQL)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# --- window functions --------------------------------------------------------
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+@register("window_running_customer_totals", _RUNNING_SQL)
+def window_running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue — one shuffle on o_custkey, then both
+    window functions share the same sort (single Window physical node)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+_TOPN_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@register("window_topn_per_group", _TOPN_SQL)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — WindowGroupLimit pre-filters each
+    partition to <=3 rows per key before the exchange (same mechanism the
+    batch k-NN rides)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+    )
+
+
+_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+"""
+
+
+@register("window_lag_days_between_orders", _LAG_SQL)
+def window_lag_days_between_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+# --- set operations -----------------------------------------------------------
+
+_SETOP_SQL = """
+(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+ INTERSECT
+ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("setops_intersect_except", _SETOP_SQL)
+def setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both open and finished orders but no pending ones —
+    INTERSECT + EXCEPT (set ops the reference only has as in-memory set
+    unions, lsh_simhash.py:112-116)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = lambda st: o.filter(F.col("o_orderstatus") == st).select(  # noqa: E731
+        F.col("o_custkey").alias("custkey")
+    )
+    return key("O").intersect(key("F")).subtract(key("P"))
+
+
+_UNION_SQL = """
+SELECT custkey, count(*) AS appearances FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY custkey
+"""
+
+
+@register("setops_union_all", _UNION_SQL)
+def setops_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey")).unionAll(
+        o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    )
+    return u.groupBy("custkey").agg(F.count(F.lit(1)).alias("appearances"))
+
+
+# --- scalar function coverage --------------------------------------------------
+
+_SCALAR_SQL = """
+SELECT p_partkey,
+       lower(p_name)                         AS lname,
+       upper(p_brand)                        AS ubrand,
+       length(p_type)                        AS type_len,
+       substr(p_name, 1, 5)                  AS name5,
+       concat(p_brand, ':', p_type)          AS brand_type,
+       round(p_retailprice * 1.1, 2)         AS marked_up,
+       CAST(floor(p_size / 10) AS BIGINT)    AS size_bucket,
+       CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium'
+            ELSE 'small' END                 AS size_class
+FROM part
+"""
+
+
+@register("scalar_functions", _SCALAR_SQL)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/number scalar library (reference has only lower(), C2 —
+    vector_db.py:98)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.length("p_type").cast("long").alias("type_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        F.floor(F.col("p_size") / 10).cast("long").alias("size_bucket"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )

@@ -165,3 +165,18 @@ def vec_normalize_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(linalg.l2_norm(linalg.normalize("embedding")), 0).alias("post_norm"),
     )
     return normed
+
+
+# ---------------------------------------------------------------------------
+# Operator modules self-register their queries on import (each calls
+# ``register`` at module level). Imported at the bottom so the decorator and
+# dicts above already exist.
+# ---------------------------------------------------------------------------
+from vectordb_from_scratch_spark.operators import tpch  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import catalog_ops  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import events  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import dedup  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import textstats  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import ivf  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import lsh  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import multimodal  # noqa: E402,F401

@@ -51,6 +51,9 @@ def get_spark(app_name: str = "vectordb_from_scratch_spark", cpus: str | None = 
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects
+        # (PARQUET_TYPE_ILLEGAL); read as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
@@ -58,8 +61,17 @@ def get_spark(app_name: str = "vectordb_from_scratch_spark", cpus: str | None = 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Plain ``spark.read.parquet`` so
-    Catalyst gets predicate pushdown + column pruning at the scan."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    Catalyst gets predicate pushdown + column pruning at the scan.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    as a long which we convert to a microsecond timestamp (exact integer
+    division — no double rounding)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
