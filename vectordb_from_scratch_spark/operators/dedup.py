@@ -1,1 +1,361 @@
-"""(being built)"""
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables —
+the LLM-training-pipeline extensions (north star in BASELINE.json; the
+reference itself has no dedup surface).
+
+Five families, each a ``queries()`` entry with a DuckDB oracle wherever the
+semantics are SQL-expressible (they all are here, because the hash functions
+are the cross-engine md5 construction from ``functions.texthash``):
+
+1. exact         — hash-groupBy on text (one shuffle on the 60-bit hash)
+2. jaccard pairs — 3-word-shingle inverted-index self-join
+3. MinHash+LSH   — signature → bands → bucket join (the scale path)
+4. SimHash       — 32-bit sign-aggregated fingerprints, Hamming pairing
+5. embedding     — cosine near-dup top-pairs over the vector column
+
+Scale notes: (2) explodes to a (doc, shingle) posting list and self-joins on
+the shingle — the classic inverted-index candidate join; ultra-frequent
+shingles should be pruned at 100 TB (a HAVING count < cap on the posting
+list) — noted inline. (3) replaces the quadratic join with band buckets:
+candidates shuffle only on (band_id, band_key), which is the only approach
+that survives billions of documents. (4)/(5) are quadratic in candidates and
+rely on banding/blocking at scale; the fixture sizes (<= 5k docs) keep the
+demonstrations exact.
+
+The fixture has NO byte-identical duplicates, so the exact/fingerprint
+queries run on a deterministically augmented corpus (every doc_id % 100 == 0
+re-inserted under doc_id + 1_000_000) — same augmentation in the oracle.
+The generator DID plant real near-duplicates (3-shingle Jaccard up to 0.98,
+marked with a trailing 'dup' token), which (2)-(4) recover organically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import linalg, texthash
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# MinHash parameters — sized so (a*h + b) never overflows signed 64-bit in
+# either engine: h is folded to 30 bits, a,b < 2^30, modulus 2^31 - 1.
+# ---------------------------------------------------------------------------
+NUM_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // N_BANDS
+MOD = 2147483647  # 2^31 - 1
+H_BITS = 1 << 30
+
+
+def minhash_params(num_hashes: int = NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) with a ∈ [1, 2^30), b ∈ [0, 2^30) from the same
+    LCG as texthash.affine_params — literals inlined into both engines."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % ((1 << 61) - 1)
+        a = (state % (H_BITS - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % ((1 << 61) - 1)
+        b = state % H_BITS
+        params.append((a, b))
+    return params
+
+
+_PARAMS = minhash_params()
+
+_SHINGLE_N = 3
+
+# DuckDB rendering of the distinct 3-shingle set of `text`
+_SH_SQL = f"list_distinct({texthash.word_shingles_sql('text', _SHINGLE_N)})"
+# DuckDB rendering of the folded 30-bit shingle hash
+_H30_SQL = f"({texthash.hash60_sql('s')} % {H_BITS})"
+
+
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): exploded distinct shingle set per document."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(texthash.word_shingles("text", _SHINGLE_N))).alias("s"),
+    )
+
+
+def _h30(c: Column | str) -> Column:
+    return texthash.hash60(c) % H_BITS
+
+
+# --- 1. exact dedup ----------------------------------------------------------
+
+_AUG = "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0"
+
+_EXACT_SQL = f"""
+WITH corpus AS ({_AUG})
+SELECT md5(text)    AS text_hash,
+       min(doc_id)  AS rep_doc_id,
+       count(*)     AS n_copies
+FROM corpus
+GROUP BY md5(text)
+HAVING count(*) > 1
+"""
+
+
+def _augmented(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+
+
+@register("dedup_exact", _EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest id as the
+    representative. One shuffle on the hash; at 100 TB hash first (tiny) and
+    never shuffle the text bytes."""
+    docs = _augmented(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- 2. n-gram Jaccard pairs ---------------------------------------------------
+
+_JACCARD_SQL = f"""
+WITH sh AS (SELECT doc_id, unnest({_SH_SQL}) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(inter / (x.n + y.n - inter), 6) AS jaccard
+FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE inter / (x.n + y.n - inter) >= 0.5
+"""
+
+
+@register("dedup_jaccard_pairs", _JACCARD_SQL)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-word-shingle Jaccard >= 0.5 via the inverted-
+    index self-join. At 100 TB, cap posting-list length (drop shingles
+    shared by more than ~1000 docs — they contribute only to already-obvious
+    pairs) to bound the join; not needed at fixture scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_rows(docs)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    x = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    y = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(j >= 0.5)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# --- 3. MinHash + LSH bands ------------------------------------------------------
+
+
+def _minhash_sig_sql() -> str:
+    mh = ",\n       ".join(
+        f"min(({a} * h + {b}) % {MOD}) AS mh{i}" for i, (a, b) in enumerate(_PARAMS)
+    )
+    return f"""
+sh  AS (SELECT doc_id, unnest({_SH_SQL}) AS s FROM documents),
+hh  AS (SELECT doc_id, {_H30_SQL} AS h FROM sh),
+sig AS (SELECT doc_id,
+       {mh}
+       FROM hh GROUP BY doc_id)"""
+
+
+def _bands_sql() -> str:
+    parts = []
+    for band in range(N_BANDS):
+        cols = "||'|'||".join(
+            f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        parts.append(f"SELECT doc_id, {band} AS band_id, {cols} AS band_key FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+_MINHASH_SQL = f"""
+WITH {_minhash_sig_sql()},
+bands AS ({_bands_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15): 16 MinHash values over the 3-shingle set, using
+    the cross-engine md5 hash. One explode + one groupBy — the signature
+    build is a single shuffle on doc_id regardless of corpus size."""
+    hh = _shingle_rows(docs).select("doc_id", _h30("s").alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PARAMS)
+    ]
+    return hh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """Explode a signature into (doc_id, band_id, band_key) — LSH banding:
+    two docs are candidates iff they agree on ALL rows of some band."""
+    bands = []
+    for band in range(N_BANDS):
+        cols = [
+            F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        key = F.concat_ws("|", *cols)
+        bands.append(
+            sig.select("doc_id", F.lit(band).alias("band_id"), key.alias("band_key"))
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 16 hashes, 4 bands × 4 rows. Candidates
+    shuffle only on (band_id, band_key) — the only dedup shape that scales
+    to billions of docs (no quadratic join anywhere). With the md5-based
+    hash family this entire pipeline is oracle-checked in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(minhash_signatures(docs))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# --- 4. SimHash ---------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+_HAMMING_MAX = 6
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n       ".join(
+        f"CASE WHEN sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END AS p{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(f"p{j}" for j in range(SIMHASH_BITS))
+    return f"""
+WITH sh  AS (SELECT doc_id, unnest({_SH_SQL}) AS s FROM documents),
+hh  AS (SELECT doc_id, {_H30_SQL} AS h FROM sh),
+bits AS (SELECT doc_id,
+       {bit_sums}
+       FROM hh GROUP BY doc_id),
+sig AS (SELECT doc_id, ({pack}) AS simhash FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+"""
+
+
+def simhash_signatures(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): textbook SimHash — per bit position j, sum +1/-1
+    over the shingle hashes' j-th bits; bit j of the fingerprint is the
+    sign. (The vector-space SimHash in operators/lsh.py is the same idea
+    with random hyperplanes; here the 'hyperplanes' are the hash bits.)
+
+    NOTE: h is folded to 30 bits, so only bits 0..29 carry signal; bits
+    30/31 of the fingerprint are constant (-1 sums → 0). Harmless for
+    pairing, kept for a round 32-bit key."""
+    hh = _shingle_rows(docs).select("doc_id", _h30("s").alias("h"))
+    bit_sums = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << j).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"p{j}")
+        for j in range(n_bits)
+    ]
+    bits = hh.groupBy("doc_id").agg(*bit_sums)
+    pack = None
+    for j in range(n_bits):
+        pack = F.col(f"p{j}") if pack is None else pack + F.col(f"p{j}")
+    return bits.select("doc_id", pack.alias("simhash"))
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 6 of 32 bits. The
+    pairing join here is quadratic (fine at fixture scale); at 100 TB you
+    band the fingerprint (4 x 8-bit chunks, join per chunk) exactly like
+    MinHash bands — same bucket-join shape as dedup_minhash_lsh."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
+
+
+# --- 5. embedding cosine near-dup -----------------------------------------------------
+
+_EMB_PAIRS_SQL = """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                  THEN 0.0
+                  ELSE list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             END AS score
+      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+r AS (SELECT vec_a, vec_b, score,
+             row_number() OVER (ORDER BY score DESC, vec_a ASC, vec_b ASC) AS rnk
+      FROM s)
+SELECT vec_a, vec_b, round(score, 6) AS score, rnk FROM r WHERE rnk <= 20
+"""
+
+
+@register("dedup_embedding_neardup", _EMB_PAIRS_SQL)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 closest pairs (the fixture's max
+    pairwise cosine is ~0.51, so a fixed 0.95 threshold would be empty —
+    a ranked report is the honest demonstration). At scale this becomes
+    ANN-assisted blocking: LSH/IVF buckets first, exact cosine within
+    buckets — composing operators/lsh.py with this rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", linalg.cosine(F.col("va"), F.col("vb")).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("vec_a", "vec_b", F.round("score", 6).alias("score"), "rnk")
+    )

@@ -1,1 +1,222 @@
-"""(being built)"""
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting (LLM-pipeline extensions; the
+reference has no text analytics, its only scalar function is lower()).
+
+Everything is built from JVM-side expressions (split/regexp/aggregate) —
+no Python in the row path — and every query is oracle-checked. At 100 TB
+these are embarrassingly parallel single-pass scans: no shuffle except the
+final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import texthash
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+# Word-class regexes kept to portable character classes so Java and RE2-ish
+# engines agree. BPE-ish token rule: runs of letters | runs of digits |
+# single non-alphanumeric-non-space.
+_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+#: tiny function-word marker lists per language (what an n-gram language
+#: detector degenerates to at vocabulary level). NOTE: the fixture's five
+#: "languages" all share one 31-word English-ish vocabulary — there is no
+#: linguistic signal to recover, so predictions here demonstrate the
+#: OPERATOR (scored marker voting with deterministic tie-break), not
+#: classifier quality; the confusion-matrix query reports that honestly.
+_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "zh": ("的", "是", "了"),
+}
+
+
+# --- token counting ------------------------------------------------------------
+
+_TOKENS_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), w -> w != ''))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE}'))::BIGINT            AS n_re_tokens,
+       length(text)::BIGINT                                            AS n_chars_computed,
+       documents.n_chars::BIGINT                                       AS n_chars_meta,
+       round(length(replace(text, ' ', '')) * 1.0
+             / len(list_filter(string_split(text, ' '), w -> w != '')), 6) AS avg_word_len
+FROM documents
+"""
+
+
+@register("text_token_stats", _TOKENS_SQL)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counts and mean word length per document —
+    single projection pass, regexp_count stays in codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = texthash.words("text")
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_TOKEN_RE)).cast("long").alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.col("n_chars").cast("long").alias("n_chars_meta"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(ws), 6
+        ).alias("avg_word_len"),
+    )
+
+
+# --- quality scoring --------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, n_chars,
+         len(ws)::BIGINT AS n_words,
+         len(list_filter(ws, w -> list_contains({_STOP_LIST_SQL}, w))) * 1.0 / len(ws) AS stop_ratio,
+         n_punct * 1.0 / n_chars AS punct_ratio,
+         least(len(ws) / 100.0, 1.0) AS length_score
+  FROM t)
+SELECT doc_id, lang, n_words,
+       round(stop_ratio, 6)  AS stop_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(0.4 * length_score + 0.4 * least(stop_ratio * 5.0, 1.0)
+             + 0.2 * (1.0 - punct_ratio), 6) AS quality,
+       CASE WHEN n_words >= 20 AND stop_ratio > 0.01 AND punct_ratio < 0.2
+            THEN 1 ELSE 0 END AS is_quality
+FROM m
+"""
+
+
+@register("text_quality_scores", _QUALITY_SQL)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score: length saturation + stopword
+    density + punctuation penalty (the C4/CCNet-style filter family),
+    plus a boolean keep-flag — the shape of a pretraining quality gate."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = texthash.words("text")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_words = F.size(ws)
+    # ratio of stopword TOKENS (not distinct occurrences): filter + size
+    stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / n_words
+    punct_ratio = F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")) / F.length("text")
+    length_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        0.4 * length_score + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0)) + 0.2 * (1.0 - punct_ratio),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        quality.alias("quality"),
+        F.when((n_words >= 20) & (stop_ratio > 0.01) & (punct_ratio < 0.2), 1)
+        .otherwise(0)
+        .alias("is_quality"),
+    )
+
+
+# --- language ID -------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    scores = ",\n         ".join(
+        "len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{m}'" for m in marks)
+        + f"], w))) AS score_{lang}"
+        for lang, marks in _MARKERS.items()
+    )
+    # deterministic argmax with alphabetical tie-break, 'und' when all zero
+    langs = sorted(_MARKERS)
+    best = " ".join(
+        f"WHEN score_{lg} = greatest({', '.join('score_' + x for x in langs)}) THEN '{lg}'"
+        for lg in langs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+                  list_filter(string_split(text, ' '), w -> w != '') AS ws
+           FROM documents),
+s AS (SELECT doc_id, lang,
+         {scores}
+      FROM t),
+p AS (SELECT doc_id, lang,
+             CASE WHEN greatest({', '.join('score_' + x for x in langs)}) = 0 THEN 'und'
+                  {best} END AS pred_lang
+      FROM s)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM p GROUP BY lang, pred_lang
+"""
+
+
+@register("text_langid_confusion", _langid_sql())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID → confusion matrix against the labeled lang
+    column. On this fixture every language shares one vocabulary, so the
+    matrix shows exactly what a marker detector can see (everything looks
+    like 'en'/'und') — an honest no-signal report, which is itself the
+    operator a pipeline needs before trusting a classifier."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = texthash.words("text")
+    t = d.select("doc_id", "lang", ws.alias("ws"))
+    langs = sorted(_MARKERS)
+    for lang, marks in _MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in marks])
+        t = t.withColumn(
+            f"score_{lang}", F.size(F.filter(F.col("ws"), lambda w: F.array_contains(arr, w)))
+        )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(best == 0, "und")
+    for lg in langs:
+        pred = pred.when(F.col(f"score_{lg}") == best, lg)
+    return (
+        t.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- fingerprinting ----------------------------------------------------------------
+
+_FPRINT_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0),
+f AS (SELECT doc_id,
+             md5(array_to_string(list_filter(string_split(text, ' '), w -> w != ''), ' ')) AS fingerprint
+      FROM corpus)
+SELECT fingerprint, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+FROM f GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+@register("text_fingerprint_groups", _FPRINT_SQL)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized content fingerprint (md5 of the normalized
+    token stream) → duplicate groups on the augmented corpus. The
+    normalize-then-hash shape of a doc-level fingerprinting stage."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    fp = F.md5(F.array_join(texthash.words("text"), " "))
+    return (
+        corpus.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,106 @@
+"""Structured Streaming twins of the batch event operators.
+
+The reference is strictly request/response (no streaming, SURVEY.md §2.3);
+these are the north-star extensions, built so that STREAM and BATCH share
+the same expressions: in Spark, a windowed aggregation over a static frame
+and over a stream are the same logical plan — the tests assert exactly that
+equivalence (availableNow trigger → memory sink vs. the batch run).
+
+Operators:
+- tumbling window counts with a watermark (late-data bound)
+- session windows via F.session_window (gap-merge semantics; note the
+  half-open boundary: a gap of EXACTLY the session timeout starts a new
+  session here, while the batch lag-based formulation in operators/events
+  keeps it — irrelevant off the razor's edge, documented here)
+- per-user running stats via the same groupBy shapes
+
+At scale: streaming state lives in the state store keyed by (window,
+group) — the watermark bounds it; sessionization state is per active user
+session. Both shapes run unchanged on a real cluster with a Kafka source —
+only ``readStream`` options change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events schema as stored (ts is TIMESTAMP(NANOS) parquet → bigint under
+#: the session's nanosAsLong setting; converted after read).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch under availableNow). Swapping in Kafka changes only this
+    function."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """1-hour tumbling counts — IDENTICAL expression tree for batch and
+    stream input; the watermark only bounds streaming state."""
+    if with_watermark:
+        events = events.withWatermark("ts", "2 hours")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_windows(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """Gap-based sessions via F.session_window — the built-in stateful
+    session operator (the applyInPandasWithState escape hatch is only needed
+    for custom session logic, e.g. cross-field termination rules)."""
+    if with_watermark:
+        events = events.withWatermark("ts", "2 hours")
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, table_name: str) -> None:
+    """Drain an aggregated stream into an in-memory sink with the
+    availableNow trigger (process-everything-then-stop) — the test harness
+    for batch/stream equivalence."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
