@@ -1,0 +1,207 @@
+"""e2e workflow tests for VectorCatalog — the Spark analog of the
+reference's tests-mongo suite (SURVEY.md §5): library/document/chunk CRUD,
+error statuses, search on all three index types, cascade deletes, and
+persistence across "restarts" (a fresh catalog instance over the same root).
+
+Reference anchors: tests-mongo/test_e2e_mongo.py (CRUD + search + errors),
+test_ivf_e2e.py / test_lsh_simhash_e2e.py (workflows), test_persistence.py
+(survive restart). Unlike the reference we also assert *correctness* of the
+top hit, not just non-emptiness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vectordb_from_scratch_spark.catalog import (
+    ConflictError,
+    NotFoundError,
+    ValidationError,
+    VectorCatalog,
+)
+
+DIMS = 8
+N_CHUNKS = 48
+
+
+def _vectors(n: int = N_CHUNKS, d: int = DIMS) -> np.ndarray:
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((n, d)).astype("float32")
+
+
+def _populate(cat: VectorCatalog, name: str, index_type: str = "flat") -> tuple[str, str, list[str]]:
+    lib_id = cat.create_library(name, DIMS, index_type=index_type)
+    doc_id = cat.create_document(lib_id, "doc-1", metadata={"topic": "t"})
+    vecs = _vectors()
+    items = [
+        {
+            "text": f"chunk {i}",
+            "embedding": vecs[i].tolist(),
+            "metadata": {"parity": "even" if i % 2 == 0 else "odd"},
+        }
+        for i in range(len(vecs))
+    ]
+    ids = cat.add_chunks(lib_id, doc_id, items, ids=[f"c{i:03d}" for i in range(len(vecs))])
+    return lib_id, doc_id, ids
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return VectorCatalog(spark, str(tmp_path))
+
+
+def test_library_crud_and_conflicts(cat):
+    lib_id = cat.create_library("alpha", DIMS, metadata={"owner": "x"})
+    assert cat.get_library(lib_id)["name"] == "alpha"
+    with pytest.raises(ConflictError):
+        cat.create_library("alpha", DIMS)  # name globally unique (409)
+    with pytest.raises(ValidationError):
+        cat.create_library("", DIMS)
+    with pytest.raises(ValidationError):
+        cat.create_library("beta", 0)
+    with pytest.raises(ValidationError):
+        cat.create_library("beta", DIMS, index_type="hnsw")  # strict, no silent flat fallback
+
+    cat.create_library("Beta", DIMS)
+    names = [r["name"] for r in cat.list_libraries()]
+    assert names == ["alpha", "Beta"]  # sorted by lower(name) — libraries.py:29
+
+    updated = cat.update_library(lib_id, name="alpha2", dims=999)
+    assert updated["name"] == "alpha2"
+    assert updated["dims"] == DIMS  # dims silently stripped (mongo_storage.py:78-80)
+    with pytest.raises(ConflictError):
+        cat.update_library(lib_id, name="Beta")
+    with pytest.raises(NotFoundError):
+        cat.get_library("nope")
+
+
+def test_document_crud_and_ownership(cat):
+    lib_id = cat.create_library("lib", DIMS)
+    doc_id = cat.create_document(lib_id, "title-1")
+    with pytest.raises(ConflictError):
+        cat.create_document(lib_id, "title-1")  # (library_id, title) unique
+    other = cat.create_library("lib2", DIMS)
+    cat.create_document(other, "title-1")  # same title OK in another library
+    with pytest.raises(NotFoundError):
+        cat.get_document(other, doc_id)  # ownership check
+    with pytest.raises(ValidationError):
+        cat.update_document(lib_id, doc_id, library_id=other)  # forbidden move
+    assert cat.update_document(lib_id, doc_id, title="renamed")["title"] == "renamed"
+    cat.delete_document(lib_id, doc_id)
+    assert cat.list_documents(lib_id) == []
+
+
+def test_chunk_batch_validation_is_all_or_nothing(cat):
+    lib_id = cat.create_library("lib", DIMS)
+    doc_id = cat.create_document(lib_id, "d")
+    bad = [
+        {"text": "ok", "embedding": [0.1] * DIMS},
+        {"text": "bad", "embedding": [0.1] * (DIMS + 1)},  # wrong dims
+    ]
+    with pytest.raises(ValidationError):
+        cat.add_chunks(lib_id, doc_id, bad)
+    assert cat.list_chunks(lib_id) == []  # nothing written — stronger than chunks.py:43-70
+
+    ids = cat.add_chunks(lib_id, doc_id, [{"text": "t", "embedding": [0.5] * DIMS}])
+    chunk = cat.get_chunk(lib_id, ids[0])
+    assert chunk["text"] == "t" and len(chunk["embedding"]) == DIMS
+
+    upd = cat.update_chunk(lib_id, ids[0], text="t2")
+    assert upd["text"] == "t2"
+    with pytest.raises(ValidationError):
+        cat.update_chunk(lib_id, ids[0], embedding=[1.0] * (DIMS - 1))
+    with pytest.raises(NotFoundError):
+        cat.delete_chunks(lib_id, [ids[0], "ghost"])  # validate-all-first (chunks.py:135-145)
+    assert cat.list_chunks(lib_id) != []
+    cat.delete_chunks(lib_id, ids)
+    assert cat.list_chunks(lib_id) == []
+
+
+def test_flat_search_correctness_filters_hydration(cat):
+    lib_id, _, ids = _populate(cat, "flat-lib")
+    vecs = _vectors()
+    target = 17
+    res = cat.search(lib_id, vecs[target].tolist(), k=5)
+    assert res[0].chunk_id == ids[target]  # self-query top-1 (exactness, not just non-empty)
+    assert res[0].similarity_score == pytest.approx(1.0, abs=1e-5)
+    assert len(res) == 5
+
+    res = cat.search(lib_id, vecs[target].tolist(), k=5, metadata_filters={"parity": "even"})
+    assert all(int(r.chunk_id[1:]) % 2 == 0 for r in res)
+
+    res = cat.search(lib_id, vecs[target].tolist(), k=3, include_chunk=True)
+    assert res[0].chunk is not None and res[0].chunk["text"] == f"chunk {target}"
+
+    with pytest.raises(ValidationError):
+        cat.search(lib_id, vecs[target].tolist(), k=0)
+    with pytest.raises(ValidationError):
+        cat.search(lib_id, vecs[target].tolist(), k=101)  # k capped at 100 (dto.py:58)
+    with pytest.raises(ValidationError):
+        cat.search(lib_id, [0.1] * (DIMS + 2), k=5)  # 422 dim mismatch
+    with pytest.raises(NotFoundError):
+        cat.search("ghost", vecs[target].tolist(), k=5)
+
+
+def test_ivf_and_lsh_search_workflows(cat):
+    for index_type in ("ivf", "lsh_simhash"):
+        lib_id, _, ids = _populate(cat, f"lib-{index_type}", index_type=index_type)
+        vecs = _vectors()
+        res = cat.search(lib_id, vecs[5].tolist(), k=5)
+        assert res, f"{index_type} search returned nothing"
+        assert res[0].chunk_id == ids[5]  # self-query must survive approximation
+        assert res[0].similarity_score == pytest.approx(1.0, abs=1e-5)
+        assert cat.library_stats(lib_id)["index_built"]
+
+
+def test_cascade_delete_library(cat):
+    lib_id, doc_id, _ = _populate(cat, "doomed", index_type="ivf")
+    cat.search(lib_id, _vectors()[0].tolist(), k=3)  # force index build
+    keep_id, _, _ = _populate(cat, "keeper")
+    cat.delete_library(lib_id)
+    with pytest.raises(NotFoundError):
+        cat.get_library(lib_id)
+    with pytest.raises(NotFoundError):
+        cat.get_document(lib_id, doc_id)
+    assert cat.list_chunks(keep_id)  # other library untouched
+    assert cat._index_meta(lib_id) is None  # derived index dir removed
+
+
+def test_persistence_across_restart(spark, tmp_path):
+    """test_persistence.py analog: a fresh catalog over the same root sees
+    all data and serves search without any explicit rebuild step."""
+    cat1 = VectorCatalog(spark, str(tmp_path))
+    lib_id, _, ids = _populate(cat1, "persisted", index_type="ivf")
+    cat1.search(lib_id, _vectors()[3].tolist(), k=3)  # builds index sidecar
+
+    cat2 = VectorCatalog(spark, str(tmp_path))  # "restart"
+    assert {r["name"] for r in cat2.list_libraries()} == {"persisted"}
+    stats = cat2.library_stats(lib_id)
+    assert stats["num_documents"] == 1 and stats["num_chunks"] == N_CHUNKS
+    res = cat2.search(lib_id, _vectors()[3].tolist(), k=3)
+    assert res[0].chunk_id == ids[3]
+
+
+def test_index_type_change_triggers_rebuild(cat):
+    lib_id, _, ids = _populate(cat, "mutating", index_type="flat")
+    cat.update_library(lib_id, index_type="ivf")
+    assert cat.get_library(lib_id)["index_type"] == "ivf"
+    assert cat._index_meta(lib_id)["type"] == "ivf"  # rebuilt eagerly (vector_db.py:125-135)
+    res = cat.search(lib_id, _vectors()[9].tolist(), k=3)
+    assert res[0].chunk_id == ids[9]
+
+
+def test_stale_index_rebuilds_after_mutation(cat):
+    """V16 lazy ensure: mutating chunks marks the sidecar stale; next search
+    rebuilds from the base table (crash-recovery guarantee)."""
+    lib_id, doc_id, ids = _populate(cat, "stale-lib", index_type="ivf")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)
+    assert not cat._index_meta(lib_id).get("stale")
+
+    new_vec = (vecs[0] * -1.0).tolist()
+    new_id = cat.add_chunks(lib_id, doc_id, [{"text": "new", "embedding": new_vec}], ids=["cNEW"])[0]
+    assert cat._index_meta(lib_id)["stale"]
+    res = cat.search(lib_id, new_vec, k=3)
+    assert res[0].chunk_id == new_id  # fresh row findable → index was rebuilt
+    assert not cat._index_meta(lib_id).get("stale")

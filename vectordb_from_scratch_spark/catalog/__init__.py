@@ -1,0 +1,635 @@
+"""Entity catalog: the reference's full service surface (SURVEY.md §2.2
+C1-C17 + §2.1 V5-V17) over Spark tables.
+
+Reference model (``app/core/models.py``): Library → Document → Chunk, each
+library fixing embedding dims and index type, persisted in MongoDB with
+in-RAM per-library indexes rebuilt lazily (``app/core/vector_db.py``).
+
+Spark design decisions:
+- each entity table is a **versioned parquet table** (``TableStore``):
+  writes land in a fresh ``v{N}`` directory, then a ``_LATEST`` pointer file
+  is atomically replaced — the reference's "build to the side, swap the
+  pointer under a write lock" (``vector_db.py:283-292``) without any lock,
+  because readers of the old version keep a consistent snapshot. This is
+  poor-man's Delta; on a real deployment swap in Delta/Iceberg and the
+  class body shrinks.
+- chunks are written ``partitionBy(library_id)`` so per-library operations
+  (search, cascade delete, stats) get partition pruning — the Mongo
+  secondary-index analog (``mongo_storage.py:25-56``).
+- derived index tables (IVF centroids/assignments, LSH buckets) live under
+  ``indexes/{library_id}/`` and are recomputed from the chunks table on
+  demand — the lazy ``_ensure_index`` rebuild semantics
+  (``vector_db.py:327-355``): the base table is always the source of truth
+  and a crash between chunk write and index write heals on next use.
+- validation (dims, uniqueness, ownership) raises typed exceptions mapping
+  the reference's HTTP statuses: NotFoundError≈404, ConflictError≈409,
+  ValidationError≈422.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vectordb_from_scratch_spark.functions import linalg
+from vectordb_from_scratch_spark.operators import ivf as ivf_ops
+from vectordb_from_scratch_spark.operators import knn
+from vectordb_from_scratch_spark.operators import lsh as lsh_ops
+
+MAX_K = 100  # reference caps k ∈ [1, 100] (app/api/dto.py:58)
+
+INDEX_TYPES = ("flat", "ivf", "lsh_simhash")  # all three registered —
+# the reference silently falls back to flat for unknown types
+# (vector_db.py:96-102) and never registers lsh (SURVEY.md §2.4.1); we
+# register all three and REJECT unknown types instead of silent fallback.
+
+
+class NotFoundError(KeyError):
+    """≈ HTTP 404 (library/document/chunk missing or not owned)."""
+
+
+class ConflictError(ValueError):
+    """≈ HTTP 409 (unique-constraint violation)."""
+
+
+class ValidationError(ValueError):
+    """≈ HTTP 422 (dimension mismatch, bad arguments)."""
+
+
+LIBRARY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("dims", T.IntegerType(), False),
+        T.StructField("index_type", T.StringType(), False),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("library_id", T.StringType(), False),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("document_id", T.StringType(), False),
+        T.StructField("library_id", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+class TableStore:
+    """Versioned parquet table with an atomic ``_LATEST`` pointer —
+    side-build + swap (V15) as a storage primitive."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str, schema: T.StructType):
+        self.spark = spark
+        self.dir = os.path.join(root, name)
+        self.schema = schema
+        os.makedirs(self.dir, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.dir, "_LATEST")
+
+    def _latest(self) -> str | None:
+        try:
+            with open(self._pointer) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def read(self) -> DataFrame:
+        v = self._latest()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(os.path.join(self.dir, v))
+
+    def write(self, df: DataFrame, partition_by: str | None = None) -> None:
+        cur = self._latest()
+        nxt = f"v{int((cur or 'v0')[1:]) + 1:06d}"
+        path = os.path.join(self.dir, nxt)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(nxt)
+        os.replace(tmp, self._pointer)  # atomic swap
+        if cur:
+            shutil.rmtree(os.path.join(self.dir, cur), ignore_errors=True)
+
+
+def _uuid() -> str:
+    return str(uuid.uuid4())
+
+
+@dataclass
+class SearchResult:
+    chunk_id: str
+    similarity_score: float
+    chunk: dict | None = None
+
+
+class VectorCatalog:
+    """The reference's ``VectorDBService`` re-expressed over Spark tables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.libraries = TableStore(spark, root, "libraries", LIBRARY_SCHEMA)
+        self.documents = TableStore(spark, root, "documents", DOCUMENT_SCHEMA)
+        self.chunks = TableStore(spark, root, "chunks", CHUNK_SCHEMA)
+
+    # ------------------------------------------------------------------ C1-C4
+    def create_library(
+        self,
+        name: str,
+        dims: int,
+        index_type: str = "flat",
+        metadata: dict | None = None,
+        id: str | None = None,
+    ) -> str:
+        """C1 (vector_db.py:105-114). name globally unique (409 on clash,
+        mongo_storage.py:27-28); index_type validated up front (stricter
+        than the reference's silent flat fallback, see INDEX_TYPES)."""
+        if not name:
+            raise ValidationError("library name must be non-empty")
+        if dims <= 0:
+            raise ValidationError("dims must be > 0")
+        if index_type not in INDEX_TYPES:
+            raise ValidationError(f"unknown index_type {index_type!r}; one of {INDEX_TYPES}")
+        libs = self.libraries.read()
+        if libs.filter(F.col("name") == name).limit(1).count() > 0:
+            raise ConflictError(f"library name {name!r} already exists")
+        lib_id = id or _uuid()
+        row = self.spark.createDataFrame(
+            [(lib_id, name, dims, index_type, metadata or {})], LIBRARY_SCHEMA
+        )
+        self.libraries.write(libs.unionByName(row))
+        return lib_id
+
+    def get_library(self, lib_id: str) -> dict:
+        rows = self.libraries.read().filter(F.col("id") == lib_id).collect()
+        if not rows:
+            raise NotFoundError(f"library {lib_id} not found")
+        return rows[0].asDict()
+
+    def list_libraries(self) -> list[dict]:
+        """C2: sorted by (lower(name), id) (libraries.py:29)."""
+        return [
+            r.asDict()
+            for r in self.libraries.read()
+            .orderBy(F.lower("name"), F.col("id"))
+            .collect()
+        ]
+
+    def update_library(self, lib_id: str, **patch) -> dict:
+        """C3: $set patch; ``dims`` silently stripped (immutable,
+        mongo_storage.py:78-80); ``index_type`` change rebuilds the index
+        (vector_db.py:125-135)."""
+        lib = self.get_library(lib_id)
+        patch.pop("dims", None)  # reference strips dims
+        new_type = patch.get("index_type")
+        if new_type is not None and new_type not in INDEX_TYPES:
+            raise ValidationError(f"unknown index_type {new_type!r}")
+        if "name" in patch and patch["name"] != lib["name"]:
+            clash = (
+                self.libraries.read()
+                .filter((F.col("name") == patch["name"]) & (F.col("id") != lib_id))
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ConflictError(f"library name {patch['name']!r} already exists")
+        libs = self.libraries.read()
+        updated = libs.filter(F.col("id") != lib_id).unionByName(
+            self.spark.createDataFrame(
+                [
+                    (
+                        lib_id,
+                        patch.get("name", lib["name"]),
+                        lib["dims"],
+                        patch.get("index_type", lib["index_type"]),
+                        patch.get("metadata", lib["metadata"]),
+                    )
+                ],
+                LIBRARY_SCHEMA,
+            )
+        )
+        self.libraries.write(updated)
+        if new_type is not None and new_type != lib["index_type"]:
+            self.rebuild_index(lib_id)  # C3 → V15
+        return self.get_library(lib_id)
+
+    def delete_library(self, lib_id: str) -> None:
+        """C4 cascade (vector_db.py:137-150): chunks → documents → library
+        as anti-join rewrites, plus the derived index directory."""
+        self.get_library(lib_id)
+        self.chunks.write(
+            self.chunks.read().filter(F.col("library_id") != lib_id), "library_id"
+        )
+        self.documents.write(self.documents.read().filter(F.col("library_id") != lib_id))
+        self.libraries.write(self.libraries.read().filter(F.col("id") != lib_id))
+        shutil.rmtree(self._index_dir(lib_id), ignore_errors=True)
+
+    # ------------------------------------------------------------------ C5-C7
+    def create_document(
+        self, lib_id: str, title: str, metadata: dict | None = None, id: str | None = None
+    ) -> str:
+        """C5: library must exist (404); (library_id, title) unique
+        (mongo_storage.py:33, 409)."""
+        self.get_library(lib_id)
+        if not title:
+            raise ValidationError("document title must be non-empty")
+        docs = self.documents.read()
+        if (
+            docs.filter((F.col("library_id") == lib_id) & (F.col("title") == title))
+            .limit(1)
+            .count()
+        ):
+            raise ConflictError(f"document title {title!r} already exists in library")
+        doc_id = id or _uuid()
+        self.documents.write(
+            docs.unionByName(
+                self.spark.createDataFrame(
+                    [(doc_id, lib_id, title, metadata or {})], DOCUMENT_SCHEMA
+                )
+            )
+        )
+        return doc_id
+
+    def get_document(self, lib_id: str, doc_id: str) -> dict:
+        rows = (
+            self.documents.read()
+            .filter((F.col("id") == doc_id) & (F.col("library_id") == lib_id))
+            .collect()
+        )
+        if not rows:
+            raise NotFoundError(f"document {doc_id} not found in library {lib_id}")
+        return rows[0].asDict()
+
+    def list_documents(self, lib_id: str) -> list[dict]:
+        self.get_library(lib_id)
+        return [
+            r.asDict()
+            for r in self.documents.read().filter(F.col("library_id") == lib_id).collect()
+        ]
+
+    def update_document(self, lib_id: str, doc_id: str, **patch) -> dict:
+        """C6: library_id change forbidden (vector_db.py:167-168)."""
+        if "library_id" in patch:
+            raise ValidationError("changing a document's library is not allowed")
+        doc = self.get_document(lib_id, doc_id)
+        docs = self.documents.read()
+        self.documents.write(
+            docs.filter(F.col("id") != doc_id).unionByName(
+                self.spark.createDataFrame(
+                    [
+                        (
+                            doc_id,
+                            lib_id,
+                            patch.get("title", doc["title"]),
+                            patch.get("metadata", doc["metadata"]),
+                        )
+                    ],
+                    DOCUMENT_SCHEMA,
+                )
+            )
+        )
+        return self.get_document(lib_id, doc_id)
+
+    def delete_document(self, lib_id: str, doc_id: str) -> None:
+        """C7: ownership check then cascade chunks → document
+        (vector_db.py:171-182)."""
+        self.get_document(lib_id, doc_id)
+        self.chunks.write(
+            self.chunks.read().filter(F.col("document_id") != doc_id), "library_id"
+        )
+        self.documents.write(self.documents.read().filter(F.col("id") != doc_id))
+        self._invalidate_index(lib_id)
+
+    # ------------------------------------------------------------------ C8-C12
+    def add_chunks(
+        self, lib_id: str, doc_id: str, items: list[dict], ids: list[str] | None = None
+    ) -> list[str]:
+        """C8/C9 batch-first ingest: one validation job + one append — where
+        Spark is strictly better than the reference's sequential loop
+        (chunks.py:43-70). Validates library+document+ownership (404) and
+        every embedding's dims (422) BEFORE writing, giving the all-or-
+        nothing batch semantics the reference only approximates."""
+        lib = self.get_library(lib_id)
+        self.get_document(lib_id, doc_id)
+        dims = lib["dims"]
+        out_ids = ids or [_uuid() for _ in items]
+        for i, item in enumerate(items):
+            emb = item.get("embedding")
+            if not item.get("text"):
+                raise ValidationError(f"chunk {i}: text must be non-empty")
+            if not emb:
+                raise ValidationError(f"chunk {i}: embedding required (no embed service)")
+            if len(emb) != dims:
+                raise ValidationError(
+                    f"chunk {i}: embedding dim {len(emb)} != library dims {dims}"
+                )
+        rows = [
+            (
+                cid,
+                doc_id,
+                lib_id,
+                item["text"],
+                [float(x) for x in item["embedding"]],
+                item.get("metadata") or {},
+            )
+            for cid, item in zip(out_ids, items)
+        ]
+        self.chunks.write(
+            self.chunks.read().unionByName(self.spark.createDataFrame(rows, CHUNK_SCHEMA)),
+            "library_id",
+        )
+        self._invalidate_index(lib_id)
+        return out_ids
+
+    def get_chunk(self, lib_id: str, chunk_id: str) -> dict:
+        rows = (
+            self.chunks.read()
+            .filter((F.col("id") == chunk_id) & (F.col("library_id") == lib_id))
+            .collect()
+        )
+        if not rows:
+            raise NotFoundError(f"chunk {chunk_id} not found in library {lib_id}")
+        return rows[0].asDict()
+
+    def list_chunks(self, lib_id: str) -> list[dict]:
+        self.get_library(lib_id)
+        return [
+            r.asDict()
+            for r in self.chunks.read().filter(F.col("library_id") == lib_id).collect()
+        ]
+
+    def update_chunk(self, lib_id: str, chunk_id: str, **patch) -> dict:
+        """C11: dim check when the embedding changes (vector_db.py:226-227);
+        index entry recomputed via invalidation (the MERGE + index-delta)."""
+        chunk = self.get_chunk(lib_id, chunk_id)
+        if "embedding" in patch:
+            dims = self.get_library(lib_id)["dims"]
+            if len(patch["embedding"]) != dims:
+                raise ValidationError(
+                    f"embedding dim {len(patch['embedding'])} != library dims {dims}"
+                )
+        merged = (
+            chunk_id,
+            chunk["document_id"],
+            lib_id,
+            patch.get("text", chunk["text"]),
+            [float(x) for x in patch.get("embedding", chunk["embedding"])],
+            patch.get("metadata", chunk["metadata"]),
+        )
+        self.chunks.write(
+            self.chunks.read()
+            .filter(F.col("id") != chunk_id)
+            .unionByName(self.spark.createDataFrame([merged], CHUNK_SCHEMA)),
+            "library_id",
+        )
+        if "embedding" in patch:
+            self._invalidate_index(lib_id)
+        return self.get_chunk(lib_id, chunk_id)
+
+    def delete_chunks(self, lib_id: str, chunk_ids: list[str]) -> None:
+        """C12 batch delete with the reference's 'simple atomic semantics':
+        validate ALL ids exist first, then delete (chunks.py:135-145)."""
+        self.get_library(lib_id)
+        chunks = self.chunks.read()
+        present = {
+            r["id"]
+            for r in chunks.filter(
+                (F.col("library_id") == lib_id) & (F.col("id").isin(chunk_ids))
+            )
+            .select("id")
+            .collect()
+        }
+        missing = [c for c in chunk_ids if c not in present]
+        if missing:
+            raise NotFoundError(f"chunks not found: {missing}")
+        self.chunks.write(chunks.filter(~F.col("id").isin(chunk_ids)), "library_id")
+        self._invalidate_index(lib_id)
+
+    # ------------------------------------------------------------------ C15
+    def library_stats(self, lib_id: str) -> dict:
+        """C15 (operations.py:52-69) as one aggregation job instead of two
+        full list materializations."""
+        self.get_library(lib_id)
+        n_docs = (
+            self.documents.read().filter(F.col("library_id") == lib_id).count()
+        )
+        n_chunks = self.chunks.read().filter(F.col("library_id") == lib_id).count()
+        return {
+            "library_id": lib_id,
+            "num_documents": n_docs,
+            "num_chunks": n_chunks,
+            "index_built": self._index_meta(lib_id) is not None,
+        }
+
+    # ------------------------------------------------------------------ search
+    def search(
+        self,
+        lib_id: str,
+        embedding: list[float],
+        k: int = 10,
+        metadata_filters: dict | None = None,
+        include_chunk: bool = False,
+        metric: str = "cosine",
+    ) -> list[SearchResult]:
+        """C13 (vector_db.py:249-270): 404 on unknown library, 422 on dim
+        mismatch, k capped at 100, lazy index ensure, optional hydration —
+        hydration is a broadcast join folded into the SAME plan rather than
+        the reference's N point-reads."""
+        lib = self.get_library(lib_id)
+        if not 1 <= k <= MAX_K:
+            raise ValidationError(f"k must be in [1, {MAX_K}]")
+        if len(embedding) != lib["dims"]:
+            raise ValidationError(
+                f"query dim {len(embedding)} != library dims {lib['dims']}"
+            )
+        corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
+        if metadata_filters:
+            for key, val in metadata_filters.items():
+                corpus = corpus.filter(F.col("metadata")[key] == val)
+            index_type = "flat"  # filtered search bypasses the ANN index
+        else:
+            index_type = lib["index_type"]
+
+        queries = self.spark.createDataFrame(
+            [(0, [float(x) for x in embedding])],
+            "query_id LONG, query_vec ARRAY<DOUBLE>",
+        )
+        if index_type == "ivf" and self._ensure_ivf(lib_id, corpus):
+            centroids, assignments = self._read_ivf(lib_id)
+            res = ivf_ops.search(
+                corpus, centroids, assignments, queries, k=k, id_col="id", vec_col="embedding"
+            )
+        elif index_type == "lsh_simhash" and self._ensure_lsh(lib_id, corpus):
+            H = lsh_ops.hyperplanes(lib["dims"])
+            buckets = self.spark.read.parquet(self._index_path(lib_id, "buckets"))
+            res = lsh_ops.search(
+                corpus, buckets, queries, H, k=k, n_flips=1, id_col="id", vec_col="embedding"
+            )
+        else:  # flat — scored scan + top-k (V5)
+            res = knn.topk(
+                corpus, queries, k=k, metric=metric, id_col="id", vec_col="embedding"
+            )
+        if include_chunk:
+            hydrated = res.join(
+                F.broadcast(self.chunks.read()).withColumnRenamed("id", "chunk_id"),
+                res["id"] == F.col("chunk_id"),
+            )
+            rows = hydrated.orderBy("rank").collect()
+            return [
+                SearchResult(
+                    r["id"],
+                    float(r["score"]),
+                    {
+                        "id": r["chunk_id"],
+                        "document_id": r["document_id"],
+                        "library_id": r["library_id"],
+                        "text": r["text"],
+                        "embedding": list(r["embedding"]),
+                        "metadata": dict(r["metadata"] or {}),
+                    },
+                )
+                for r in rows
+            ]
+        return [
+            SearchResult(r["id"], float(r["score"]))
+            for r in res.orderBy("rank").collect()
+        ]
+
+    # ------------------------------------------------------------------ index (V7/V15/V16/V17)
+    def _index_dir(self, lib_id: str) -> str:
+        return os.path.join(self.root, "indexes", lib_id)
+
+    def _index_path(self, lib_id: str, name: str) -> str:
+        return os.path.join(self._index_dir(lib_id), name)
+
+    def _index_meta(self, lib_id: str) -> dict | None:
+        try:
+            with open(self._index_path(lib_id, "meta.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_index_meta(self, lib_id: str, meta: dict) -> None:
+        os.makedirs(self._index_dir(lib_id), exist_ok=True)
+        tmp = self._index_path(lib_id, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._index_path(lib_id, "meta.json"))
+
+    def _invalidate_index(self, lib_id: str) -> None:
+        """Base-table write → derived index is stale. The reference keeps
+        indexes incrementally consistent under a write lock; we mark stale
+        and lazily rebuild (V16) — same crash-recovery guarantee, zero
+        locking, and the rebuild is a bulk job (where Spark wins)."""
+        meta = self._index_meta(lib_id)
+        if meta is not None:
+            meta["stale"] = True
+            self._write_index_meta(lib_id, meta)
+
+    def _ensure_ivf(self, lib_id: str, corpus: DataFrame) -> bool:
+        meta = self._index_meta(lib_id)
+        if meta and meta.get("type") == "ivf" and not meta.get("stale"):
+            return True
+        return self._build_ivf(lib_id, corpus)
+
+    def _build_ivf(self, lib_id: str, corpus: DataFrame) -> bool:
+        n = corpus.count()
+        if n == 0:
+            return False
+        n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, n // 8 or 1))
+        centroids = ivf_ops.train_centroids(corpus, n_clusters=n_clusters, vec_col="embedding")
+        assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
+        centroids.write.mode("overwrite").parquet(self._index_path(lib_id, "centroids"))
+        # partitioned by cluster_id: probe filters become partition pruning
+        assignments.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            self._index_path(lib_id, "assignments")
+        )
+        self._write_index_meta(lib_id, {"type": "ivf", "n": n, "n_clusters": n_clusters})
+        return True
+
+    def _read_ivf(self, lib_id: str):
+        return (
+            self.spark.read.parquet(self._index_path(lib_id, "centroids")),
+            self.spark.read.parquet(self._index_path(lib_id, "assignments")),
+        )
+
+    def _ensure_lsh(self, lib_id: str, corpus: DataFrame) -> bool:
+        meta = self._index_meta(lib_id)
+        if meta and meta.get("type") == "lsh_simhash" and not meta.get("stale"):
+            return True
+        n = corpus.count()
+        if n == 0:
+            return False
+        dims = self.get_library(lib_id)["dims"]
+        H = lsh_ops.hyperplanes(dims)
+        buckets = lsh_ops.compute_buckets(corpus, H, id_col="id", vec_col="embedding")
+        buckets.write.mode("overwrite").parquet(self._index_path(lib_id, "buckets"))
+        self._write_index_meta(lib_id, {"type": "lsh_simhash", "n": n})
+        return True
+
+    def rebuild_index(self, lib_id: str) -> None:
+        """V15: recompute derived tables from the base chunks table and swap
+        (parquet overwrite is the atomic replace)."""
+        lib = self.get_library(lib_id)
+        corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
+        shutil.rmtree(self._index_dir(lib_id), ignore_errors=True)
+        if lib["index_type"] == "ivf":
+            self._build_ivf(lib_id, corpus)
+        elif lib["index_type"] == "lsh_simhash":
+            self._ensure_lsh(lib_id, corpus)
+        # flat needs no sidecar (V6): the chunks table IS the index
+
+    def train_index(self, lib_id: str, sample_vectors: list | None = None) -> None:
+        """V17 (vector_db.py:294-324): explicit IVF train; error when there
+        is nothing to train on."""
+        lib = self.get_library(lib_id)
+        if lib["index_type"] != "ivf":
+            raise ValidationError(f"index type {lib['index_type']!r} is not trainable")
+        corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
+        if sample_vectors:
+            dims = lib["dims"]
+            for v in sample_vectors:
+                if len(v) != dims:
+                    raise ValidationError("sample vector dims mismatch")
+            sample_df = self.spark.createDataFrame(
+                [(str(i), "s", lib_id, "s", [float(x) for x in v], {}) for i, v in enumerate(sample_vectors)],
+                CHUNK_SCHEMA,
+            )
+            n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, len(sample_vectors)))
+            centroids = ivf_ops.train_centroids(sample_df, n_clusters=n_clusters)
+            assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
+            centroids.write.mode("overwrite").parquet(self._index_path(lib_id, "centroids"))
+            assignments.write.mode("overwrite").partitionBy("cluster_id").parquet(
+                self._index_path(lib_id, "assignments")
+            )
+            self._write_index_meta(lib_id, {"type": "ivf", "n": corpus.count(), "n_clusters": n_clusters})
+            return
+        if corpus.count() == 0:
+            raise ValidationError("no vectors available to train on")
+        self._build_ivf(lib_id, corpus)

@@ -68,8 +68,10 @@ def compute_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """V11+V12 bulk build: one Arrow-batched pass over the corpus →
-    ``buckets(vec_id, table_id, key)``. n_tables rows per vector."""
+    ``buckets(vec_id, table_id, key)``. n_tables rows per vector. The id
+    column keeps the corpus's own type (long vec_ids, string chunk ids)."""
     n_tables = H.shape[0]
+    id_type = corpus.schema[id_col].dataType.simpleString()
 
     def keys_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,7 +89,7 @@ def compute_buckets(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(
-        keys_iter, schema=f"{id_col} long, table_id int, key long"
+        keys_iter, schema=f"{id_col} {id_type}, table_id int, key long"
     )
 
 
