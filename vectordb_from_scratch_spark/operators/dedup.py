@@ -340,22 +340,68 @@ SELECT vec_a, vec_b, round(score, 6) AS score, rnk FROM r WHERE rnk <= 20
 """
 
 
+def embedding_pairs_topk(emb: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k closest pairs by cosine over (vec_id, embedding) — the BLAS
+    kernel for all-pairs similarity.
+
+    One side of the self-"join" is broadcast as a plain NumPy matrix (the
+    same small-side condition as any broadcast hash join: n·d floats must
+    fit an executor); the other side streams through ``mapInPandas``. Each
+    Arrow batch computes a (batch × n) block matmul, masks to vec_a <
+    vec_b, and emits only its local top-k — so the shuffle after the scan
+    carries O(partitions · k) rows, never a score matrix. At 100 TB the
+    broadcast side becomes an LSH/IVF bucket (blocking), and this exact
+    kernel runs per bucket — composing operators/lsh.py with this rerank.
+
+    The reference's one matmul-then-argpartition rerank (ivf.py:116-120)
+    is the single-node special case of this."""
+    import numpy as np
+    import pandas as pd
+
+    from typing import Iterator
+
+    pdf_all = emb.select("vec_id", "embedding").toPandas()
+    bids = pdf_all["vec_id"].to_numpy()
+    B = np.stack(pdf_all["embedding"].to_list()).astype("float64")
+    nb = np.linalg.norm(B, axis=1)
+
+    def block_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["embedding"].to_list()).astype("float64")
+            aids = pdf["vec_id"].to_numpy()
+            na = np.linalg.norm(A, axis=1)
+            denom = np.outer(na, nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, (A @ B.T) / np.where(denom == 0, 1.0, denom), 0.0)
+            mask = aids[:, None] < bids[None, :]
+            ai, bj = np.nonzero(mask)
+            if ai.size == 0:
+                continue
+            s = S[ai, bj]
+            if ai.size > 4 * k:  # partial-select before the exact tie-break sort
+                keep = np.argpartition(-s, 4 * k - 1)[: 4 * k]
+                ai, bj, s = ai[keep], bj[keep], s[keep]
+            order = np.lexsort((bids[bj], aids[ai], -s))[:k]
+            yield pd.DataFrame(
+                {"vec_a": aids[ai[order]], "vec_b": bids[bj[order]], "score": s[order]}
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        block_iter, schema="vec_a long, vec_b long, score double"
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_a", "vec_b", F.round("score", 6).alias("score"), "rnk")
+    )
+
+
 @register("dedup_embedding_neardup", _EMB_PAIRS_SQL)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-20 closest pairs (the fixture's max
     pairwise cosine is ~0.51, so a fixed 0.95 threshold would be empty —
-    a ranked report is the honest demonstration). At scale this becomes
-    ANN-assisted blocking: LSH/IVF buckets first, exact cosine within
-    buckets — composing operators/lsh.py with this rerank."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", linalg.cosine(F.col("va"), F.col("vb")).alias("score")
-    )
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
-        .select("vec_a", "vec_b", F.round("score", 6).alias("score"), "rnk")
-    )
+    a ranked report is the honest demonstration)."""
+    return embedding_pairs_topk(load_table(spark, sf_dir, "embeddings"), k=20)
