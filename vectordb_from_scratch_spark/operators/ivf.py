@@ -41,6 +41,42 @@ DEFAULT_TRAIN_ITERS = 20  # reference ivf.py:23
 SEED = 42  # reference ivf.py:29
 
 
+TRAIN_SAMPLE_PER_CLUSTER = 256  # FAISS-style cap: train on <= 256*k vectors
+
+
+def kmeans_cosine(
+    X: np.ndarray, k: int, iters: int = DEFAULT_TRAIN_ITERS, seed: int = SEED
+) -> np.ndarray:
+    """The reference's cosine Lloyd's, vectorized (``ivf.py:153-194``):
+    unit-normalize, seeded random init, assign by argmax dot, mean +
+    renormalize update, reseed empty clusters from random points, converge
+    on allclose. Returns unit-norm centers (k, d)."""
+    X = X.astype("float64")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    n = len(X)
+    k = min(k, n)  # reference caps k = min(k, n), ivf.py:160
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        assign_ids = np.argmax(X @ C.T, axis=1)  # (n,)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign_ids, X)  # per-cluster sums, like ivf.py:173-176
+        counts = np.bincount(assign_ids, minlength=k).astype("float64")
+        empty = counts == 0
+        if empty.any():  # reseed empty clusters, ivf.py:177-180
+            newC[empty] = X[rng.choice(n, size=int(empty.sum()))]
+            counts[empty] = 1.0
+        newC /= counts[:, None]
+        cn = np.linalg.norm(newC, axis=1, keepdims=True)
+        newC = newC / np.where(cn == 0, 1.0, cn)  # renormalize, ivf.py:181-182
+        if np.allclose(newC, C, rtol=1e-5, atol=1e-7):  # ivf.py:188-190
+            C = newC
+            break
+        C = newC
+    return C
+
+
 def train_centroids(
     corpus: DataFrame,
     n_clusters: int = DEFAULT_N_CLUSTERS,
@@ -48,27 +84,26 @@ def train_centroids(
     seed: int = SEED,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """V7: distributed k-means on normalized vectors → centroids DataFrame
-    (cluster_id INT, centroid ARRAY<DOUBLE>, unit-norm). Each Lloyd's
-    iteration is a broadcast-join + partial groupBy-avg across executors —
-    the distributed twin of the reference's single matmul loop."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """V7: k-means training → centroids DataFrame (cluster_id INT,
+    centroid ARRAY<DOUBLE>, unit-norm).
 
+    Training runs DRIVER-SIDE on a bounded sample (<= 256*k vectors,
+    the FAISS convention): sampling is the one distributed pass, then
+    Lloyd's is a millisecond-scale NumPy loop — the same algorithm and
+    seed discipline as the reference (``ivf.py:153-194``), which also
+    trains on an in-RAM matrix. A distributed-Lloyd's variant
+    (broadcast-join + groupBy-avg per iteration) pays ~20 job launches
+    to cluster data that k-means only ever needs a sample of; at 100 TB
+    the sample fraction shrinks, not the design."""
     spark = corpus.sparkSession
-    feats = corpus.select(
-        array_to_vector(linalg.normalize(vec_col).cast("array<double>")).alias("features")
-    )
-    n = feats.count()
-    k = min(n_clusters, n)  # reference caps k = min(k, n), ivf.py:160
-    model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="features").fit(feats)
-    centers = []
-    for cid, c in enumerate(model.clusterCenters()):
-        arr = np.asarray(c, dtype="float64")
-        norm = float(np.linalg.norm(arr))
-        if norm > 0:
-            arr = arr / norm  # renormalize like ivf.py:181-182
-        centers.append((cid, [float(x) for x in arr]))
+    vecs = corpus.select(vec_col)
+    n = vecs.count()
+    cap = TRAIN_SAMPLE_PER_CLUSTER * n_clusters
+    if n > cap:
+        vecs = vecs.sample(fraction=min(1.0, 1.25 * cap / n), seed=seed).limit(cap)
+    X = np.array([r[0] for r in vecs.collect()], dtype="float64")
+    C = kmeans_cosine(X, n_clusters, iters=max_iter, seed=seed)
+    centers = [(cid, [float(x) for x in c]) for cid, c in enumerate(C)]
     return spark.createDataFrame(centers, "cluster_id INT, centroid ARRAY<DOUBLE>")
 
 
