@@ -180,3 +180,5 @@ from vectordb_from_scratch_spark.operators import textstats  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import ivf  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import lsh  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import multimodal  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import temporal  # noqa: E402,F401
+from vectordb_from_scratch_spark.functions import embedder  # noqa: E402,F401
