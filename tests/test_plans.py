@@ -1,0 +1,78 @@
+"""Plan-property regression tests: the scale guarantees each headline
+operator claims must be VISIBLE in its physical plan. A refactor that
+silently turns a broadcast into a sort-merge, loses a pushed filter, or
+starts shuffling full windows fails here, not in a 100 TB incident."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectordb_from_scratch_spark import plans, registry
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_oracle):
+    def build(name):
+        return registry.QUERIES[name](spark, sf_oracle)
+
+    return build
+
+
+def test_knn_topk_limits_window_before_shuffle(q):
+    df = q("knn_cosine_topk")
+    # rank<=k must prune map-side: the corpus never shuffles whole
+    assert plans.has_window_group_limit(df)
+    # queries joined by broadcast, not shuffled against the corpus
+    assert plans.has_broadcast_join(df)
+
+
+def test_knn_filter_pushdown_reaches_scan(q):
+    pushed = " ".join(plans.pushed_filters(q("knn_cosine_filtered")))
+    assert "LessThan(label,5" in pushed  # metadata filter at the parquet scan
+
+
+def test_tpch_q3_all_dims_broadcast_no_sortmerge(q):
+    df = q("tpch_q3_shipping_priority")
+    assert plans.count(df, "BroadcastHashJoin") >= 2
+    assert plans.count(df, "SortMergeJoin") == 0
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "c_mktsegment" in pushed and "o_orderdate" in pushed
+
+
+def test_tpch_q1_prunes_columns(q):
+    # 7-column aggregate over a 11-column table: scan must not read the rest
+    schemas = plans.scan_read_schemas(q("tpch_q1_pricing_summary"))
+    assert schemas and all("l_partkey" not in s and "l_suppkey" not in s for s in schemas)
+
+
+def test_q4_semi_join_stays_semi(q):
+    df = q("tpch_q4_order_priority")
+    assert "LeftSemi" in plans.physical_plan(df)
+    schemas = plans.scan_read_schemas(df)
+    # lineitem side reads exactly the 2 join columns
+    assert any("l_orderkey" in s and "l_extendedprice" not in s for s in schemas)
+
+
+def test_asof_join_single_shuffle_no_join_operator(q):
+    df = q("events_asof_last_view")
+    p = plans.physical_plan(df)
+    # the union+window as-of has NO join operator at all; state is carried
+    # by one window over one hash exchange on the key
+    assert "Join" not in p
+    assert plans.n_shuffles(df) <= 2  # key exchange (+ AQE final coalesce)
+
+
+def test_range_join_is_plain_equi_join(q):
+    df = q("events_range_pairs")
+    p = plans.physical_plan(df)
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_ivf_assignments_join_broadcasts_probes(spark, sf_oracle):
+    from vectordb_from_scratch_spark.operators import ivf
+    from vectordb_from_scratch_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    centroids = ivf.train_centroids(emb, n_clusters=8)
+    assignments = ivf.assign(emb, centroids)
+    assert plans.has_broadcast_join(assignments)  # centroids broadcast, corpus unshuffled
