@@ -92,14 +92,49 @@ def session_windows(events: DataFrame, with_watermark: bool = True) -> DataFrame
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, table_name: str) -> None:
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime totals carried in explicit state across micro-batches —
+    the shape (arbitrary per-key state + arbitrary Python update logic)
+    that windowed aggregation can't express.
+
+    State is one (count, sum) pair per user — O(users) in the state
+    store, each micro-batch touches only the users present in it. This is
+    the template for custom sessionization/termination rules; swap the
+    update body, keep the plumbing."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
     """Drain an aggregated stream into an in-memory sink with the
     availableNow trigger (process-everything-then-stop) — the test harness
-    for batch/stream equivalence."""
+    for batch/stream equivalence. Stateful applyInPandasWithState streams
+    require ``output_mode='update'``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
