@@ -19,17 +19,23 @@ from vectordb_from_scratch_spark.session import get_spark  # noqa: E402
 #: mid-round while coverage is still growing.
 HEADLINE = [
     "knn_cosine_topk",
+    "knn_cosine_topk_blas",
     "knn_cosine_filtered",
     "knn_l2_topk",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
+    "tpch_q13_customer_distribution",
     "window_running_customer_totals",
     "events_sessionization",
     "events_tumbling_windows",
+    "events_asof_last_view",
+    "events_range_pairs",
     "dedup_minhash_lsh",
     "dedup_embedding_neardup",
     "text_quality_scores",
+    "embed_documents",
     "ivf_search",
     "lsh_search",
 ]

@@ -80,6 +80,18 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_rank(res)
 
 
+@register("knn_cosine_topk_blas", _COS_SQL.format(Q=_KNN_Q, K=_KNN_K, where=""))
+def knn_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as knn_cosine_topk via the scale path: per-partition
+    NumPy block matmul + local top-k inside mapInPandas, global top-k over
+    O(partitions*Q*k) candidate rows. Identical oracle — the two plans must
+    agree to 6dp, which pins the kernel against the built-in expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpdf = _emb_queries(emb).toPandas()
+    res = knn.topk_pandas(emb, qpdf, k=_KNN_K)
+    return _finish_rank(res)
+
+
 @register(
     "knn_cosine_filtered",
     _COS_SQL.format(Q=_KNN_Q, K=_KNN_K, where=" WHERE label < 5"),
