@@ -234,7 +234,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to billions of docs (no quadratic join anywhere). With the md5-based
     hash family this entire pipeline is oracle-checked in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_bands(minhash_signatures(docs))
+    # persist: both sides of the self-join read the SAME banded signatures
+    # (4 small rows/doc) instead of re-hashing every shingle twice
+    bands = minhash_bands(minhash_signatures(docs)).persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
