@@ -205,3 +205,21 @@ def test_stale_index_rebuilds_after_mutation(cat):
     res = cat.search(lib_id, new_vec, k=3)
     assert res[0].chunk_id == new_id  # fresh row findable → index was rebuilt
     assert not cat._index_meta(lib_id).get("stale")
+
+
+def test_chunks_scan_prunes_by_library(cat):
+    """chunks are written partitionBy(library_id): per-library reads must
+    show a PartitionFilters entry on library_id (the Mongo secondary-index
+    analog, mongo_storage.py:25-56 — but as directory pruning)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark import plans
+
+    lib_id, _, _ = _populate(cat, "prune-lib")
+    _populate(cat, "prune-other")  # a second partition that must NOT be read
+    corpus = cat.chunks.read().filter(F.col("library_id") == lib_id)
+    plan = plans.physical_plan(corpus)
+    m = re.search(r"PartitionFilters: \[([^\]]*library_id[^\]]*)\]", plan)
+    assert m, f"no library_id partition filter in scan:\n{plan}"
