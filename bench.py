@@ -33,7 +33,9 @@ HEADLINE = [
     "events_asof_last_view",
     "events_range_pairs",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_embedding_neardup",
+    "pipeline_training_prep",
     "text_quality_scores",
     "embed_documents",
     "ivf_search",

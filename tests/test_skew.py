@@ -48,3 +48,15 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, small, key="k", n_salts=4, how="left")
     rows = {r["k"]: r["w"] for r in out.collect()}
     assert rows == {1: "x", 2: "y", 99: None}
+
+
+def test_connected_components_hand_graph(spark):
+    """Two components incl. a 4-node chain (propagation must cross
+    multiple hops) and an isolated pair."""
+    from vectordb_from_scratch_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 8)], "doc_a long, doc_b long"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}

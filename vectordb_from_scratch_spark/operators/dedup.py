@@ -407,3 +407,107 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise cosine is ~0.51, so a fixed 0.95 threshold would be empty —
     a ranked report is the honest demonstration)."""
     return embedding_pairs_topk(load_table(spark, sf_dir, "embeddings"), k=20)
+
+
+# --- 6. candidate pairs → duplicate clusters (connected components) ---------------
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (node, label)
+    where label = smallest node id in the component.
+
+    Production dedup needs this step: MinHash/SimHash emit candidate
+    PAIRS, but "keep one representative per duplicate CLUSTER" requires
+    grouping pairs transitively. Each iteration is one join + one groupBy
+    (two shuffles) keyed on node id; convergence takes component-diameter
+    iterations and dup clusters are shallow (near-clique), so 3-4
+    iterations settle real corpora. Previous iterations are unpersisted as
+    soon as superseded — state is one (node, label) table, never the
+    transitive closure."""
+    sym = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).unionAll(
+        edges.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+_CC_SQL = f"""
+WITH RECURSIVE {_minhash_sig_sql()},
+bands AS ({_bands_sql()}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT node AS doc_id, component,
+       (count(*) OVER (PARTITION BY component))::BIGINT AS component_size
+FROM comp
+"""
+
+
+@register("dedup_components", _CC_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs grouped into duplicate clusters: iterative
+    min-label propagation in Spark, value-checked against a recursive-CTE
+    transitive closure in DuckDB (exact same edge set). Output: every
+    clustered doc with its component label (= min doc_id, the natural
+    'keep this one' representative) and component size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(minhash_signatures(docs)).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.col("component_size"),
+    )

@@ -1,0 +1,119 @@
+"""End-to-end training-data preparation: the composed pipeline a 100 TB
+pretraining corpus actually runs, as ONE declarative plan.
+
+    documents
+      → quality gate        (C4/CCNet-style heuristics, textstats)
+      → near-dup removal    (MinHash bands → candidate pairs → connected
+                             components → keep the min-id representative)
+      → corpus accounting   (docs + token budget per source × lang)
+
+Each stage exists standalone with its own oracle (text_quality_scores,
+dedup_minhash_lsh, dedup_components); this module proves they COMPOSE —
+one Spark plan, one recursive-CTE DuckDB oracle, value-matched end to end.
+
+Scale shape: the quality gate is a scan-local projection (no shuffle); the
+dedup stages shuffle on (band_id, band_key) then on node id; the final
+accounting is a small groupBy. Nothing here is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import texthash
+from vectordb_from_scratch_spark.operators import dedup
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+def quality_keep_flag() -> F.Column:
+    """The textstats quality gate as a reusable predicate column (>=20
+    words, stopword ratio > 1%, punctuation < 20%)."""
+    ws = texthash.words("text")
+    n_words = F.size(ws)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / n_words
+    punct_ratio = F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")) / F.length("text")
+    return (n_words >= 20) & (stop_ratio > 0.01) & (punct_ratio < 0.2)
+
+
+def prepare_training_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """documents → kept docs with token counts (quality-gated,
+    near-dup-cleansed: every doc that belongs to a MinHash duplicate
+    component but is not its min-id representative is dropped)."""
+    bands = dedup.minhash_bands(dedup.minhash_signatures(docs)).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    labels = dedup.connected_components(pairs)
+    non_reps = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.filter(quality_keep_flag())
+        .join(non_reps, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size(texthash.words("text")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_PREP_SQL = f"""
+WITH RECURSIVE {dedup._minhash_sig_sql()},
+bands AS ({dedup._bands_sql()}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+nonrep AS (SELECT node AS doc_id FROM comp WHERE component <> node),
+q AS (SELECT doc_id, source, lang,
+             list_filter(string_split(text, ' '), w -> w != '') AS ws,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text) AS punct_ratio
+      FROM documents),
+kept AS (SELECT doc_id, source, lang, len(ws)::BIGINT AS n_tokens
+         FROM q
+         WHERE len(ws) >= 20
+           AND len(list_filter(ws, w -> list_contains({_STOP_LIST_SQL}, w))) * 1.0 / len(ws) > 0.01
+           AND punct_ratio < 0.2
+           AND doc_id NOT IN (SELECT doc_id FROM nonrep))
+SELECT source, lang,
+       count(*)        AS n_docs,
+       sum(n_tokens)   AS total_tokens
+FROM kept GROUP BY source, lang
+"""
+
+
+@register("pipeline_training_prep", _PREP_SQL)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting after the full prep pipeline: documents and token
+    budget per source × lang, quality-gated and near-dup-cleansed — the
+    whole composition value-checked against one DuckDB query."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = prepare_training_corpus(spark, docs)
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
