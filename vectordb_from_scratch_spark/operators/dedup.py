@@ -430,8 +430,13 @@ def connected_components(
         edges.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
     )
     sym = sym.persist()
+    # seed labels at min(self, direct neighbors): dup clusters are
+    # near-cliques, so most components are already settled after this one
+    # groupBy and the loop only runs for long chains
     labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_mb"))
+        .select("node", F.least(F.col("node"), F.col("_mb")).alias("label"))
     ).persist()
     for _ in range(max_iter):
         nbr_min = (
