@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): the engine's kernels against
+independent reference implementations on randomized inputs — similarity
+metrics vs NumPy, as-of join vs pandas.merge_asof, MinHash banding's
+candidate guarantee."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vectordb_from_scratch_spark.functions import linalg
+from vectordb_from_scratch_spark.operators.temporal import asof_join
+
+_DIM = 6
+
+vec = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=_DIM,
+    max_size=_DIM,
+)
+
+
+@pytest.fixture(scope="module")
+def metric_evaluator(spark):
+    """One reusable single-row frame evaluator for metric expressions."""
+
+    def run(a, b):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(a, b)], "a array<double>, b array<double>"
+        ).select(
+            linalg.cosine(F.col("a"), F.col("b")).alias("cos"),
+            linalg.l2_distance(F.col("a"), F.col("b")).alias("l2"),
+            linalg.manhattan_distance(F.col("a"), F.col("b")).alias("man"),
+        )
+        return df.first()
+
+    return run
+
+
+@given(a=vec, b=vec)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_metrics_match_numpy(metric_evaluator, a, b):
+    r = metric_evaluator(a, b)
+    na, nb = np.array(a), np.array(b)
+    denom = np.linalg.norm(na) * np.linalg.norm(nb)
+    exp_cos = 0.0 if denom == 0 else float(na @ nb / denom)  # zero-vector → 0.0
+    assert r["cos"] == pytest.approx(exp_cos, abs=1e-9)
+    assert r["l2"] == pytest.approx(float(np.linalg.norm(na - nb)), abs=1e-9)
+    assert r["man"] == pytest.approx(float(np.abs(na - nb).sum()), abs=1e-9)
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
+    # pandas merge_asof requires unique ordering keys per group for a clean
+    # comparison: dedupe (key, ts) and keep the max payload id on the right
+    ldf = pd.DataFrame(sorted(set(lefts)), columns=["k", "t"])
+    rrows = {}
+    for i, (k, t) in enumerate(rights):
+        rrows[(k, t)] = i
+    rdf = pd.DataFrame(
+        [(k, t, i) for (k, t), i in sorted(rrows.items())], columns=["k", "t", "rid"]
+    )
+    sl = spark.createDataFrame(ldf.assign(lid=range(len(ldf))))
+    sr = spark.createDataFrame(rdf)
+    got = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            sl, sr, key="k", left_ts="t", right_ts="t", right_cols=["rid"]
+        ).collect()
+    }
+    exp_df = pd.merge_asof(
+        ldf.assign(lid=range(len(ldf))).sort_values("t", kind="stable"),
+        rdf.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+    )
+    exp = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in exp_df.itertuples()}
+    assert got == exp
+
+
+def test_minhash_band_guarantee(spark):
+    """Identical shingle sets ⇒ identical signatures ⇒ ALL bands collide —
+    the deterministic end of the LSH guarantee."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        N_BANDS,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "totally different text here")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    bands = minhash_bands(minhash_signatures(docs))
+
+    collide = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_set("doc_id").alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    rows = collide.collect()
+    assert len(rows) == N_BANDS  # docs 1 and 2 collide in every band
+    assert all(sorted(r["members"]) == [1, 2] for r in rows)
