@@ -20,6 +20,7 @@ from vectordb_from_scratch_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "knn_cosine_topk",
     "knn_cosine_topk_blas",
+    "knn_cosine_batch100",
     "knn_cosine_filtered",
     "knn_l2_topk",
     "tpch_q1_pricing_summary",
