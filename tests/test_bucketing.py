@@ -14,10 +14,16 @@ from vectordb_from_scratch_spark.session import load_table
 @pytest.fixture(scope="module")
 def warehouse(spark, sf_small):
     """Two tables bucketed by the join key into the session warehouse."""
+    import shutil
+
     li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the session-local catalog forgets tables between runs but their
+        # warehouse directories persist; clear them or saveAsTable refuses
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
     yield spark

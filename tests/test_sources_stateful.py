@@ -68,3 +68,49 @@ def test_stateful_running_totals_across_microbatches(spark, sf_small, tmp_path):
     # and it genuinely ran more than one micro-batch per user somewhere
     n_updates = spark.table("t_running_totals").groupBy("user_id").count()
     assert n_updates.agg(F.max("count")).first()[0] > 1
+
+
+def test_streaming_embed_ingest_matches_batch(spark, sf_small, tmp_path):
+    """Stream → embed → parquet sink must produce the same vectors as the
+    batch embed over the same documents (C8/C9 ingest as a flow)."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.functions.embedder import embed_texts
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    sink = str(tmp_path / "embedded")
+    streaming.embed_ingest_stream(
+        spark,
+        src,
+        schema=spark.read.parquet(src).schema,
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dims=16,
+    )
+    got = {r["doc_id"]: np.array(r["embedding"]) for r in spark.read.parquet(sink).collect()}
+    exp = {r["doc_id"]: np.array(r["embedding"]) for r in embed_texts(docs, dims=16).collect()}
+    assert set(got) == set(exp) and len(got) == docs.count()
+    assert all(np.allclose(got[k], exp[k]) for k in got)
+
+
+def test_catalog_text_search(spark, tmp_path):
+    """C14: text query embedded with the same provider as ingest finds its
+    own chunk first."""
+    from vectordb_from_scratch_spark.catalog import VectorCatalog
+    from vectordb_from_scratch_spark.functions.embedder import hashed_embedder
+
+    cat = VectorCatalog(spark, str(tmp_path))
+    lib = cat.create_library("textlib", 16)
+    doc = cat.create_document(lib, "d")
+    texts = [f"document number {i} about topic {i % 5} with extra words" for i in range(30)]
+    embed = hashed_embedder(dims=16)
+    items = [
+        {"text": t, "embedding": embed([t])[0].tolist()} for t in texts
+    ]
+    ids = cat.add_chunks(lib, doc, items, ids=[f"c{i}" for i in range(30)])
+    res = cat.search_text(lib, texts[7], k=3, include_chunk=True)
+    assert res[0].chunk_id == ids[7]
+    assert res[0].chunk["text"] == texts[7]

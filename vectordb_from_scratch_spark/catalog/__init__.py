@@ -521,6 +521,25 @@ class VectorCatalog:
             for r in res.orderBy("rank").collect()
         ]
 
+    def search_text(
+        self,
+        lib_id: str,
+        text: str,
+        k: int = 10,
+        provider: str = "hashed",
+        **kwargs,
+    ) -> list[SearchResult]:
+        """C14 (operations.py:92-110): embed the query text, then vector
+        search. The embed step runs driver-side for a single query string
+        (one tiny provider call — the same place the reference calls
+        Cohere); bulk ingest embedding goes through
+        ``functions.embedder.embed_texts`` executor-side."""
+        from vectordb_from_scratch_spark.functions import embedder
+
+        lib = self.get_library(lib_id)
+        vec = embedder.PROVIDERS[provider](dims=lib["dims"])([text])[0].tolist()
+        return self.search(lib_id, vec, k=k, **kwargs)
+
     # ------------------------------------------------------------------ index (V7/V15/V16/V17)
     def _index_dir(self, lib_id: str) -> str:
         return os.path.join(self.root, "indexes", lib_id)

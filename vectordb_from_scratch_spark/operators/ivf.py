@@ -154,6 +154,27 @@ def probe_clusters(
     return out
 
 
+def probe_clusters_df(
+    centroids: DataFrame, queries: DataFrame, n_probes: int
+) -> DataFrame:
+    """V9 step 1, fully distributed: queries ⋈ broadcast(centroids) →
+    per-query rank window ≤ n_probes. No driver collect — scales to any
+    query count (the driver-side ``probe_clusters`` remains for the
+    catalog's single-query path where one tiny NumPy matmul beats a
+    Spark job)."""
+    scored = queries.join(F.broadcast(centroids)).select(
+        "query_id",
+        "cluster_id",
+        linalg.cosine(F.col("query_vec"), F.col("centroid")).alias("_s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("cluster_id").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probes)
+        .select("query_id", "cluster_id")
+    )
+
+
 def search(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -166,11 +187,7 @@ def search(
 ) -> DataFrame:
     """V9: probe + exact rerank. Returns (query_id, vec_id, score, rank)
     with cosine scores, deterministic tie-break (score DESC, id ASC)."""
-    spark = corpus.sparkSession
-    qrows = [(r["query_id"], r["query_vec"]) for r in queries.collect()]
-    probes = spark.createDataFrame(
-        probe_clusters(centroids, qrows, n_probes), "query_id LONG, cluster_id INT"
-    )
+    probes = probe_clusters_df(centroids, queries, n_probes)
     # candidates: members of probed clusters, per query (small join, then
     # the only corpus touch is fetching candidate vectors by id)
     cand = assignments.join(F.broadcast(probes), "cluster_id").select("query_id", id_col)

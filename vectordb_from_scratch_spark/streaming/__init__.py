@@ -92,6 +92,36 @@ def session_windows(events: DataFrame, with_watermark: bool = True) -> DataFrame
     )
 
 
+def embed_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    sink_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    dims: int = 16,
+) -> None:
+    """Streaming ingest pipeline (the C8/C9 batch-create loop as a
+    continuous flow): file-source stream → executor-side embedding
+    (V18 mapInPandas, provider-pluggable) → parquet sink with exactly-once
+    file-sink semantics via the checkpoint. availableNow drains the
+    backlog then stops — the same code runs unbounded with a Kafka
+    source."""
+    from vectordb_from_scratch_spark import sources
+    from vectordb_from_scratch_spark.functions.embedder import embed_texts
+
+    stream = sources.read_stream(spark, src_dir, schema=schema)
+    embedded = embed_texts(stream, text_col=text_col, dims=dims)
+    q = (
+        embedded.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     lifetime totals carried in explicit state across micro-batches —
