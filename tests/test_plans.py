@@ -68,11 +68,14 @@ def test_range_join_is_plain_equi_join(q):
     assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
 
 
-def test_ivf_assignments_join_broadcasts_probes(spark, sf_oracle):
+def test_ivf_assignment_is_single_pass_no_shuffle(spark, sf_oracle):
     from vectordb_from_scratch_spark.operators import ivf
     from vectordb_from_scratch_spark.session import load_table
 
     emb = load_table(spark, sf_oracle, "embeddings")
     centroids = ivf.train_centroids(emb, n_clusters=8)
     assignments = ivf.assign(emb, centroids)
-    assert plans.has_broadcast_join(assignments)  # centroids broadcast, corpus unshuffled
+    p = plans.physical_plan(assignments)
+    # centroid matrix rides inside the Arrow kernel: one scan, no join, no
+    # shuffle of embeddings
+    assert "MapInPandas" in p and plans.n_shuffles(assignments) == 0, p

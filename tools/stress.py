@@ -1,0 +1,87 @@
+"""Scale-up stress check: run the vector kernels far beyond fixture size
+to verify the plans hold when N grows 100x (the fixture's embeddings
+table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
+build/search throughput). Results recorded in SCALE.md.
+
+Usage: python tools/stress.py [n_rows] [dims]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import ivf, knn, lsh
+from vectordb_from_scratch_spark.operators.dedup import embedding_pairs_topk
+from vectordb_from_scratch_spark.session import get_spark
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_queries = 100
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rng = np.random.default_rng(42)
+    # clustered data so IVF has structure to find
+    centers = rng.standard_normal((64, d)).astype("float32")
+    assign = rng.integers(0, 64, size=n)
+    X = centers[assign] + 0.3 * rng.standard_normal((n, d)).astype("float32")
+
+    # land the corpus in parquet first: production-shaped input (columnar
+    # scan + Arrow), not pickle-serialized python rows
+    import pandas as pd
+
+    path = f"/tmp/stress_emb_{n}_{d}"
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"), "embedding": list(X)})
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    emb = spark.read.parquet(path)
+    emb.count()
+    print(f"corpus: {n} x {d} (parquet at {path})")
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qpdf = queries.toPandas()
+
+    t0 = time.perf_counter()
+    cnt = knn.topk_pandas(emb, qpdf, k=10).count()
+    t_blas = time.perf_counter() - t0
+    print(f"flat BLAS kNN   Q={n_queries}: {t_blas:6.2f}s  ({cnt} rows, "
+          f"{n * n_queries / t_blas / 1e6:.0f}M scores/s)")
+
+    t0 = time.perf_counter()
+    cents = ivf.train_centroids(emb)
+    asg = ivf.assign(emb, cents).persist()
+    asg.count()
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cnt = ivf.search(emb, cents, asg, queries, k=10).count()
+    t_ivf = time.perf_counter() - t0
+    print(f"IVF build: {t_build:6.2f}s  search Q={n_queries}: {t_ivf:6.2f}s ({cnt} rows)")
+
+    t0 = time.perf_counter()
+    H = lsh.hyperplanes(d)
+    buckets = lsh.compute_buckets(emb, H).persist()
+    buckets.count()
+    t_lb = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cnt = lsh.search(emb, buckets, queries, H, k=10, n_flips=1).count()
+    t_ls = time.perf_counter() - t0
+    print(f"LSH build: {t_lb:6.2f}s  search Q={n_queries}: {t_ls:6.2f}s ({cnt} rows)")
+
+    t0 = time.perf_counter()
+    cnt = embedding_pairs_topk(emb, k=20).count()
+    t_pairs = time.perf_counter() - t0
+    print(f"all-pairs top-20: {t_pairs:6.2f}s ({n*(n-1)//2} pairs scored, "
+          f"{n * (n - 1) / 2 / t_pairs / 1e6:.0f}M pairs/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -365,7 +365,9 @@ def embedding_pairs_topk(emb: DataFrame, k: int = 20) -> DataFrame:
     pdf_all = emb.select("vec_id", "embedding").toPandas()
     bids = pdf_all["vec_id"].to_numpy()
     B = np.stack(pdf_all["embedding"].to_list()).astype("float64")
-    nb = np.linalg.norm(B, axis=1)
+    nb = np.linalg.norm(B, axis=1, keepdims=True)
+    Bu = (B / np.where(nb == 0, 1.0, nb)).T  # (d, n); zero vectors → score 0
+    CHUNK = 256  # bounds the live score block to CHUNK×n doubles
 
     def block_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -373,22 +375,30 @@ def embedding_pairs_topk(emb: DataFrame, k: int = 20) -> DataFrame:
                 continue
             A = np.stack(pdf["embedding"].to_list()).astype("float64")
             aids = pdf["vec_id"].to_numpy()
-            na = np.linalg.norm(A, axis=1)
-            denom = np.outer(na, nb)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = np.where(denom > 0, (A @ B.T) / np.where(denom == 0, 1.0, denom), 0.0)
-            mask = aids[:, None] < bids[None, :]
-            ai, bj = np.nonzero(mask)
-            if ai.size == 0:
+            na = np.linalg.norm(A, axis=1, keepdims=True)
+            Au = A / np.where(na == 0, 1.0, na)
+            best: list[tuple] = []  # running per-batch top-k candidates
+            for lo in range(0, len(Au), CHUNK):
+                S = Au[lo : lo + CHUNK] @ Bu  # (chunk, n) cosine block
+                ca = aids[lo : lo + CHUNK]
+                # kill the j<=i half with -inf and flat-argpartition the
+                # block: never materializes O(block) pair-index arrays
+                np.putmask(S, ca[:, None] >= bids[None, :], -np.inf)
+                flat = S.ravel()
+                m = min(4 * k, flat.size - 1)
+                idx = np.argpartition(-flat, m)[:m]
+                idx = idx[np.isfinite(flat[idx])]
+                if idx.size == 0:
+                    continue
+                rows, cols = np.divmod(idx, S.shape[1])
+                s = flat[idx]
+                order = np.lexsort((bids[cols], ca[rows], -s))[:k]
+                best.extend(zip(ca[rows[order]], bids[cols[order]], s[order]))
+            if not best:
                 continue
-            s = S[ai, bj]
-            if ai.size > 4 * k:  # partial-select before the exact tie-break sort
-                keep = np.argpartition(-s, 4 * k - 1)[: 4 * k]
-                ai, bj, s = ai[keep], bj[keep], s[keep]
-            order = np.lexsort((bids[bj], aids[ai], -s))[:k]
-            yield pd.DataFrame(
-                {"vec_a": aids[ai[order]], "vec_b": bids[bj[order]], "score": s[order]}
-            )
+            best.sort(key=lambda t: (-t[2], t[0], t[1]))
+            a, b, s = zip(*best[:k])
+            yield pd.DataFrame({"vec_a": a, "vec_b": b, "score": s})
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
         block_iter, schema="vec_a long, vec_b long, score double"

@@ -136,3 +136,45 @@ def topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def score_pairs_pandas(
+    cand_with_vec: DataFrame,
+    queries_pdf: pd.DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-score (query_id, id, vec) candidate rows against their query
+    vectors in one Arrow pass — the rerank kernel shared by IVF and LSH
+    search (reference reranks with one matmul too: ivf.py:116-117,
+    lsh_simhash.py:123-124).
+
+    Spark's higher-order array functions are interpreted per element, so a
+    join + aggregate(zip_with(...)) rerank costs ~10x this kernel on wide
+    candidate sets. The query matrix (Q×d) rides in the closure —
+    broadcast-small by the same contract as the probe tables."""
+    import numpy as np
+
+    qids = queries_pdf["query_id"].to_numpy()
+    Q = np.stack(queries_pdf["query_vec"].to_list()).astype("float64")
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qu = Q / np.where(qn == 0, 1.0, qn)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    id_type = cand_with_vec.schema[id_col].dataType.simpleString()
+
+    def score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_list()).astype("float64")
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            Xu = X / np.where(xn == 0, 1.0, xn)
+            qi = pdf["query_id"].map(qpos).to_numpy()
+            s = np.einsum("ij,ij->i", Xu, Qu[qi])
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "score": s}
+            )
+
+    return cand_with_vec.select("query_id", id_col, vec_col).mapInPandas(
+        score_iter, schema=f"query_id long, {id_col} {id_type}, score double"
+    )

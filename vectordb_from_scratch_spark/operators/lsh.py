@@ -131,16 +131,13 @@ def search(
         .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])  # union across tables, lsh_simhash.py:112-116
     )
-    qdf = queries.withColumnRenamed("query_vec", "_qv")
-    rerank = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            id_col,
-            linalg.cosine(F.col(vec_col), F.col("_qv")).alias("score"),
-        )
+    from vectordb_from_scratch_spark.operators import knn
+
+    cand_vec = cand.join(corpus.select(id_col, vec_col), id_col)
+    qpdf = pd.DataFrame(
+        {"query_id": [r["query_id"] for r in qrows], "query_vec": [list(r["query_vec"]) for r in qrows]}
     )
+    rerank = knn.score_pairs_pandas(cand_vec, qpdf, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         rerank.withColumn("rank", F.row_number().over(w))

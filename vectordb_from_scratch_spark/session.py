@@ -39,6 +39,13 @@ def get_spark(app_name: str = "vectordb_from_scratch_spark", cpus: str | None = 
     API so the same plans scale out unchanged.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # One BLAS thread per python worker: task-level parallelism comes from
+    # Spark (`cpus` concurrent workers); letting each worker's OpenBLAS
+    # also spawn `cpus` threads oversubscribes cores ~32x and measurably
+    # slows every Arrow matmul kernel. Workers inherit this env in local
+    # mode; on a cluster set spark.executorEnv.* to the same values.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
