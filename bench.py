@@ -27,6 +27,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
     "tpch_q13_customer_distribution",
     "window_running_customer_totals",
     "events_sessionization",

@@ -114,3 +114,33 @@ def test_catalog_text_search(spark, tmp_path):
     res = cat.search_text(lib, texts[7], k=3, include_chunk=True)
     assert res[0].chunk_id == ids[7]
     assert res[0].chunk["text"] == texts[7]
+
+
+def test_streaming_knn_matches_batch(spark, sf_small, tmp_path):
+    """Micro-batch k-NN over a query stream must equal the one-shot batch
+    answer for the same queries."""
+    import shutil
+
+    from vectordb_from_scratch_spark.operators.knn import topk_pandas
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qsrc = str(tmp_path / "qstream")
+    queries.repartition(3).write.parquet(qsrc)  # 3 files -> 3 micro-batches
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS t_knn_stream")
+    shutil.rmtree(f"{warehouse}/t_knn_stream", ignore_errors=True)
+    streaming.knn_query_stream(
+        emb, qsrc, spark.read.parquet(qsrc).schema, "t_knn_stream", k=5
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["rank"]) for r in spark.table("t_knn_stream").collect()
+    )
+    exp = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in topk_pandas(emb, queries.toPandas(), k=5).collect()
+    )
+    assert got == exp and len(got) == 6 * 5

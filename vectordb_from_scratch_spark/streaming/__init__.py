@@ -169,3 +169,42 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def knn_query_stream(
+    corpus: DataFrame,
+    query_src_dir: str,
+    query_schema: StructType,
+    sink_table: str,
+    k: int = 10,
+) -> None:
+    """Micro-batch k-NN: a STREAM of query vectors scored against the
+    static corpus via foreachBatch — each micro-batch runs the exact
+    batch BLAS kernel (operators/knn.topk_pandas), results append to an
+    in-memory table.
+
+    This is the Spark-native answer to the reference's online search
+    endpoint (north star: real-time serving is out of scope; micro-batch
+    is the closest native fit — swap the file source for Kafka and the
+    memory sink for a serving store, and this IS the production shape)."""
+    from vectordb_from_scratch_spark.operators.knn import topk_pandas
+
+    spark = corpus.sparkSession
+    queries = (
+        spark.readStream.schema(query_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(query_src_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = topk_pandas(corpus, batch_df.toPandas(), k=k)
+        res.write.mode("append").saveAsTable(sink_table)
+
+    q = (
+        queries.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
