@@ -28,6 +28,9 @@ HEADLINE = [
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
     "tpch_q13_customer_distribution",
     "window_running_customer_totals",
     "events_sessionization",
