@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_embedding_neardup",
+    "dedup_embedding_neardup_blocked",
     "pipeline_training_prep",
     "text_quality_scores",
     "embed_documents",

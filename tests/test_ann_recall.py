@@ -89,3 +89,22 @@ def test_pandas_topk_matches_expr_topk(spark, sf_small):
     a = {(r["query_id"], r["vec_id"]) for r in knn.topk(emb, q, k=K).collect()}
     b = {(r["query_id"], r["vec_id"]) for r in knn.topk_pandas(emb, qpdf, k=K).collect()}
     assert a == b
+
+
+def test_blocked_neardup_recovers_top_pairs(spark, sf_small):
+    """The LSH-blocked all-pairs path must recover most of the exact
+    top-20 pairs — high-cosine pairs are exactly the ones LSH makes
+    collide, so recall here should beat point-query recall."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        embedding_pairs_blocked,
+        embedding_pairs_topk,
+    )
+    from vectordb_from_scratch_spark.session import load_table as lt
+
+    emb = lt(spark, sf_small, "embeddings")
+    exact = {(r["vec_a"], r["vec_b"]) for r in embedding_pairs_topk(emb, k=20).collect()}
+    blocked = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_pairs_blocked(emb, k=20).collect()
+    }
+    recall = len(exact & blocked) / len(exact)
+    assert recall >= 0.6, f"blocked near-dup pair recall = {recall:.2f}"

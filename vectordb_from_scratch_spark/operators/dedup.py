@@ -526,3 +526,83 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component"),
         F.col("component_size"),
     )
+
+
+def embedding_pairs_blocked(
+    emb: DataFrame,
+    k: int = 20,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    n_flips: int = 1,
+) -> DataFrame:
+    """The SCALE path for all-pairs near-dup: LSH blocking first, exact
+    cosine only within blocks — O(Σ bucket²) instead of O(N²), the
+    composition SCALE.md prescribes once the corpus matrix stops being
+    broadcastable.
+
+    Candidates = pairs sharing a (table_id, key) bucket in ANY table
+    (optionally with 1-bit multiprobe on one side); scoring is one Arrow
+    pass over candidate rows carrying both vectors. Misses only pairs
+    that collide in no table — exactly LSH's recall contract, measured in
+    tests/test_ann_recall.py::test_blocked_neardup_recovers_top_pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from typing import Iterator
+
+    from vectordb_from_scratch_spark.operators import lsh as lsh_ops
+
+    dims = len(emb.select("embedding").first()[0])
+    H = lsh_ops.hyperplanes(dims, n_tables, n_bits)
+    buckets = lsh_ops.compute_buckets(emb, H, id_col="vec_id").persist()
+    probe = buckets
+    if n_flips >= 1:  # multiprobe one side: also match at Hamming distance 1
+        flips = F.array(*[F.lit(1 << b) for b in range(n_bits)])
+        probe = buckets.select(
+            "vec_id",
+            "table_id",
+            F.explode(
+                F.array_union(F.array(F.col("key")), F.transform(flips, lambda m: F.col("key").bitwiseXOR(m)))
+            ).alias("key"),
+        )
+    pairs = (
+        probe.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"))
+    cand = pairs.join(va, "vec_a").join(vb, "vec_b")
+
+    def score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["_va"].to_list()).astype("float64")
+            B = np.stack(pdf["_vb"].to_list()).astype("float64")
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            denom = na * nb
+            s = np.where(denom > 0, np.einsum("ij,ij->i", A, B) / np.where(denom == 0, 1, denom), 0.0)
+            yield pd.DataFrame({"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "score": s})
+
+    scored = cand.mapInPandas(score_iter, schema="vec_a long, vec_b long, score double")
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_a", "vec_b", F.round("score", 6).alias("score"), "rnk")
+    )
+
+
+@register("dedup_embedding_neardup_blocked")  # rows-only: LSH blocking is seeded-random
+def dedup_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked near-dup top-20 — recall vs the exact kernel measured in
+    tests (the driver sees rows-only since hyperplanes aren't SQL)."""
+    return embedding_pairs_blocked(load_table(spark, sf_dir, "embeddings"), k=20)
