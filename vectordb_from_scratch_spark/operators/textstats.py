@@ -220,3 +220,50 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --- fuzzy matching ---------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH p AS (SELECT p_partkey, p_name,
+                  list_filter(string_split(p_name, ' '), w -> w != '')[-1] AS blk
+           FROM part)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS edit_dist
+FROM p a JOIN p b
+  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@register("fuzzy_part_name_matches", _FUZZY_SQL)
+def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy similarity join: part-name pairs within edit distance 2,
+    BLOCKED on the head noun (last token) so the quadratic levenshtein
+    only runs inside blocks — the entity-resolution join shape (same
+    blocking discipline as MinHash bands / LSH buckets, with an exact
+    predicate instead of a hash). levenshtein agrees between Spark and
+    DuckDB, so the whole join is oracle-checked."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(texthash.words("p_name"), -1).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "blk"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "blk"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["blk"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") != F.col("name_b"))
+            & (dist <= 2)
+        )
+        .select("key_a", "key_b", "name_a", "name_b", dist.cast("long").alias("edit_dist"))
+    )
