@@ -1,0 +1,36 @@
+"""Sampling primitives: stratified proportions within binomial tolerance,
+hash-split determinism and disjointness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators.sampling import hash_split, stratified_sample
+from vectordb_from_scratch_spark.session import load_table
+
+
+def test_stratified_sample_proportions(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    fractions = {"en": 0.5, "de": 0.2, "es": 0.1, "fr": 0.1, "zh": 0.1}
+    sampled = stratified_sample(docs, "lang", fractions)
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in fractions.items():
+        rate = got.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.12, (lang, rate, frac)  # binomial tolerance at ~100/stratum
+    # seeded: rerun identical
+    again = stratified_sample(docs, "lang", fractions)
+    assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_hash_split_deterministic_and_disjoint(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    s1 = hash_split(docs, "doc_id")
+    s2 = hash_split(docs.repartition(7), "doc_id")  # partitioning must not matter
+    m1 = {r["doc_id"]: r["split"] for r in s1.collect()}
+    m2 = {r["doc_id"]: r["split"] for r in s2.collect()}
+    assert m1 == m2
+    n_val = sum(1 for v in m1.values() if v == "val")
+    assert 0.05 <= n_val / len(m1) <= 0.15  # ~10%
