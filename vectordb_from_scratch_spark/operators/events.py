@@ -224,3 +224,28 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-minute rollup table, value-checked against the direct hourly
     GROUP BY in DuckDB — proving the rollup composition loses nothing."""
     return rollup_to_hours(minute_rollup(load_table(spark, sf_dir, "events")))
+
+
+# --- JSON property extraction ------------------------------------------------------
+
+_JSON_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*)              AS n_events,
+       round(sum(value), 2)  AS total_value
+FROM events
+GROUP BY k_mod
+"""
+
+
+@register("events_json_props", _JSON_SQL)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract a typed field from the JSON props
+    column (get_json_object stays in codegen) and aggregate on it — the
+    dynamic-schema escape hatch every event pipeline needs (the
+    reference's analog is its MAP<STRING,STRING> metadata, SURVEY §1.2)."""
+    e = load_table(spark, sf_dir, "events")
+    k_mod = (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod")
+    return e.groupBy(k_mod).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
