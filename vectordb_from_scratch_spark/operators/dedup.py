@@ -2,15 +2,20 @@
 the LLM-training-pipeline extensions (north star in BASELINE.json; the
 reference itself has no dedup surface).
 
-Five families, each a ``queries()`` entry with a DuckDB oracle wherever the
-semantics are SQL-expressible (they all are here, because the hash functions
-are the cross-engine md5 construction from ``functions.texthash``):
+Seven families, each a ``queries()`` entry with a DuckDB oracle wherever
+the semantics are SQL-expressible (the hash-based ones all are, via the
+cross-engine md5 construction from ``functions.texthash``):
 
 1. exact         — hash-groupBy on text (one shuffle on the 60-bit hash)
 2. jaccard pairs — 3-word-shingle inverted-index self-join
 3. MinHash+LSH   — signature → bands → bucket join (the scale path)
 4. SimHash       — 32-bit sign-aggregated fingerprints, Hamming pairing
 5. embedding     — cosine near-dup top-pairs over the vector column
+   (exact broadcast block-matmul kernel + LSH-blocked scale variant)
+6. components    — candidate pairs → duplicate clusters (label
+   propagation; recursive-CTE oracle)
+7. (composition) — operators/pipeline.py chains quality gate → (3) → (6)
+   into the end-to-end training-prep plan
 
 Scale notes: (2) explodes to a (doc, shingle) posting list and self-joins on
 the shingle — the classic inverted-index candidate join; ultra-frequent
