@@ -607,3 +607,96 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view')     ::BIGINT AS view,
+       count(*) FILTER (event_type = 'click')    ::BIGINT AS click,
+       count(*) FILTER (event_type = 'purchase') ::BIGINT AS purchase,
+       count(*) FILTER (event_type = 'signup')   ::BIGINT AS signup,
+       count(*) FILTER (event_type = 'error')    ::BIGINT AS error
+FROM events GROUP BY user_id
+"""
+
+
+@register("pivot_events_by_type", _PIVOT_SQL)
+def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide on event_type with an explicit value list (never
+    let pivot infer values at scale — that is an extra distinct scan).
+    Compiles to one hash aggregate with conditional counts, exactly the
+    oracle's FILTER formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+_FRAMES_SQL = """
+WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT o_orderkey, o_custkey,
+       sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)          AS rolling3_cents,
+       sum(cents) OVER (PARTITION BY o_custkey)                           AS cust_total_cents,
+       count(*) OVER (PARTITION BY o_custkey)                              AS n_orders,
+       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+       round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+FROM o
+"""
+
+
+@register("window_frames", _FRAMES_SQL)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame variety on one pass: a rolling 3-row sum (bounded ROWS
+    frame), a whole-partition average (unbounded frame), ntile and
+    percent_rank (rank family). All share the same partitioning, so
+    Catalyst computes them in a single Window over one shuffle.
+
+    Money flows through exact integer cents, and the partition average
+    is emitted as (total_cents, n) rather than a rounded quotient:
+    2dp-price averages land exactly on rounding midpoints often enough
+    that Spark's BigDecimal HALF_UP and DuckDB's double rounding flip
+    ~0.2% of rows in opposite directions — integers cannot disagree."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    by_cust = Window.partitionBy("o_custkey")
+    by_date = by_cust.orderBy("o_orderdate", "o_orderkey")
+    by_price = by_cust.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("cents").over(by_date.rowsBetween(-2, 0)).alias("rolling3_cents"),
+        F.sum("cents").over(by_cust).alias("cust_total_cents"),
+        F.count(F.lit(1)).over(by_cust).alias("n_orders"),
+        F.ntile(4).over(by_price).alias("quartile"),
+        F.round(F.percent_rank().over(by_price), 6).alias("pct_rank"),
+    )
+
+
+_CORR_SQL = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("subquery_above_customer_avg", _CORR_SQL)
+def subquery_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders 50% above their own customer's
+    average — written as the decorrelated plan Catalyst would produce
+    anyway (groupBy avg + equi-join back): one aggregation + one join on
+    the correlation key, never a per-row subquery execution."""
+    o = load_table(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("_ck")).agg(
+        F.avg("o_totalprice").alias("_avg")
+    )
+    return (
+        o.join(avgs, o.o_custkey == F.col("_ck"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
