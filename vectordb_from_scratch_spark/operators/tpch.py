@@ -700,3 +700,440 @@ def subquery_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
+
+
+# --- Q8-style national market share --------------------------------------
+# Adapted to the driver schema: no p_container/partsupp, so the part filter
+# is p_type = 'PROMO'; share of ASIA-region PROMO revenue supplied by
+# NATION_5, by order year.
+
+_Q8_SQL = """
+SELECT year(o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n1.n_regionkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY o_year
+"""
+
+
+@register("tpch_q8_market_share", _Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one fact-fact shuffle (lineitem ⋈ orders on orderkey);
+    every other side — part, supplier, customer, nation twice, region — is
+    a broadcast, so the 8-way join costs the same shuffle count as a
+    2-way. The conditional-sum ratio avoids a second aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.alias("n1")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("n2_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n2_name") == "NATION_5", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- Q9-style product-type profit ------------------------------------------
+# No partsupp table, so supply cost is modeled as 60% of p_retailprice —
+# the join/agg shape (parts by name pattern, profit by supplier nation and
+# order year) is what matters.
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) / 10000.0, 2) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+"""
+
+
+@register("tpch_q9_product_type_profit", _Q9_SQL)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: LIKE-filtered part dim broadcast into the fact, profit
+    expression evaluated rowwise inside codegen, grouped on a low-cardinality
+    (nation, year) pair — partial aggregation collapses almost everything
+    map-side before the single exchange. Money flows through exact integer
+    fixed-point (see inline note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    # exact fixed-point money: prices/discounts are 2dp decimals stored as
+    # doubles, so round(x*100) recovers exact integer cents and the profit
+    # sums in units of 1e-4 dollars as BIGINT — a double sum here lands on
+    # rounding midpoints often enough to flip the 2dp output by a cent
+    # between engines.
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    profit = cents("l_extendedprice") * (100 - cents("l_discount")) - 60 * cents(
+        "p_retailprice"
+    ) * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit) / 10000.0, 2).alias("sum_profit"))
+    )
+
+
+# --- Q11-style important parts (HAVING against a global scalar) ------------
+
+_Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l_partkey)
+SELECT l_partkey, round(value, 2) AS value
+FROM v
+WHERE value > (SELECT sum(value) * 0.001 FROM v)
+"""
+
+
+@register("tpch_q11_important_parts", _Q11_SQL)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: group-by HAVING against a global scalar aggregate. The
+    per-part values are computed once and reused for both the threshold and
+    the filter (cached single-row threshold broadcast into the filter join) —
+    never two scans of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    threshold = v.agg((F.sum("value") * 0.001).alias("_thr"))
+    return (
+        v.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+# --- Q15-style top supplier (argmax against a derived aggregate) ------------
+
+_Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey, CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                         AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(rev_cents / 100.0, 2) AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM r)
+"""
+
+
+@register("tpch_q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the max quarterly revenue. The
+    winner comparison runs on integer cents — selecting an argmax via
+    float equality is exactly where cross-engine double summation order
+    would flip the answer."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    r = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    best = r.agg(F.max("rev_cents").alias("_best"))
+    return (
+        r.join(F.broadcast(best), F.col("rev_cents") == F.col("_best"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+# --- Q17-style small-quantity revenue (decorrelated per-part average) -------
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 10
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+@register("tpch_q17_small_qty_revenue", _Q17_SQL)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-part average decorrelated into a groupBy
+    over ONLY the brand's parts — the semi-join-first ordering matters at
+    scale: averaging all 200M parts' lineitems to then keep 0.1% of them
+    wastes 99.9% of the aggregation, so the part filter is applied before
+    the per-part aggregate, not after."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avgs = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("_half_avg")
+    )
+    return (
+        li.join(F.broadcast(avgs), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --- Q18-style large-volume customers --------------------------------------
+
+_Q18_SQL = """
+SELECT c_name, o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 250
+"""
+
+
+@register("tpch_q18_large_volume_customer", _Q18_SQL)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: aggregate the fact FIRST (sum qty per order, having >
+    threshold — ~1% of orders survive), then join the small survivor set to
+    orders/customer. Joining before aggregating would shuffle the full
+    lineitem against orders for rows that are about to be discarded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+# --- Q19-style disjunctive predicate revenue --------------------------------
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_discounted_revenue", _Q19_SQL)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs spanning both join sides. The part-only
+    disjunction (any of the three brand/size arms) is pre-applied to the
+    dim before broadcast — Catalyst derives this common-factor pushdown
+    itself, but stating it keeps the broadcast minimal and the intent
+    explicit; the mixed part+lineitem residual stays as the join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    arm = lambda brand, lo, hi, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(lo, hi)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            arm("Brand#12", 1, 5, 1, 11)
+            | arm("Brand#23", 1, 10, 10, 20)
+            | arm("Brand#34", 1, 15, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --- Q21-style suppliers who shipped last on shared orders ------------------
+# The driver schema has no commit/receipt dates, so "kept the order
+# waiting" is recast on l_shipdate: for finished ('F') orders with >= 2
+# distinct suppliers, the unique supplier whose latest line shipped
+# strictly after every other supplier's lines delayed the order.
+
+_Q21_SQL = """
+WITH sl AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_last
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey),
+w AS (
+  SELECT *,
+         count(*)    OVER (PARTITION BY l_orderkey) AS n_supp,
+         max(s_last) OVER (PARTITION BY l_orderkey) AS o_last
+  FROM sl),
+lone AS (
+  SELECT l_orderkey, l_suppkey
+  FROM (SELECT *, count(*) FILTER (s_last = o_last)
+                    OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM w)
+  WHERE n_supp >= 2 AND n_at_max = 1 AND s_last = o_last)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM lone JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+"""
+
+
+@register("tpch_q21_waiting_supplier", _Q21_SQL)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (EXISTS + NOT EXISTS over self-joined lineitem) computed
+    without any self-join: one aggregation to per-(order, supplier) latest
+    ship date, then two window functions over the same order partitioning.
+    The explicit repartition on l_orderkey makes the aggregation AND both
+    windows share a single exchange: hash(l_orderkey) satisfies the
+    clustered distribution of the (l_orderkey, l_suppkey) groupBy and of
+    the window partitioning, where the default plan would shuffle twice —
+    once on the grouping pair, again on the window key. (Partial map-side
+    combine is lost, but at ~1 line per (order, supplier) it reduced
+    nothing.) The textbook formulation self-joins lineitem twice; this is
+    the plan the decorrelation should reach."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    sl = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_last"))
+    )
+    by_order = Window.partitionBy("l_orderkey")
+    w = sl.select(
+        "*",
+        F.count(F.lit(1)).over(by_order).alias("n_supp"),
+        F.max("s_last").over(by_order).alias("o_last"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("s_last") == F.col("o_last"), 1).otherwise(0)).over(by_order),
+    )
+    lone = w.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_at_max") == 1) & (F.col("s_last") == F.col("o_last"))
+    )
+    return (
+        lone.join(F.broadcast(supp), lone.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --- Q22-style global sales opportunity -------------------------------------
+# No c_phone column: the country-code membership test becomes a nationkey
+# set. Every customer in the driver data has at least one order, so the
+# "never ordered" test becomes "no order in the last year" — same
+# scalar-subquery threshold + NOT EXISTS anti-join shape, non-empty result.
+
+_Q22_SQL = """
+WITH pool AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+thr AS (SELECT avg(c_acctbal) AS a FROM pool WHERE c_acctbal > 0.0)
+SELECT c_nationkey, count(*)::BIGINT AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM pool, thr
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+@register("tpch_q22_global_sales_opportunity", _Q22_SQL)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-aggregate threshold (broadcast single row) + NOT
+    EXISTS against orders. A naive left-anti of customers vs orders must
+    either broadcast a year of orders (driver OOM at scale) or shuffle
+    both sides; instead the fact table is streamed ONCE through a
+    broadcast semi join against the tiny rich-customer key set, reducing
+    it to at-most-|rich| distinct custkeys, and the anti join then runs
+    against that small set as a broadcast. Both joins broadcast the small
+    side; orders is never shuffled or broadcast."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01 00:00:00").cast("timestamp")
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_a"))
+    rich = cust.join(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("_a"))
+    active_keys = (
+        orders.select("o_custkey")
+        .join(F.broadcast(rich.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .distinct()
+    )
+    no_orders = rich.join(
+        F.broadcast(active_keys), rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
