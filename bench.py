@@ -29,10 +29,16 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
     "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
     "window_running_customer_totals",
+    "window_frames",
+    "events_gapfill_hourly",
     "events_sessionization",
     "events_tumbling_windows",
     "events_asof_last_view",

@@ -249,3 +249,55 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+_GAPFILL_SQL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n, round(sum(value), 2) AS total
+  FROM events GROUP BY event_type, hour),
+span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM counts),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM span) g)
+SELECT grid.event_type, grid.hour,
+       coalesce(n, 0)::BIGINT AS n, coalesce(total, 0.0) AS total
+FROM grid LEFT JOIN counts
+  ON counts.event_type = grid.event_type AND counts.hour = grid.hour
+"""
+
+
+@register("events_gapfill_hourly", _GAPFILL_SQL)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: hourly counts per event type with
+    empty hours materialized as zero rows (the timescale-style `time_bucket
+    + gapfill` every monitoring pipeline needs; absent from the reference —
+    SURVEY §2.3 lists no temporal ops at all).
+
+    Scale shape: the fact table is aggregated FIRST (one shuffle on
+    (type, hour) — output is |types|x|hours|, tiny); the dense grid is
+    GENERATED from a one-row span via sequence+explode, never stored; the
+    outer join then runs small x small. The 100 TB cost is one pass over
+    events + a partial-agg shuffle — gap-filling itself is free."""
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    span = counts.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    grid = hours.crossJoin(F.broadcast(e.select("event_type").distinct()))
+    return grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )

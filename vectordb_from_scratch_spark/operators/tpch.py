@@ -263,6 +263,37 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       count(*)                       AS cnt,
+       grouping(l_returnflag)::BIGINT AS g_rf,
+       grouping(l_linestatus)::BIGINT AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@register("agg_grouping_sets", _GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary (non-hierarchical) GROUPING SETS — the general form rollup
+    and cube are shorthands for. One Expand node replicates each input row
+    once per set before a single hash aggregate: one scan, one shuffle for
+    all three groupings. grouping() flags disambiguate NULL-as-total from
+    NULL-in-data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+    )
+
+
 # --- distinct aggregation ----------------------------------------------------
 
 _DISTINCT_SQL = """
