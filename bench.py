@@ -24,6 +24,7 @@ HEADLINE = [
     "knn_cosine_filtered",
     "knn_l2_topk",
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
@@ -32,10 +33,13 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
     "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
     "tpch_q14_promo_effect",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
     "tpch_q21_waiting_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_excess_shipments",
     "window_running_customer_totals",
     "window_frames",
     "events_gapfill_hourly",
@@ -43,6 +47,7 @@ HEADLINE = [
     "events_tumbling_windows",
     "events_asof_last_view",
     "events_range_pairs",
+    "events_retention_cohorts",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_embedding_neardup",

@@ -301,3 +301,55 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("total", F.lit(0.0)).alias("total"),
     )
+
+
+_RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS weeks_since,
+       count(DISTINCT a.user_id) AS active_users
+FROM activity a
+JOIN first_seen f USING (user_id)
+GROUP BY cohort_week, weeks_since
+"""
+
+
+@register("events_retention_cohorts", _RETENTION_SQL)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    bucketed by first-seen week, then distinct active users per
+    (cohort, weeks-since-signup) cell. Reference has no temporal or
+    grouping analytics at all (SURVEY §2.3).
+
+    Scale shape: both the first-seen aggregate and the distinct-activity
+    projection shuffle on user_id, and the join keys on user_id too — one
+    Exchange feeds all three (Spark reuses the child partitioning), so the
+    events table is read once and shuffled once. The final cell count is a
+    tiny agg. No driver-side state; weeks arithmetic is pure column math
+    on week-truncated timestamps (both engines truncate to Monday)."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("_first"))
+        .select("user_id", F.date_trunc("week", F.col("_first")).alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

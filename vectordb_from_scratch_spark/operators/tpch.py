@@ -1168,3 +1168,215 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# --- Q2-style minimum-cost supplier (correlated min over regional domain) ---
+
+_Q2_SQL = """
+WITH eligible AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+             AND p.p_type = 'LARGE' AND p.p_size <= 10
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_regionkey = 3),
+cost AS (
+  SELECT l_partkey, l_suppkey, min(price_cents) AS cost_cents
+  FROM eligible GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT *, min(cost_cents) OVER (PARTITION BY l_partkey) AS best_cents
+  FROM cost)
+SELECT p_partkey, p_name, s_name, n_name,
+       round(cost_cents / 100.0, 2) AS best_price
+FROM best
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE cost_cents = best_cents
+"""
+
+
+@register("tpch_q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape adapted to this schema (no partsupp table — offered price
+    becomes the cheapest observed lineitem price): for each qualifying part,
+    the supplier(s) in one region offering the minimum price. The classic
+    correlated subquery `price = (SELECT min(...) WHERE ps_partkey =
+    p_partkey AND <region>)` is decorrelated into a window min over the
+    SAME filtered domain — one pass, no rejoin of the subquery.
+
+    Scale shape: part/supplier/nation filters broadcast into the lineitem
+    scan (semi-join pruning before the agg); the groupBy shuffles AFTER
+    map-side combine on (partkey, suppkey), and the window's re-shuffle to
+    partkey-only runs over already-aggregated rows (|parts|x|suppliers|),
+    so the only full-size shuffle input is combiner output. Price comparison
+    runs on integer cents — float min-equality is where cross-engine
+    summation order flips answers. Reference has no joins at all
+    (SURVEY §2.3); this is north-star relational coverage."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    eligible = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+    cost = eligible.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("price_cents").alias("cost_cents")
+    )
+    best = cost.withColumn(
+        "best_cents", F.min("cost_cents").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost_cents") == F.col("best_cents"))
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round(F.col("cost_cents") / 100.0, 2).alias("best_price"),
+        )
+    )
+
+
+# --- Q12-style priority counts (conditional aggregation over fact join) -----
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("tpch_q12_priority_shipping", _Q12_SQL)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape adapted (no l_shipmode column — group by l_returnflag):
+    high- vs low-priority line counts via CASE-WHEN conditional sums over
+    an orders ⋈ lineitem join. Only (o_orderkey, o_orderpriority) is read
+    from orders — column pruning keeps the shuffled build side narrow;
+    the year filter pushes into the lineitem scan. One join shuffle on
+    orderkey + one tiny agg shuffle; both AQE-coalesced."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --- Q16-style supplier variety (count distinct + NOT IN anti-join) ---------
+
+_Q16_SQL = """
+SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_type, p_size
+"""
+
+
+@register("tpch_q16_supplier_variety", _Q16_SQL)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape adapted (no partsupp / no comment column — supplier
+    exclusion keys on negative account balance): distinct-supplier counts
+    per part descriptor, excluding a blacklist via NOT IN. The blacklist
+    is a handful of keys → broadcast LEFT ANTI against the fact table
+    (s_suppkey is non-null, so NOT IN == anti-join without the null
+    trap). count(DISTINCT) runs as Spark's two-phase Expand+agg — partial
+    per partition, no full-row shuffle of lineitem."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q20-style excess shipments (nested IN → semi-join chain) ---------------
+
+_Q20_SQL = """
+WITH heavy AS (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 80)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+"""
+
+
+@register("tpch_q20_excess_shipments", _Q20_SQL)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape adapted (no partsupp — "excess stock" becomes heavy
+    shipped quantity): suppliers who moved > 80 units of any red part.
+    The nested `IN (GROUP BY ... HAVING)` subquery becomes: prune
+    lineitem by a broadcast of red part keys, aggregate on
+    (suppkey, partkey), filter, then LEFT SEMI from supplier against the
+    resulting key set. The fact table is touched once; supplier — the
+    outer side — never shuffles (semi-join build side is tiny after
+    HAVING)."""
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    heavy = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 80)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
