@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_embedding_neardup_blocked",
     "pipeline_training_prep",
     "text_quality_scores",
+    "text_bm25_search",
+    "events_trailing_hour_window",
     "embed_documents",
     "ivf_search",
     "lsh_search",

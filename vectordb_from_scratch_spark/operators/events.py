@@ -353,3 +353,73 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+_RANGE_WINDOW_SQL = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER w, 2)   AS trailing_hour_value,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_hour_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_trailing_hour_window", _RANGE_WINDOW_SQL)
+def events_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the trailing-one-hour sum
+    and count at every event — the value-based frame ROWS frames can't
+    express (variable row count per frame). Ordering key is epoch
+    MICROseconds on both engines so the frame boundary is exact; a
+    seconds-granularity cast would silently widen the frame.
+
+    Scale shape: one shuffle on user_id, then a per-partition ordered scan
+    with a sliding accumulator — Spark's WindowExec evicts rows older than
+    the range bound incrementally, so memory is O(events-per-hour-per-user)
+    not O(partition)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("trailing_hour_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_hour_events"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_value_percentiles", _PERCENTILES_SQL)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (linear interpolation — identical
+    definition in Spark's `percentile` and DuckDB's `quantile_cont`),
+    complementing the approximate KLL/HLL sketches in `sketches.py`: the
+    sketch path is the 100 TB default, the exact path is the small-group /
+    verification tool. Exact percentile requires a full sort of each
+    group's values — per-group memory, not streaming — which is precisely
+    why the sketch variant exists; keeping both documents the trade-off."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("value", F.lit(0.90)), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )

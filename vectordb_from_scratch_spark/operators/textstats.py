@@ -267,3 +267,91 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("key_a", "key_b", "name_a", "name_b", dist.cast("long").alias("edit_dist"))
     )
+
+
+# --- BM25 keyword search -----------------------------------------------------
+
+_BM25_TERMS = ("hash", "window", "sort")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w != ''))::DOUBLE AS dl
+  FROM documents),
+stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w != '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN {repr(_BM25_TERMS)}
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * ({_BM25_K1} + 1)
+                   / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))),
+               6) AS bm25
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {_BM25_K}
+"""
+
+
+@register("text_bm25_search", _BM25_SQL)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75) — the lexical complement to the
+    vector search the reference serves only through an external embedding
+    service (SURVEY V18/C14): top-10 documents for a 3-term query, scored
+    with the standard Robertson idf.
+
+    Scale shape: doc length comes from a per-row `size(split(...))`
+    projection — no explode needed for it; the explode IS needed for term
+    frequencies but the `term IN (...)` filter lands directly on the
+    generator output, so only query-term tokens survive to the (doc, term)
+    combine. df (3 rows) and the corpus stats (1 row) broadcast back; the
+    candidate set after the tf join is only docs containing >= 1 query term.
+    Ranking collapses float near-ties by rounding to 6dp BEFORE ordering,
+    with doc_id as the deterministic tie-break (same discipline as the
+    k-NN ops, SURVEY §7 "what's hard" #1). The global top-10 runs as
+    ORDER BY + LIMIT → TakeOrderedAndProject (per-partition heaps, no
+    single-partition window over the full candidate set); the rank column
+    is a window over only the 10 survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    dl = d.select("doc_id", F.size(words).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tf = (
+        d.select("doc_id", F.explode(words).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) * (
+        F.col("tf") * (k1 + 1)
+    ) / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_K)
+    rnk = F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    return top.withColumn("rnk", rnk).select("doc_id", "bm25", "rnk")
