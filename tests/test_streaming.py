@@ -43,3 +43,44 @@ def test_session_window_agrees_with_lag_formulation(spark, sf_small):
     )
     b = sorted((r["user_id"], r["n_events"], r["session_value"]) for r in sw.collect())
     assert a == b
+
+
+def test_streaming_dedup_drops_redelivered_batches(spark, sf_small, tmp_path):
+    """At-least-once redelivery: the same events file arrives as two
+    micro-batches; dropDuplicatesWithinWatermark must emit each event_id
+    exactly once."""
+    import shutil
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_small}/events.parquet", src / "b.parquet")
+    stream = streaming.dedup_stream(
+        streaming.read_events_stream(spark, str(src), glob="*.parquet")
+    )
+    streaming.run_stream_to_memory(stream, "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    n_distinct = load_table(spark, sf_small, "events").select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_stream_join_equals_batch(spark, sf_small):
+    """Stream-stream interval join (purchase attributed to prior views
+    within 1 h) must produce exactly the batch join's pairs."""
+    from pyspark.sql import functions as F
+
+    batch_events = load_table(spark, sf_small, "events")
+    b_views = batch_events.filter(F.col("event_type") == "view")
+    b_purch = batch_events.filter(F.col("event_type") == "purchase")
+    # build the batch twin through the same function: it only uses
+    # DataFrame expressions, so static inputs produce a static plan
+    batch = streaming.view_purchase_join_stream(b_views, b_purch)
+
+    s = streaming.read_events_stream(spark, sf_small)
+    stream = streaming.view_purchase_join_stream(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    streaming.run_stream_to_memory(stream, "t_vp_join", output_mode="append")
+    assert _rows(spark.table("t_vp_join")) == _rows(batch)

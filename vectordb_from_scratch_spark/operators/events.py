@@ -16,6 +16,8 @@ one shuffle on user_id.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -423,3 +425,42 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("vmin"),
         F.round(F.max("value"), 6).alias("vmax"),
     )
+
+
+_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id  AS user_id,
+       v.ts       AS view_ts,
+       p.ts       AS purchase_ts,
+       p.value    AS amount
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts < p.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+_attr_run = itertools.count()
+
+
+@register("streaming_attribution_pairs", _ATTRIBUTION_SQL)
+def streaming_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, ORACLE-CHECKED: the view→purchase
+    attribution pairs computed by a real Structured Streaming query
+    (two watermarked streams, availableNow trigger, append sink) must
+    value-hash-match the static SQL join — the strongest correctness claim
+    a streaming operator can make, well beyond the rows-only checks
+    non-deterministic streaming ops get. Join-state eviction and plan
+    details live in streaming.view_purchase_join_stream; the batch/stream
+    equivalence is also pinned in test_streaming.py."""
+    from vectordb_from_scratch_spark import streaming
+
+    name = f"t_attribution_{next(_attr_run)}"
+    s = streaming.read_events_stream(spark, sf_dir)
+    stream = streaming.view_purchase_join_stream(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    streaming.run_stream_to_memory(stream, name, output_mode="append")
+    return spark.table(name)

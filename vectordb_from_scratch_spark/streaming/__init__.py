@@ -48,14 +48,16 @@ EVENTS_RAW_SCHEMA = StructType(
 SESSION_GAP = "30 minutes"
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch under availableNow). Swapping in Kafka changes only this
     function."""
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .option("pathGlobFilter", glob)  # file source needs a dir
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -208,3 +210,66 @@ def knn_query_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps an event_id only until the
+    watermark passes its timestamp, then evicts it — the streaming twin of
+    the batch `dedup_exact` operator, and the standard guard in front of a
+    training-data ingest pipeline where at-least-once sources (Kafka,
+    retried file drops) re-deliver records.
+
+    Plain ``dropDuplicates`` on a stream would grow state forever (every
+    key ever seen); the watermarked variant holds O(keys-per-watermark-
+    window) — at 100 TB/day ingest with a 2 h watermark that is state over
+    ~8 TB of arrivals, sharded across executors' state stores, not a
+    driver-side set."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def view_purchase_join_stream(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each purchase
+    matched to the same user's views in the preceding ``horizon`` —
+    attribution, the canonical two-stream use case. Both sides carry
+    watermarks; the range condition lets Spark evict a buffered view once
+    the purchase-side watermark passes view_ts + horizon, so join state is
+    bounded by horizon x arrival-rate per side.
+
+    The batch twin (operators/events.events_range_pairs) is an identical
+    join condition over static frames — the equivalence test pins that the
+    streaming plan computes the same pairs."""
+    v = (
+        views.withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "amount",
+    )
