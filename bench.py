@@ -59,7 +59,9 @@ HEADLINE = [
     "events_trailing_hour_window",
     "embed_documents",
     "ivf_search",
+    "ivf_search_prebuilt",
     "lsh_search",
+    "lsh_search_prebuilt",
 ]
 
 
