@@ -58,6 +58,7 @@ HEADLINE = [
     "text_bm25_search",
     "events_trailing_hour_window",
     "embed_documents",
+    "text_search_e2e",
     "ivf_search",
     "ivf_search_prebuilt",
     "lsh_search",

@@ -134,3 +134,74 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq), 6).alias("pre_norm"),
         active.cast("long").alias("n_active"),
     )
+
+
+# --- C14 end-to-end text search ---------------------------------------------
+
+TEXT_SEARCH_QUERY = "hash table scan merge"
+_TS_K = 10
+
+_TEXT_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS t
+  FROM documents),
+h AS (SELECT doc_id, {texthash.hash60_sql('t')} AS h FROM tok),
+b AS (SELECT doc_id, h % {DEFAULT_DIMS} AS bucket,
+             CASE WHEN (h >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sign
+      FROM h),
+v AS (SELECT doc_id, bucket, sum(sign) AS val FROM b GROUP BY doc_id, bucket),
+dnorm AS (SELECT doc_id, sqrt(sum(val * val)) AS nd FROM v GROUP BY doc_id),
+qtok AS (SELECT unnest(string_split('{TEXT_SEARCH_QUERY}', ' ')) AS t),
+qh AS (SELECT {texthash.hash60_sql('t')} AS h FROM qtok),
+qb AS (SELECT h % {DEFAULT_DIMS} AS bucket,
+              CASE WHEN (h >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sign
+       FROM qh),
+qv AS (SELECT bucket, sum(sign) AS val FROM qb GROUP BY bucket),
+qnorm AS (SELECT sqrt(sum(val * val)) AS nq FROM qv),
+dt AS (SELECT v.doc_id, sum(v.val * qv.val) AS d
+       FROM v JOIN qv USING (bucket) GROUP BY v.doc_id),
+scored AS (
+  SELECT dnorm.doc_id,
+         round(CASE WHEN nd * nq = 0 THEN 0.0
+                    ELSE coalesce(d, 0.0) / (nd * nq) END, 6) AS score
+  FROM dnorm CROSS JOIN qnorm LEFT JOIN dt USING (doc_id))
+SELECT doc_id, score, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {_TS_K}
+"""
+
+
+@register("text_search_e2e", _TEXT_SEARCH_SQL)
+def text_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 end-to-end, ORACLE-CHECKED: embed the query text, embed the
+    corpus, cosine top-10 — the reference's `POST /search/text` flow
+    (operations.py:92-110: Cohere call → C13 vector search), with the
+    deterministic hashed provider standing in for the network embedder so
+    the WHOLE flow is value-checked against SQL (the reference can never
+    test this path deterministically — its fixture snapshots real Cohere
+    vectors).
+
+    Exactness: bucket values are small integers carried in doubles, so
+    dot products and norms are exact on both engines and the final
+    division is bit-identical — the score comparison needs no tolerance.
+    Scale shape: corpus embedding is one Arrow-batched mapInPandas pass;
+    the single query vector broadcasts; top-10 is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    from vectordb_from_scratch_spark.functions import linalg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_texts(docs, dims=DEFAULT_DIMS, normalize=False)
+    # the ONE query vector is embedded driver-side with the same provider
+    # function — a single-row Spark job would cost a full job launch for
+    # 16 floats (the probe-policy discipline from ivf.search applies)
+    q = hashed_embedder(dims=DEFAULT_DIMS, normalize=False)([TEXT_SEARCH_QUERY])[0]
+    query_vec = F.array(*[F.lit(float(x)) for x in q])
+    scored = emb.select(
+        "doc_id",
+        F.round(linalg.cosine(query_vec, F.col("embedding")), 6).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_TS_K)
+    rnk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return top.withColumn("rnk", rnk).select("doc_id", "score", "rnk")
