@@ -56,6 +56,7 @@ HEADLINE = [
     "pipeline_training_prep",
     "text_quality_scores",
     "text_bm25_search",
+    "chunk_documents",
     "events_trailing_hour_window",
     "embed_documents",
     "text_search_e2e",

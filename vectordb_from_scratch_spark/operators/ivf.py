@@ -291,3 +291,40 @@ def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf.py:34) — the skew diagnostic that decides probe cost at scale."""
     centroids, assignments = built_index(spark, sf_dir)
     return assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+_CENTROID_SQL = """
+WITH x AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings)
+SELECT label, dim::BIGINT AS dim,
+       round(avg(val), 6) AS centroid_val,
+       count(*)           AS n_members
+FROM x GROUP BY label, dim
+"""
+
+
+@register("embedding_label_centroids", _CENTROID_SQL)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means UPDATE step as pure SQL, oracle-checked: per-label mean
+    vector via posexplode + groupBy-avg — exactly what the reference's
+    `np.add.at` accumulate + bincount divide computes per Lloyd's
+    iteration (ivf.py:173-186), and the distributed form a full
+    cluster-scale k-means would loop. Exposing it standalone makes the
+    one non-SQL-expressible piece of IVF (seeded init / argmax assign)
+    the ONLY uncovered surface.
+
+    Scale shape: explode fans 64× then combines map-side to (label, dim)
+    partials — shuffle volume is |labels|×|dims| per map task, independent
+    of row count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

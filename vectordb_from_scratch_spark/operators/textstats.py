@@ -355,3 +355,58 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_K)
     rnk = F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
     return top.withColumn("rnk", rnk).select("doc_id", "bm25", "rnk")
+
+
+# --- document chunking -------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 16, 12
+
+_CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, len(words) - 1, {_CHUNK_STRIDE})) AS start
+  FROM w WHERE len(words) > 0)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_seq,
+       array_to_string(words[start + 1 : start + {_CHUNK_SIZE}], ' ') AS chunk_text,
+       least({_CHUNK_SIZE}, len(words) - start)::BIGINT AS n_tokens
+FROM s
+"""
+
+
+@register("chunk_documents", _CHUNK_SQL)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → Chunk derivation — the reference's core data model step
+    (Library→Document→Chunk, models.py:10-23) that its API forces clients
+    to do BY HAND, one REST call per chunk (chunks.py:43-70 loops
+    sequentially). Here: sliding token windows (size 16, stride 12 —
+    overlapping, the standard RAG chunking) as ONE declarative pass —
+    sequence() generates chunk starts per row, explode fans out, slice +
+    array_join materialize each chunk's text. No Python in the row path.
+
+    Scale shape: embarrassingly parallel scan→generate; output is
+    ~n_tokens/stride rows per doc with no shuffle at all. Feeding this
+    into embed_texts then catalog.add_chunks reproduces the reference's
+    whole ingest pipeline as three composable operators."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(words)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))
+    return (
+        d.select("doc_id", words.alias("words"), starts.alias("starts"))
+        .filter(F.size("words") > 0)
+        .select("doc_id", "words", F.explode("starts").alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_seq"),
+            F.array_join(
+                F.slice(F.col("words"), F.col("start") + 1, _CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(_CHUNK_SIZE), F.size("words") - F.col("start"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
