@@ -462,5 +462,17 @@ def streaming_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.col("event_type") == "view"),
         s.filter(F.col("event_type") == "purchase"),
     )
-    streaming.run_stream_to_memory(stream, name, output_mode="append")
+    # Stateful-operator partitioning is fixed at stream start from
+    # spark.sql.shuffle.partitions, and EVERY partition materializes four
+    # state-store instances per micro-batch (two sides x two stores for a
+    # stream-stream join) — at local fixture scale the per-store setup
+    # dominates (measured 11.9s at 32 partitions vs 2.6s at 8 for the same
+    # 342 matches). Size it to the data here; a cluster-scale deployment
+    # raises it with input rate, not with executor count.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        streaming.run_stream_to_memory(stream, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
