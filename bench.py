@@ -60,6 +60,7 @@ HEADLINE = [
     "events_trailing_hour_window",
     "embed_documents",
     "text_search_e2e",
+    "embedding_label_medoids",
     "ivf_search",
     "ivf_search_prebuilt",
     "lsh_search",

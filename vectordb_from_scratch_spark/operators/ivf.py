@@ -328,3 +328,65 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+_MEDOID_SQL = """
+WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+m AS (SELECT vec_id, label, sqrt(list_dot_product(e, e)) AS nrm, e FROM n),
+u AS (SELECT vec_id, label,
+             CASE WHEN nrm = 0 THEN e
+                  ELSE list_transform(e, x -> x / nrm) END AS u
+      FROM m),
+pairs AS (
+  SELECT a.label, a.vec_id,
+         sum(list_dot_product(a.u, b.u)) AS total_sim,
+         count(*)                        AS n_members
+  FROM u a JOIN u b USING (label)
+  GROUP BY a.label, a.vec_id),
+best AS (
+  SELECT label, vec_id, n_members,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY total_sim DESC, vec_id ASC) AS rn
+  FROM pairs)
+SELECT label, vec_id AS medoid_vec_id, n_members
+FROM best WHERE rn = 1
+"""
+
+
+@register("embedding_label_medoids", _MEDOID_SQL)
+def embedding_label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label MEDOID (the member maximizing total cosine similarity to
+    its group — the representative-selection step of k-medoids / corpus
+    summarization) via grouped-map ``applyInPandas``: the one Pandas-API
+    surface the rest of the engine doesn't exercise (mapInPandas kernels
+    are stateless per-batch; this needs THE WHOLE GROUP in one callable).
+    Output is integer-only (ids + counts) so the oracle needs no float
+    tolerance even though each engine sums pairwise similarities in its
+    own order.
+
+    Scale shape: one shuffle on label, then per-group O(m²·d) BLAS inside
+    each executor — inherent to exact medoids. Groups too large for one
+    task fall back to the sampled/IVF approximation (same pattern as
+    train_centroids); the grouped-map plumbing is unchanged."""
+    import pandas as pd
+
+    def medoid(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["embedding"].to_list()).astype("float64")
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xu = X / np.where(norms == 0, 1.0, norms)
+        total = (Xu @ Xu.T).sum(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, -total))  # total DESC, vec_id ASC
+        w = order[0]
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "medoid_vec_id": [int(ids[w])],
+                "n_members": [len(pdf)],
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").applyInPandas(
+        medoid, schema="label int, medoid_vec_id long, n_members long"
+    )
