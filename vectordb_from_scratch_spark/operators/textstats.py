@@ -410,3 +410,27 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+def chunker_udtf():
+    """The chunking operator as a real Python UDTF (SQL `LATERAL chunker(text)`)
+    — completing the UDF/UDAF/UDTF extension surface (SURVEY §2.3: the
+    reference has none; our UDF story is mapInPandas kernels, UDAF is
+    grouped-map applyInPandas, and this is the table-function corner).
+
+    Row-at-a-time Python: this is the API-surface demonstration, NOT the
+    production path — `chunk_documents` computes the identical rows with
+    JVM-side sequence/slice expressions (equivalence pinned in
+    tests/test_udtf.py). Use a UDTF only when per-row fan-out logic
+    genuinely can't be expressed with generator expressions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_seq: bigint, chunk_text: string, n_tokens: bigint")
+    class Chunker:
+        def eval(self, text: str):
+            words = [w for w in (text or "").split(" ") if w]
+            for i, s in enumerate(range(0, len(words), _CHUNK_STRIDE)):
+                piece = words[s : s + _CHUNK_SIZE]
+                yield i, " ".join(piece), len(piece)
+
+    return Chunker
