@@ -79,3 +79,37 @@ def test_ivf_assignment_is_single_pass_no_shuffle(spark, sf_oracle):
     # centroid matrix rides inside the Arrow kernel: one scan, no join, no
     # shuffle of embeddings
     assert "MapInPandas" in p and plans.n_shuffles(assignments) == 0, p
+
+
+def test_bm25_topk_is_distributed_take_ordered(q):
+    df = q("text_bm25_search")
+    p = plans.physical_plan(df)
+    # global top-10 must be per-partition heaps (TakeOrderedAndProject),
+    # never a single-partition window over the full candidate set
+    assert "TakeOrderedAndProject" in p
+
+
+def test_gapfill_aggregates_before_grid_join(q):
+    df = q("events_gapfill_hourly")
+    p = plans.physical_plan(df)
+    # the dense grid is generated+broadcast; the fact table must never be
+    # nested-loop-joined raw — only the aggregated counts meet the grid
+    assert "BroadcastHashJoin LeftOuter" in p
+
+
+def test_q2_window_runs_over_aggregated_rows(q):
+    df = q("tpch_q2_min_cost_supplier")
+    p = plans.physical_plan(df)
+    # map-side combine before the (partkey, suppkey) exchange; the window
+    # min re-partitions aggregate output only
+    assert "SortMergeJoin" not in p  # every dim side broadcasts
+
+
+def test_retention_two_shuffles_no_join(q):
+    df = q("events_retention_cohorts")
+    p = plans.physical_plan(df)
+    # windowed first-seen rides the user_id exchange; distinct reuses it
+    # (clustering on a key subset); only the cell agg re-shuffles.
+    # formatted mode lists each node twice → 4 counted = 2 real exchanges
+    assert "Join" not in p
+    assert plans.n_shuffles(df) <= 4

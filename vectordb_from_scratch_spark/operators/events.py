@@ -328,32 +328,31 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort, weeks-since-signup) cell. Reference has no temporal or
     grouping analytics at all (SURVEY §2.3).
 
-    Scale shape: both the first-seen aggregate and the distinct-activity
-    projection shuffle on user_id, and the join keys on user_id too — one
-    Exchange feeds all three (Spark reuses the child partitioning), so the
-    events table is read once and shuffled once. The final cell count is a
-    tiny agg. No driver-side state; weeks arithmetic is pure column math
-    on week-truncated timestamps (both engines truncate to Monday)."""
+    Scale shape: NO JOIN — first-seen is a min() window over user_id, so
+    cohort and activity ride the same rows after ONE exchange on user_id;
+    the distinct on (user, cohort, active_week) is satisfied by that same
+    partitioning (clustering on a key subset), adding no exchange. After
+    the distinct each user appears once per active week, so the cell
+    count is a plain count(*) — no count-distinct Expand. Two shuffles
+    total: user_id, then the tiny (cohort, week) cell agg (asserted in
+    test_plans.py). Weeks arithmetic is pure column math on
+    week-truncated timestamps (both engines truncate to Monday)."""
     e = load_table(spark, sf_dir, "events")
-    first_seen = (
-        e.groupBy("user_id")
-        .agg(F.min("ts").alias("_first"))
-        .select("user_id", F.date_trunc("week", F.col("_first")).alias("cohort_week"))
-    )
-    activity = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    w = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).alias("active_week"),
     ).distinct()
     return (
-        activity.join(first_seen, "user_id")
-        .select(
+        base.select(
             "cohort_week",
             (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
             .cast("long")
             .alias("weeks_since"),
-            "user_id",
         )
         .groupBy("cohort_week", "weeks_since")
-        .agg(F.count_distinct("user_id").alias("active_users"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
     )
 
 
