@@ -51,6 +51,7 @@ HEADLINE = [
     "streaming_attribution_pairs",
     "dedup_minhash_lsh",
     "dedup_components",
+    "dedup_decontaminate",
     "dedup_embedding_neardup",
     "dedup_embedding_neardup_blocked",
     "pipeline_training_prep",

@@ -611,3 +611,73 @@ def dedup_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     """Blocked near-dup top-20 — recall vs the exact kernel measured in
     tests (the driver sees rows-only since hyperplanes aren't SQL)."""
     return embedding_pairs_blocked(load_table(spark, sf_dir, "embeddings"), k=20)
+
+
+# --- 7. eval-set decontamination --------------------------------------------
+
+_DECON_N = 6  # 6-word shingles: 31-word vocab → ~887M possible, so random
+_DECON_T = 5  # collisions ~0 and >=5 shared shingles means real copying
+
+_DECON_SQL = f"""
+WITH eval_docs AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM eval_docs WHERE doc_id % 50 = 0),
+eval_sh AS (
+  SELECT DISTINCT unnest(list_distinct(
+           {texthash.word_shingles_sql('text', _DECON_N)})) AS s
+  FROM eval_docs),
+batch_sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           {texthash.word_shingles_sql('text', _DECON_N)})) AS s
+  FROM batch),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM batch_sh JOIN eval_sh USING (s)
+  GROUP BY doc_id)
+SELECT doc_id, n_shared
+FROM hits WHERE n_shared >= {_DECON_T}
+"""
+
+
+@register("dedup_decontaminate", _DECON_SQL)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set DECONTAMINATION — the training-pipeline gate none of the
+    pairwise dedup ops cover: flag batch documents sharing >= 5 distinct
+    6-word shingles with a held-out eval corpus (the `source='src0'` slice
+    here; planted verbatim copies make the expected hits deterministic).
+    The n-gram-overlap rule is the standard published recipe for removing
+    benchmark contamination from pretraining data.
+
+    Scale shape: the eval side is SMALL by nature (benchmarks, not
+    corpora) — its distinct shingle set broadcasts; the 100 TB batch side
+    is one explode → broadcast semi-join (hash probe per shingle, no
+    shuffle of the corpus) → per-doc count. Batch docs with zero overlap
+    never survive the join, so the aggregate input is only near-hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    planted = eval_docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("source") != "src0").select("doc_id", "text").unionAll(
+        planted
+    )
+
+    def shingle_set(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(texthash.word_shingles("text", _DECON_N))
+            ).alias("s"),
+        )
+
+    eval_sh = shingle_set(eval_docs).select("s").distinct()
+    hits = (
+        shingle_set(batch)
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_T)
+    )
+    return hits
