@@ -1,0 +1,59 @@
+"""load_table must work under ANY caller's SparkSession, not just the one
+``get_spark`` builds.
+
+The correctness harness constructs its own vanilla session (no
+``spark.sql.legacy.parquet.nanosAsLong``), and ``events.parquet`` stores
+TIMESTAMP(NANOS) — which vanilla Spark rejects with PARQUET_TYPE_ILLEGAL
+unless load_table sets the conf defensively at call time. The round-1
+driver run errored every events-backed query this way while the whole
+local suite stayed green, because conftest's session fixture already had
+the conf baked in. This test reproduces the driver's environment:
+it must NOT use the shared ``spark`` fixture.
+
+Runs in a subprocess so the shared session-scoped SparkSession (same JVM)
+can't leak its conf into the vanilla session under test.
+"""
+
+import subprocess
+import sys
+
+_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("vanilla-driver-like")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+
+from vectordb_from_scratch_spark.session import load_table
+
+df = load_table(spark, "/root/testdata/sf0.001", "events")
+dt = dict(df.dtypes)
+assert dt["ts"] == "timestamp", dt
+n = df.count()
+assert n > 0, n
+
+# the two queries the round-1 driver errored on must now run
+from vectordb_from_scratch_spark.registry import QUERIES
+
+assert QUERIES["pivot_events_by_type"](spark, "/root/testdata/sf0.001").count() > 0
+assert QUERIES["crud_metadata_filter"](spark, "/root/testdata/sf0.001").count() >= 0
+print("VANILLA_OK")
+spark.stop()
+"""
+
+
+def test_load_events_under_vanilla_session():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "VANILLA_OK" in proc.stdout

@@ -70,10 +70,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Plain ``spark.read.parquet`` so
     Catalyst gets predicate pushdown + column pruning at the scan.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
-    as a long which we convert to a microsecond timestamp (exact integer
-    division — no double rounding)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
+    with PARQUET_TYPE_ILLEGAL. We must work under *any* caller's
+    SparkSession (the correctness harness builds its own, without our
+    ``get_spark`` defaults), so the nanosAsLong conf is set defensively at
+    call time — it is a runtime-settable SQL conf, not a builder-only one.
+    With nanosAsLong the column arrives as a long which we convert to a
+    microsecond timestamp (exact integer division — no double rounding)."""
+    from pyspark.errors import AnalysisException
+
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # older/locked sessions: fall through and hope the read works
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        # A session that already cached a rejected footer, or one where the
+        # conf wasn't applied above: set it explicitly and retry once.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
