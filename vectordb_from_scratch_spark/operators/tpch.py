@@ -674,7 +674,7 @@ SELECT o_orderkey, o_custkey,
        sum(cents) OVER (PARTITION BY o_custkey)                           AS cust_total_cents,
        count(*) OVER (PARTITION BY o_custkey)                              AS n_orders,
        ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
-       round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_rank
 FROM o
 """
 
@@ -686,11 +686,12 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank (rank family). All share the same partitioning, so
     Catalyst computes them in a single Window over one shuffle.
 
-    Money flows through exact integer cents, and the partition average
-    is emitted as (total_cents, n) rather than a rounded quotient:
-    2dp-price averages land exactly on rounding midpoints often enough
-    that Spark's BigDecimal HALF_UP and DuckDB's double rounding flip
-    ~0.2% of rows in opposite directions — integers cannot disagree."""
+    Money flows through exact integer cents, and the rank family is
+    emitted as exact integers too: (price_rank, n_orders) determine
+    percent_rank = (rank-1)/(n-1) exactly, whereas a round()ed double
+    quotient lands on rounding midpoints often enough that Spark's
+    BigDecimal HALF_UP and DuckDB's double rounding flip rows in
+    opposite directions — integers cannot disagree."""
     o = load_table(spark, sf_dir, "orders").withColumn(
         "cents", F.round(F.col("o_totalprice") * 100).cast("long")
     )
@@ -704,7 +705,7 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(by_cust).alias("cust_total_cents"),
         F.count(F.lit(1)).over(by_cust).alias("n_orders"),
         F.ntile(4).over(by_price).alias("quartile"),
-        F.round(F.percent_rank().over(by_price), 6).alias("pct_rank"),
+        F.rank().over(by_price).cast("long").alias("price_rank"),
     )
 
 
