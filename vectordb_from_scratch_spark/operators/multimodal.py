@@ -105,7 +105,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte frames, checksum the first MAX_FRAMES of each. Pure binary
     expressions (substr on BINARY) — the slicing pattern a real
     frame-sampler UDF would follow, minus the codec."""
-    a = assets(load_table(spark, sf_dir, "documents")).filter(F.col("kind") == "video")
+    # Payloads shorter than one frame must emit zero rows: without this
+    # filter the sequence stop is -1 and Spark generates a DESCENDING
+    # [0, -1], emitting spurious frames where the oracle's range(0, 0)
+    # emits none.
+    a = (
+        assets(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("kind") == "video")
+        .filter(F.col("meta.n_bytes") >= FRAME_BYTES)
+    )
     frames = a.select(
         "asset_id",
         "payload",
