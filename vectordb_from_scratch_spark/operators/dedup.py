@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectordb_from_scratch_spark.functions import linalg, texthash
-from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.registry import register, track_persist
 from vectordb_from_scratch_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -240,8 +240,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash family this entire pipeline is oracle-checked in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     # persist: both sides of the self-join read the SAME banded signatures
-    # (4 small rows/doc) instead of re-hashing every shingle twice
-    bands = minhash_bands(minhash_signatures(docs)).persist()
+    # (4 small rows/doc) instead of re-hashing every shingle twice;
+    # track_persist so the next registry query releases the cache
+    bands = track_persist(minhash_bands(minhash_signatures(docs)))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -480,7 +481,12 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    # the final labels table stays persisted (the caller's action reads it,
+    # typically twice: labels + sizes); tracked so the next registry query
+    # releases it
+    from vectordb_from_scratch_spark.registry import track
+
+    return track(labels)
 
 
 _CC_SQL = f"""
@@ -512,7 +518,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered doc with its component label (= min doc_id, the natural
     'keep this one' representative) and component size."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_bands(minhash_signatures(docs)).persist()
+    bands = track_persist(minhash_bands(minhash_signatures(docs)))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -559,7 +565,7 @@ def embedding_pairs_blocked(
 
     dims = len(emb.select("embedding").first()[0])
     H = lsh_ops.hyperplanes(dims, n_tables, n_bits)
-    buckets = lsh_ops.compute_buckets(emb, H, id_col="vec_id").persist()
+    buckets = track_persist(lsh_ops.compute_buckets(emb, H, id_col="vec_id"))
     probe = buckets
     if n_flips >= 1:  # multiprobe one side: also match at Hamming distance 1
         flips = F.array(*[F.lit(1 << b) for b in range(n_bits)])

@@ -45,7 +45,9 @@ def prepare_training_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """documents → kept docs with token counts (quality-gated,
     near-dup-cleansed: every doc that belongs to a MinHash duplicate
     component but is not its min-id representative is dropped)."""
-    bands = dedup.minhash_bands(dedup.minhash_signatures(docs)).persist()
+    from vectordb_from_scratch_spark.registry import track_persist
+
+    bands = track_persist(dedup.minhash_bands(dedup.minhash_signatures(docs)))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

@@ -9,6 +9,7 @@ docstring cites the reference behavior it reproduces.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,10 +21,45 @@ from vectordb_from_scratch_spark.operators import knn
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+#: Per-query persisted intermediates (e.g. MinHash band tables that feed both
+#: sides of a self-join). A registry caller runs many queries in ONE session;
+#: without release, each query's cached partitions pile up in executor
+#: storage for the whole run. We can't unpersist inside the builder (the
+#: caller hasn't run the action yet), so each query run releases the
+#: PREVIOUS query's tracked intermediates — storage is bounded to one
+#: query's working set. Deliberately excludes the process-level ANN index
+#: caches (operators/ivf.py, operators/lsh.py), which are cross-query by
+#: design.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + register for release before the next query runs."""
+    return track(df.persist())
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for deferred release."""
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_tracked() -> None:
+    while _TRACKED_PERSISTS:
+        try:
+            _TRACKED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql
         return fn
