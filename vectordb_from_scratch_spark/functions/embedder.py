@@ -64,8 +64,14 @@ def hashed_embedder(dims: int = DEFAULT_DIMS, normalize: bool = True):
     return embed
 
 
+from vectordb_from_scratch_spark.functions.http_embedder import http_embedder
+
 PROVIDERS: dict[str, Callable[..., Callable[[list[str]], np.ndarray]]] = {
     "hashed": hashed_embedder,
+    # network-embedder shape (reference embed.py:10-57): ≤128-text batches,
+    # timeout, 4xx→client / 5xx→upstream error mapping with retries.
+    # Requires url=...; `hashed` stays the deterministic oracle path.
+    "http": http_embedder,
 }
 
 
@@ -77,12 +83,14 @@ def embed_texts(
     provider: str = "hashed",
     normalize: bool = True,
     max_texts_per_call: int = MAX_TEXTS_PER_CALL,
+    **provider_kwargs,
 ) -> DataFrame:
     """Attach an embedding column: Arrow-batched ``mapInPandas``, each
     provider call bounded to ``max_texts_per_call`` texts (the reference's
-    batch contract). All input columns pass through."""
+    batch contract). All input columns pass through. Extra kwargs go to
+    the provider factory (e.g. ``url=...`` for the http provider)."""
     make = PROVIDERS[provider]
-    embed = make(dims=dims, normalize=normalize)
+    embed = make(dims=dims, normalize=normalize, **provider_kwargs)
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema = f"{fields}, {out_col} array<double>"
 
