@@ -191,9 +191,11 @@ def test_index_type_change_triggers_rebuild(cat):
     assert res[0].chunk_id == ids[9]
 
 
-def test_stale_index_rebuilds_after_mutation(cat):
-    """V16 lazy ensure: mutating chunks marks the sidecar stale; next search
-    rebuilds from the base table (crash-recovery guarantee)."""
+def test_mutation_maintains_index_incrementally(cat):
+    """Chunk mutations on a FRESH index apply as a delta (reference per-row
+    semantics, ivf.py:50-89): the index absorbs the new row without going
+    stale and without a rebuild. A stale/crashed index still heals via the
+    V16 lazy full rebuild (test_stale_fallback_rebuilds below)."""
     lib_id, doc_id, ids = _populate(cat, "stale-lib", index_type="ivf")
     vecs = _vectors()
     cat.search(lib_id, vecs[0].tolist(), k=3)
@@ -201,9 +203,23 @@ def test_stale_index_rebuilds_after_mutation(cat):
 
     new_vec = (vecs[0] * -1.0).tolist()
     new_id = cat.add_chunks(lib_id, doc_id, [{"text": "new", "embedding": new_vec}], ids=["cNEW"])[0]
-    assert cat._index_meta(lib_id)["stale"]
+    assert not cat._index_meta(lib_id).get("stale")  # delta applied, still fresh
     res = cat.search(lib_id, new_vec, k=3)
-    assert res[0].chunk_id == new_id  # fresh row findable → index was rebuilt
+    assert res[0].chunk_id == new_id  # fresh row findable without rebuild
+    assert not cat._index_meta(lib_id).get("stale")
+
+
+def test_stale_fallback_rebuilds(cat):
+    """V16 lazy ensure still backstops the delta path: a stale sidecar
+    (crash between base write and delta) fully rebuilds on next search."""
+    lib_id, doc_id, ids = _populate(cat, "crashed-lib", index_type="ivf")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)
+    meta = cat._index_meta(lib_id)
+    meta["stale"] = True  # simulate crash mid-delta
+    cat._write_index_meta(lib_id, meta)
+    res = cat.search(lib_id, vecs[7].tolist(), k=3)
+    assert res[0].chunk_id == ids[7]
     assert not cat._index_meta(lib_id).get("stale")
 
 

@@ -1,0 +1,170 @@
+"""Incremental index maintenance + partition-scoped TableStore writes.
+
+The scale contract under test:
+- a single-chunk mutation must NOT rewrite the whole chunks table — only
+  the touched library's partition (untouched partitions are hardlinks of
+  the previous version's files: same inode, zero bytes copied);
+- a single-chunk mutation on a fresh IVF/LSH index must NOT recompute the
+  assignments/buckets table — only the affected cluster / id-hash
+  partitions rewrite (untouched partition files keep their inodes);
+- the previous table version is retained for lazy readers, older ones GC.
+
+Reference parity: per-row index add/update/remove
+(app/core/indexes/ivf.py:50-89, lsh_simhash.py:60-102).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from vectordb_from_scratch_spark.catalog import VectorCatalog
+
+DIMS = 8
+N = 48
+
+
+def _vectors(n: int = N, d: int = DIMS) -> np.ndarray:
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((n, d)).astype("float32")
+
+
+def _populate(cat: VectorCatalog, name: str, index_type: str = "flat"):
+    lib_id = cat.create_library(name, DIMS, index_type=index_type)
+    doc_id = cat.create_document(lib_id, "doc-1")
+    vecs = _vectors()
+    items = [{"text": f"chunk {i}", "embedding": vecs[i].tolist()} for i in range(N)]
+    ids = cat.add_chunks(lib_id, doc_id, items, ids=[f"c{i:03d}" for i in range(N)])
+    return lib_id, doc_id, ids
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return VectorCatalog(spark, str(tmp_path))
+
+
+def _partition_inodes(root: str) -> dict[str, set[tuple[str, int]]]:
+    """partition dir name -> {(filename, inode)} for parquet files."""
+    out = {}
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        if os.path.isdir(p) and "=" in entry:
+            out[entry] = {
+                (f, os.stat(os.path.join(p, f)).st_ino)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def _latest_version_dir(store) -> str:
+    return os.path.join(store.dir, store._latest())
+
+
+def test_chunk_update_rewrites_only_touched_library_partition(cat):
+    """TableStore.write_partition: the untouched library's partition files
+    in the NEW version are hardlinks (same inode) of the old version's —
+    byte-identical by construction, zero data rewritten."""
+    lib_a, _, _ = _populate(cat, "lib-a")
+    lib_b, _, ids_b = _populate(cat, "lib-b")
+
+    before = _partition_inodes(_latest_version_dir(cat.chunks))
+    cat.update_chunk(lib_b, ids_b[0], text="patched")
+    after = _partition_inodes(_latest_version_dir(cat.chunks))
+
+    assert after[f"library_id={lib_a}"] == before[f"library_id={lib_a}"]  # hardlinked
+    assert after[f"library_id={lib_b}"] != before[f"library_id={lib_b}"]  # rewritten
+    assert cat.get_chunk(lib_b, ids_b[0])["text"] == "patched"
+
+
+def test_tablestore_retains_exactly_previous_version(cat):
+    lib_id, _, ids = _populate(cat, "versioned")
+    store = cat.chunks
+    v1 = store._latest()
+    cat.update_chunk(lib_id, ids[0], text="one")
+    v2 = store._latest()
+    assert os.path.isdir(os.path.join(store.dir, v1))  # N-1 retained
+    cat.update_chunk(lib_id, ids[1], text="two")
+    versions = {e for e in os.listdir(store.dir) if e.startswith("v")}
+    assert versions == {v2, store._latest()}  # v1 GC'd, exactly two kept
+
+
+def test_ivf_delta_touches_only_affected_cluster_partitions(cat):
+    """Single-chunk embedding update on a fresh IVF index: the assignments
+    table is NOT recomputed — untouched cluster partitions keep their
+    inodes; only the old/new cluster of the touched chunk rewrite."""
+    lib_id, _, ids = _populate(cat, "ivf-delta", index_type="ivf")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)  # build index
+    apath = cat._index_path(lib_id, "assignments")
+    before = _partition_inodes(apath)
+    assert len(before) >= 3, "need several clusters for the assertion to bite"
+
+    cat.update_chunk(lib_id, ids[5], embedding=(vecs[5] * -1.0).tolist())
+    assert not cat._index_meta(lib_id).get("stale")
+    after = _partition_inodes(apath)
+
+    changed = {p for p in after if after.get(p) != before.get(p)}
+    unchanged = {p for p in after if after.get(p) == before.get(p)}
+    assert changed, "the touched chunk's cluster partition must rewrite"
+    assert len(changed) <= 2, f"at most old+new cluster may rewrite, got {changed}"
+    assert unchanged, "untouched cluster partitions must keep their files"
+
+    # and the index actually reflects the update
+    res = cat.search(lib_id, (vecs[5] * -1.0).tolist(), k=3)
+    assert res[0].chunk_id == ids[5]
+
+
+def test_ivf_delta_delete_removes_rows_without_rebuild(cat):
+    lib_id, _, ids = _populate(cat, "ivf-del", index_type="ivf")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)
+    n_before = cat.spark.read.parquet(cat._index_path(lib_id, "assignments")).count()
+
+    cat.delete_chunks(lib_id, [ids[3], ids[4]])
+    assert not cat._index_meta(lib_id).get("stale")
+    assign = cat.spark.read.parquet(cat._index_path(lib_id, "assignments"))
+    assert assign.count() == n_before - 2
+    assert assign.filter(assign["id"].isin([ids[3], ids[4]])).count() == 0
+    got = {r.chunk_id for r in cat.search(lib_id, vecs[3].tolist(), k=5)}
+    assert ids[3] not in got
+
+
+def test_lsh_delta_touches_only_affected_id_partitions(cat):
+    lib_id, _, ids = _populate(cat, "lsh-delta", index_type="lsh_simhash")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)  # build buckets
+    bpath = cat._index_path(lib_id, "buckets")
+    before = _partition_inodes(bpath)
+    assert len(before) >= 3
+
+    cat.update_chunk(lib_id, ids[7], embedding=(vecs[7] * -1.0).tolist())
+    assert not cat._index_meta(lib_id).get("stale")
+    after = _partition_inodes(bpath)
+    changed = {p for p in after if after.get(p) != before.get(p)}
+    unchanged = {p for p in after if after.get(p) == before.get(p)}
+    assert len(changed) == 1, f"exactly the touched id's partition, got {changed}"
+    assert unchanged
+
+    res = cat.search(lib_id, (vecs[7] * -1.0).tolist(), k=3)
+    assert res[0].chunk_id == ids[7]
+
+
+def test_delete_document_cascades_via_delta(cat):
+    lib_id, doc_id, ids = _populate(cat, "doc-del", index_type="ivf")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)
+    doc2 = cat.create_document(lib_id, "doc-2")
+    extra = cat.add_chunks(
+        lib_id, doc2, [{"text": "x", "embedding": vecs[0].tolist()}], ids=["cX"]
+    )
+    assert not cat._index_meta(lib_id).get("stale")
+
+    cat.delete_document(lib_id, doc_id)  # removes the original 48 chunks
+    assert not cat._index_meta(lib_id).get("stale")
+    assign = cat.spark.read.parquet(cat._index_path(lib_id, "assignments"))
+    assert {r["id"] for r in assign.collect()} == set(extra)
+    res = cat.search(lib_id, vecs[0].tolist(), k=3)
+    assert [r.chunk_id for r in res] == ["cX"]

@@ -9,8 +9,12 @@ Spark design decisions:
 - each entity table is a **versioned parquet table** (``TableStore``):
   writes land in a fresh ``v{N}`` directory, then a ``_LATEST`` pointer file
   is atomically replaced — the reference's "build to the side, swap the
-  pointer under a write lock" (``vector_db.py:283-292``) without any lock,
-  because readers of the old version keep a consistent snapshot. This is
+  pointer under a write lock" (``vector_db.py:283-292``) without any lock.
+  The previous version is retained (GC keeps N and N-1), so lazy
+  DataFrame handles from before the latest write still resolve their
+  files; handles older than one version must be re-read. Partition-scoped
+  mutations (``write_partition``) hardlink untouched partitions — a
+  chunk update rewrites one library's partition, not the table. This is
   poor-man's Delta; on a real deployment swap in Delta/Iceberg and the
   class body shrinks.
 - chunks are written ``partitionBy(library_id)`` so per-library operations
@@ -129,16 +133,72 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(path)
+        self._swap_and_gc(cur, nxt)
+
+    def write_partition(
+        self, part_df: DataFrame, partition_by: str, values: list
+    ) -> None:
+        """Partition-scoped write: a new version whose UNTOUCHED partitions
+        are hardlinks of the current version's files (zero data copied,
+        byte-identical), and only the partitions for ``values`` are written
+        fresh from ``part_df`` (which must contain exactly the new content
+        of those partitions — possibly zero rows, which drops them).
+
+        This is the mutation path that scales: a single-chunk update in a
+        10k-library table rewrites one library's partition, not the table.
+        The version swap stays atomic (same ``_LATEST`` pointer flip)."""
+        cur = self._latest()
+        if cur is None:
+            return self.write(part_df, partition_by)
+        nxt = f"v{int(cur[1:]) + 1:06d}"
+        path = os.path.join(self.dir, nxt)
+        cur_path = os.path.join(self.dir, cur)
+        touched = {f"{partition_by}={v}" for v in values}
+        os.makedirs(path, exist_ok=True)
+        for entry in os.listdir(cur_path):
+            src = os.path.join(cur_path, entry)
+            if (
+                entry.startswith(f"{partition_by}=")
+                and entry not in touched
+                and os.path.isdir(src)
+            ):
+                dst = os.path.join(path, entry)
+                os.makedirs(dst, exist_ok=True)
+                for fname in os.listdir(src):
+                    os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        part_df.write.mode("append").partitionBy(partition_by).parquet(path)
+        self._swap_and_gc(cur, nxt)
+
+    def _swap_and_gc(self, cur: str | None, nxt: str) -> None:
+        """Atomic pointer flip, then garbage-collect versions older than the
+        PREVIOUS one. Keeping N-1 protects lazy readers: a DataFrame handle
+        from a read() before this write still resolves its files; only
+        handles older than one version break (documented contract)."""
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(nxt)
         os.replace(tmp, self._pointer)  # atomic swap
-        if cur:
-            shutil.rmtree(os.path.join(self.dir, cur), ignore_errors=True)
+        keep = {nxt, cur}
+        for entry in os.listdir(self.dir):
+            if entry.startswith("v") and entry not in keep:
+                shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
 
 
 def _uuid() -> str:
     return str(uuid.uuid4())
+
+
+#: LSH bucket-table partition count: delta maintenance rewrites only the
+#: id-hash partitions a mutation touches, O(table/N_ID_PARTS) per touched id
+#: instead of O(table). Searches read all partitions regardless (they filter
+#: on (table_id, key), not id), so partitioning by id_part costs them nothing.
+N_ID_PARTS = 32
+
+
+def _with_id_part(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "id_part", F.pmod(F.xxhash64("id"), F.lit(N_ID_PARTS)).cast("int")
+    )
 
 
 @dataclass
@@ -243,8 +303,9 @@ class VectorCatalog:
         """C4 cascade (vector_db.py:137-150): chunks → documents → library
         as anti-join rewrites, plus the derived index directory."""
         self.get_library(lib_id)
-        self.chunks.write(
-            self.chunks.read().filter(F.col("library_id") != lib_id), "library_id"
+        # drop exactly this library's partition: empty content for the value
+        self.chunks.write_partition(
+            self.spark.createDataFrame([], CHUNK_SCHEMA), "library_id", [lib_id]
         )
         self.documents.write(self.documents.read().filter(F.col("library_id") != lib_id))
         self.libraries.write(self.libraries.read().filter(F.col("id") != lib_id))
@@ -318,13 +379,31 @@ class VectorCatalog:
 
     def delete_document(self, lib_id: str, doc_id: str) -> None:
         """C7: ownership check then cascade chunks → document
-        (vector_db.py:171-182)."""
+        (vector_db.py:171-182). Chunk cascade is partition-scoped (only
+        this library's partition rewrites) and the index absorbs the
+        deleted chunk ids as a delta."""
         self.get_document(lib_id, doc_id)
-        self.chunks.write(
-            self.chunks.read().filter(F.col("document_id") != doc_id), "library_id"
+        chunks = self.chunks.read()
+        gone = (
+            chunks.filter(
+                (F.col("library_id") == lib_id) & (F.col("document_id") == doc_id)
+            )
+            .select("id", "embedding")
+            .collect()
+        )
+        self.chunks.write_partition(
+            chunks.filter(
+                (F.col("library_id") == lib_id) & (F.col("document_id") != doc_id)
+            ),
+            "library_id",
+            [lib_id],
         )
         self.documents.write(self.documents.read().filter(F.col("id") != doc_id))
-        self._invalidate_index(lib_id)
+        self._index_delta(
+            lib_id,
+            removed=[(r["id"], r["embedding"]) for r in gone],
+            n_delta=-len(gone),
+        )
 
     # ------------------------------------------------------------------ C8-C12
     def add_chunks(
@@ -360,11 +439,17 @@ class VectorCatalog:
             )
             for cid, item in zip(out_ids, items)
         ]
-        self.chunks.write(
-            self.chunks.read().unionByName(self.spark.createDataFrame(rows, CHUNK_SCHEMA)),
+        part = self.chunks.read().filter(F.col("library_id") == lib_id)
+        self.chunks.write_partition(
+            part.unionByName(self.spark.createDataFrame(rows, CHUNK_SCHEMA)),
             "library_id",
+            [lib_id],
         )
-        self._invalidate_index(lib_id)
+        self._index_delta(
+            lib_id,
+            upserts=[(r[0], r[4]) for r in rows],
+            n_delta=len(rows),
+        )
         return out_ids
 
     def get_chunk(self, lib_id: str, chunk_id: str) -> dict:
@@ -402,14 +487,20 @@ class VectorCatalog:
             [float(x) for x in patch.get("embedding", chunk["embedding"])],
             patch.get("metadata", chunk["metadata"]),
         )
-        self.chunks.write(
-            self.chunks.read()
-            .filter(F.col("id") != chunk_id)
-            .unionByName(self.spark.createDataFrame([merged], CHUNK_SCHEMA)),
+        part = self.chunks.read().filter(
+            (F.col("library_id") == lib_id) & (F.col("id") != chunk_id)
+        )
+        self.chunks.write_partition(
+            part.unionByName(self.spark.createDataFrame([merged], CHUNK_SCHEMA)),
             "library_id",
+            [lib_id],
         )
         if "embedding" in patch:
-            self._invalidate_index(lib_id)
+            self._index_delta(
+                lib_id,
+                upserts=[(chunk_id, merged[4])],
+                removed=[(chunk_id, chunk["embedding"])],
+            )
         return self.get_chunk(lib_id, chunk_id)
 
     def delete_chunks(self, lib_id: str, chunk_ids: list[str]) -> None:
@@ -417,19 +508,25 @@ class VectorCatalog:
         validate ALL ids exist first, then delete (chunks.py:135-145)."""
         self.get_library(lib_id)
         chunks = self.chunks.read()
-        present = {
-            r["id"]
-            for r in chunks.filter(
-                (F.col("library_id") == lib_id) & (F.col("id").isin(chunk_ids))
-            )
-            .select("id")
-            .collect()
-        }
+        present_rows = chunks.filter(
+            (F.col("library_id") == lib_id) & (F.col("id").isin(chunk_ids))
+        ).select("id", "embedding").collect()
+        present = {r["id"] for r in present_rows}
         missing = [c for c in chunk_ids if c not in present]
         if missing:
             raise NotFoundError(f"chunks not found: {missing}")
-        self.chunks.write(chunks.filter(~F.col("id").isin(chunk_ids)), "library_id")
-        self._invalidate_index(lib_id)
+        self.chunks.write_partition(
+            chunks.filter(
+                (F.col("library_id") == lib_id) & ~F.col("id").isin(chunk_ids)
+            ),
+            "library_id",
+            [lib_id],
+        )
+        self._index_delta(
+            lib_id,
+            removed=[(r["id"], r["embedding"]) for r in present_rows],
+            n_delta=-len(present_rows),
+        )
 
     # ------------------------------------------------------------------ C15
     def library_stats(self, lib_id: str) -> dict:
@@ -571,6 +668,132 @@ class VectorCatalog:
             meta["stale"] = True
             self._write_index_meta(lib_id, meta)
 
+    def _index_delta(
+        self,
+        lib_id: str,
+        upserts: list[tuple] | None = None,
+        removed: list[tuple] | None = None,
+        n_delta: int = 0,
+    ) -> None:
+        """Incremental index maintenance — the reference's per-row add/
+        update/remove semantics (``ivf.py:50-89``, ``lsh_simhash.py:60-102``)
+        as a partition-scoped delta instead of mark-stale + full rebuild.
+
+        ``upserts``/``removed`` are ``(chunk_id, embedding)`` pairs: rows
+        now current vs rows no longer current (an update contributes to
+        both). The delta touches O(affected partitions), never the corpus:
+
+        - IVF: a row's cluster is a deterministic function of its embedding
+          and the (unchanged) centroids, so the affected clusters are
+          computed from the delta embeddings alone — no scan to find old
+          assignments. Only those cluster partitions dynamic-overwrite.
+        - LSH: buckets are partitioned by ``id_part = pmod(xxhash64(id),
+          N)``; the delta ids name their partitions directly.
+
+        Crash safety: meta flips to stale before the partition write and
+        back after, so a crash mid-delta degrades to the lazy full rebuild
+        (the base table is always the source of truth). If the index is
+        already stale or absent, there is nothing to maintain."""
+        upserts = upserts or []
+        removed = removed or []
+        if not upserts and not removed:
+            return
+        meta = self._index_meta(lib_id)
+        if meta is None or meta.get("stale"):
+            return self._invalidate_index(lib_id)
+        touched_ids = list({cid for cid, _ in upserts} | {cid for cid, _ in removed})
+        meta["stale"] = True
+        self._write_index_meta(lib_id, meta)
+        if meta["type"] == "ivf":
+            self._ivf_delta(lib_id, upserts, removed, touched_ids)
+        elif meta["type"] == "lsh_simhash":
+            self._lsh_delta(lib_id, upserts, removed, touched_ids)
+        meta["stale"] = False
+        meta["n"] = meta.get("n", 0) + n_delta
+        self._write_index_meta(lib_id, meta)
+
+    def _delta_df(self, rows: list[tuple]) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(cid, [float(x) for x in emb]) for cid, emb in rows],
+            "id STRING, embedding ARRAY<FLOAT>",
+        )
+
+    def _ivf_delta(
+        self, lib_id: str, upserts: list, removed: list, touched_ids: list
+    ) -> None:
+        centroids = self.spark.read.parquet(self._index_path(lib_id, "centroids"))
+        new_assign = ivf_ops.assign(
+            self._delta_df(upserts), centroids, id_col="id", vec_col="embedding"
+        )
+        # affected clusters from the delta alone (deterministic assignment)
+        affected = {
+            r["cluster_id"]
+            for r in ivf_ops.assign(
+                self._delta_df(upserts + removed),
+                centroids,
+                id_col="id",
+                vec_col="embedding",
+            )
+            .select("cluster_id")
+            .distinct()
+            .collect()
+        }
+        path = self._index_path(lib_id, "assignments")
+        keep = (
+            self.spark.read.parquet(path)
+            .filter(F.col("cluster_id").isin(list(affected)))
+            .filter(~F.col("id").isin(touched_ids))
+            # materialize BEFORE the overwrite: the write must not read
+            # from the files it replaces
+            .localCheckpoint(eager=True)
+        )
+        self._overwrite_partitions(
+            keep.unionByName(new_assign), path, "cluster_id", affected
+        )
+
+    def _lsh_delta(
+        self, lib_id: str, upserts: list, removed: list, touched_ids: list
+    ) -> None:
+        dims = self.get_library(lib_id)["dims"]
+        H = lsh_ops.hyperplanes(dims)
+        new_buckets = _with_id_part(
+            lsh_ops.compute_buckets(self._delta_df(upserts), H, id_col="id", vec_col="embedding")
+        )
+        parts = {
+            r["id_part"]
+            for r in _with_id_part(
+                self.spark.createDataFrame([(c,) for c in touched_ids], "id STRING")
+            )
+            .select("id_part")
+            .distinct()
+            .collect()
+        }
+        path = self._index_path(lib_id, "buckets")
+        keep = (
+            self.spark.read.parquet(path)
+            .filter(F.col("id_part").isin(list(parts)))
+            .filter(~F.col("id").isin(touched_ids))
+            .localCheckpoint(eager=True)
+        )
+        self._overwrite_partitions(
+            keep.unionByName(new_buckets), path, "id_part", parts
+        )
+
+    def _overwrite_partitions(
+        self, content: DataFrame, path: str, part_col: str, affected: set
+    ) -> None:
+        """Dynamic partition overwrite + explicit drop of affected
+        partitions that ended up EMPTY: dynamic mode only replaces
+        partitions present in the written data, so a partition whose rows
+        were all removed would silently keep its stale files."""
+        content = content.localCheckpoint(eager=True)  # content read twice below
+        present = {r[0] for r in content.select(part_col).distinct().collect()}
+        content.write.mode("overwrite").partitionBy(part_col).option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(path)
+        for v in set(affected) - present:
+            shutil.rmtree(os.path.join(path, f"{part_col}={v}"), ignore_errors=True)
+
     def _ensure_ivf(self, lib_id: str, corpus: DataFrame) -> bool:
         meta = self._index_meta(lib_id)
         if meta and meta.get("type") == "ivf" and not meta.get("stale"):
@@ -607,8 +830,14 @@ class VectorCatalog:
             return False
         dims = self.get_library(lib_id)["dims"]
         H = lsh_ops.hyperplanes(dims)
-        buckets = lsh_ops.compute_buckets(corpus, H, id_col="id", vec_col="embedding")
-        buckets.write.mode("overwrite").parquet(self._index_path(lib_id, "buckets"))
+        buckets = _with_id_part(
+            lsh_ops.compute_buckets(corpus, H, id_col="id", vec_col="embedding")
+        )
+        # partitioned by id-hash so per-chunk mutations become a
+        # partition-scoped delta (_lsh_delta), not a full rewrite
+        buckets.write.mode("overwrite").partitionBy("id_part").parquet(
+            self._index_path(lib_id, "buckets")
+        )
         self._write_index_meta(lib_id, {"type": "lsh_simhash", "n": n})
         return True
 
