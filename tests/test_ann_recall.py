@@ -54,14 +54,15 @@ def test_ivf_full_probe_is_exact(spark, sf_small, exact_topk):
 
 
 def test_lsh_recall_multiprobe(spark, sf_small, exact_topk):
-    """16 tables × 8 bits with 1-bit multiprobe measures ~0.84 on this
-    fixture (reference defaults 8×16 measure ~0.10 — its own tests never
-    assert recall). Threshold just below measured as a regression guard."""
+    """BASELINE.md self-imposed target: LSH recall@10 >= 0.8 vs exact flat,
+    asserted on the REGISTERED lsh_search configuration (16 tables × 8 bits,
+    1-bit multiprobe — measures ~0.84 on this fixture; the reference's own
+    8×16 defaults measure ~0.10 and its tests never assert recall)."""
     res = lsh.build_and_search(
         spark, sf_small, k=K, n_queries=N_QUERIES, n_tables=16, n_bits=8, n_flips=1
     )
     r = _recall(res.collect(), exact_topk)
-    assert r >= 0.7, f"LSH recall@{K} = {r:.3f} < 0.7 (16x8 multiprobe)"
+    assert r >= 0.8, f"LSH recall@{K} = {r:.3f} < 0.8 (BASELINE.md target)"
 
 
 def test_lsh_reference_defaults_return_results(spark, sf_small):
@@ -108,3 +109,26 @@ def test_blocked_neardup_recovers_top_pairs(spark, sf_small):
     }
     recall = len(exact & blocked) / len(exact)
     assert recall >= 0.6, f"blocked near-dup pair recall = {recall:.2f}"
+
+
+def test_neardup_auto_routes_by_corpus_size(spark, sf_small):
+    """The size guard (VERDICT #5): under the broadcast threshold the auto
+    router must produce EXACTLY the exact kernel's top-k; forced over the
+    threshold it must produce exactly the blocked kernel's top-k."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        embedding_pairs_auto,
+        embedding_pairs_blocked,
+        embedding_pairs_topk,
+    )
+    from vectordb_from_scratch_spark.session import load_table as lt
+
+    emb = lt(spark, sf_small, "embeddings")
+    key = lambda rows: [(r["vec_a"], r["vec_b"], r["score"], r["rnk"]) for r in rows]
+
+    exact = key(embedding_pairs_topk(emb, k=20).collect())
+    routed_small = key(embedding_pairs_auto(emb, k=20).collect())
+    assert routed_small == exact  # fixture is under the default threshold
+
+    blocked = key(embedding_pairs_blocked(emb, k=20).collect())
+    routed_big = key(embedding_pairs_auto(emb, k=20, max_broadcast_bytes=1).collect())
+    assert routed_big == blocked  # past the threshold: the scale path

@@ -113,3 +113,33 @@ def test_retention_two_shuffles_no_join(q):
     # formatted mode lists each node twice → 4 counted = 2 real exchanges
     assert "Join" not in p
     assert plans.n_shuffles(df) <= 4
+
+
+def test_knn_auto_dispatches_kernel_by_batch_size(spark, sf_oracle):
+    """topk_auto (the serving-path dispatcher): small batches must compile
+    to the pure-expression plan (no Python evaluation node anywhere),
+    large batches to the per-partition BLAS kernel (MapInPandas)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators import knn
+    from vectordb_from_scratch_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    small = knn.topk_auto(emb, q, k=5)
+    p_small = plans.physical_plan(small)
+    assert "MapInPandas" not in p_small and "ArrowEvalPython" not in p_small
+    assert plans.has_window_group_limit(small)
+
+    qpdf = q.toPandas()
+    big = knn.topk_auto(
+        emb,
+        pd.concat([qpdf] * 10, ignore_index=True).assign(
+            query_id=lambda d: range(len(d))
+        ),
+        k=5,
+    )
+    assert "MapInPandas" in plans.physical_plan(big)

@@ -138,6 +138,54 @@ def topk_pandas(
     )
 
 
+#: Kernel crossover: below this many queries the pure-expression plan wins
+#: (the Arrow round-trip of the whole corpus costs more than interpreted
+#: scoring of Q·N pairs); above it the per-partition BLAS matmul wins.
+#: Measured at sf0.1 (bench r1): Q=10 → expression 1.31 s vs BLAS 2.48 s;
+#: Q=100 → BLAS 1.0 s. Both paths scan the corpus exactly once, so the
+#: ratio depends on Q, not N — the crossover sits near Q≈32.
+BLAS_MIN_QUERIES = 32
+
+
+def topk_auto(
+    corpus: DataFrame,
+    queries,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_expr: Column | None = None,
+    blas_min_queries: int = BLAS_MIN_QUERIES,
+) -> DataFrame:
+    """Serving-path dispatcher: route a query batch to the expression plan
+    or the per-partition BLAS kernel by batch size, so neither kernel's
+    weak regime can sneak into the serving path. ``queries`` may be a
+    Spark DataFrame or a pandas frame of (query_id, query_vec) — small by
+    the broadcast contract either way. Non-cosine metrics always take the
+    expression plan (the BLAS kernel is cosine-only)."""
+    qpdf = queries if isinstance(queries, pd.DataFrame) else None
+    if metric == "cosine":
+        if qpdf is None:
+            qpdf = queries.toPandas()
+        if len(qpdf) >= blas_min_queries:
+            if filter_expr is not None:
+                corpus = corpus.filter(filter_expr)
+            return topk_pandas(corpus, qpdf, k=k, id_col=id_col, vec_col=vec_col)
+    if qpdf is not None and not isinstance(queries, DataFrame):
+        queries = corpus.sparkSession.createDataFrame(
+            qpdf, "query_id long, query_vec array<double>"
+        )
+    return topk(
+        corpus,
+        queries,
+        k=k,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        filter_expr=filter_expr,
+    )
+
+
 def score_pairs_pandas(
     cand_with_vec: DataFrame,
     queries_pdf: pd.DataFrame,

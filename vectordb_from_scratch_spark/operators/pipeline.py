@@ -41,13 +41,19 @@ def quality_keep_flag() -> F.Column:
     return (n_words >= 20) & (stop_ratio > 0.01) & (punct_ratio < 0.2)
 
 
-def prepare_training_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def prepare_training_corpus(
+    spark: SparkSession, docs: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
     """documents → kept docs with token counts (quality-gated,
     near-dup-cleansed: every doc that belongs to a MinHash duplicate
-    component but is not its min-id representative is dropped)."""
+    component but is not its min-id representative is dropped).
+
+    ``bands``: pass a prebuilt/cached band table (dedup.banded_signatures)
+    when the docs are the shared corpus; otherwise it's computed here."""
     from vectordb_from_scratch_spark.registry import track_persist
 
-    bands = track_persist(dedup.minhash_bands(dedup.minhash_signatures(docs)))
+    if bands is None:
+        bands = track_persist(dedup.minhash_bands(dedup.minhash_signatures(docs)))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -114,7 +120,9 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget per source × lang, quality-gated and near-dup-cleansed — the
     whole composition value-checked against one DuckDB query."""
     docs = load_table(spark, sf_dir, "documents")
-    kept = prepare_training_corpus(spark, docs)
+    kept = prepare_training_corpus(
+        spark, docs, bands=dedup.banded_signatures(spark, sf_dir)
+    )
     return kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

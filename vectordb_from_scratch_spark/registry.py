@@ -134,12 +134,13 @@ _KNN_Q_BIG = 100
 @register("knn_cosine_batch100", _COS_SQL.format(Q=_KNN_Q_BIG, K=_KNN_K, where=""))
 def knn_cosine_batch100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput shape of the north star ('bulk batch similarity
-    search'): 100 queries in one pass via the BLAS kernel — scoring work
-    grows 10x vs the Q=10 query but the plan and the merge stay
-    O(partitions*Q*k)."""
+    search'): 100 queries in one pass — routed through the kernel
+    dispatcher (``knn.topk_auto``), which picks the BLAS path at this
+    batch size. Scoring work grows 10x vs the Q=10 query but the plan
+    and the merge stay O(partitions*Q*k)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qpdf = _emb_queries(emb, n=_KNN_Q_BIG).toPandas()
-    res = knn.topk_pandas(emb, qpdf, k=_KNN_K)
+    res = knn.topk_auto(emb, qpdf, k=_KNN_K)
     return _finish_rank(res)
 
 
