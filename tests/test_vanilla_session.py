@@ -38,12 +38,20 @@ assert dt["ts"] == "timestamp", dt
 n = df.count()
 assert n > 0, n
 
-# the two queries the round-1 driver errored on must now run
+# EVERY registered query must run under the driver's own session — the
+# round-1 driver errored all events-backed queries while the local suite
+# stayed green. Smoke at sf0.001: build + count, no oracle (parity is
+# tests/test_oracle_parity.py's job under the shared session).
 from vectordb_from_scratch_spark.registry import QUERIES
 
-assert QUERIES["pivot_events_by_type"](spark, "/root/testdata/sf0.001").count() > 0
-assert QUERIES["crud_metadata_filter"](spark, "/root/testdata/sf0.001").count() >= 0
-print("VANILLA_OK")
+failed = []
+for name, fn in sorted(QUERIES.items()):
+    try:
+        fn(spark, "/root/testdata/sf0.001").count()
+    except Exception as exc:  # noqa: BLE001
+        failed.append((name, repr(exc)[:200]))
+assert not failed, failed
+print(f"VANILLA_OK {len(QUERIES)} queries")
 spark.stop()
 """
 
