@@ -143,3 +143,22 @@ def test_knn_auto_dispatches_kernel_by_batch_size(spark, sf_oracle):
         k=5,
     )
     assert "MapInPandas" in plans.physical_plan(big)
+
+
+def test_simhash_banded_no_quadratic_join(q):
+    """dedup_simhash must pair via the band-bucket equi-join — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    df = q("dedup_simhash")
+    p = plans.physical_plan(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    # the pairing join must be an equi-join (hash/merge on the band key;
+    # broadcast at fixture scale, sort-merge past the broadcast threshold)
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_jaccard_hot_shingle_cap_is_broadcast_anti(q):
+    """The posting-list cap must subtract the hot set via a broadcast
+    anti-join (the hot set is tiny), not shuffle the posting table."""
+    df = q("dedup_jaccard_pairs")
+    p = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p

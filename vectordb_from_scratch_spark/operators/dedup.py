@@ -127,8 +127,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 2. n-gram Jaccard pairs ---------------------------------------------------
 
+#: Posting-list cap: shingles shared by more than this many documents are
+#: dropped from the inverted index BEFORE the self-join. This is the guard
+#: that bounds the join at 100 TB — a boilerplate shingle in 10^6 docs
+#: would otherwise contribute 10^12 pairs on its own. The cap biases
+#: Jaccard only through the (tiny, hottest) tail of the shingle universe,
+#: and the SAME cap runs in the oracle SQL, so the operator stays
+#: value-checked. Fixture-sized here (max posting is 7 at sf0.01, so the
+#: cap demonstrably fires); ~1000 is the production order of magnitude.
+JACCARD_MAX_POSTING = 5
+
 _JACCARD_SQL = f"""
-WITH sh AS (SELECT doc_id, unnest({_SH_SQL}) AS s FROM documents),
+WITH sh0 AS (SELECT doc_id, unnest({_SH_SQL}) AS s FROM documents),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {JACCARD_MAX_POSTING}),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 p  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -143,11 +155,22 @@ WHERE inter / (x.n + y.n - inter) >= 0.5
 @register("dedup_jaccard_pairs", _JACCARD_SQL)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-word-shingle Jaccard >= 0.5 via the inverted-
-    index self-join. At 100 TB, cap posting-list length (drop shingles
-    shared by more than ~1000 docs — they contribute only to already-obvious
-    pairs) to bound the join; not needed at fixture scale."""
+    index self-join, with the posting-list cap that makes the shape safe
+    at 100 TB: hot shingles (> JACCARD_MAX_POSTING docs) leave the index
+    before the join, so no single shingle can contribute a quadratic
+    bucket. Jaccard is computed over the capped shingle universe on BOTH
+    engines — value-checked, not hand-waved. The hot set is tiny by
+    construction (it's the top of the df distribution) → broadcast
+    anti-join, no extra shuffle of the posting table."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_rows(docs)
+    sh0 = _shingle_rows(docs)
+    hot = (
+        sh0.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > JACCARD_MAX_POSTING)
+        .select("s")
+    )
+    sh = sh0.join(F.broadcast(hot), "s", "left_anti")
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -330,21 +353,66 @@ def simhash_signatures(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFrame
     return bits.select("doc_id", pack.alias("simhash"))
 
 
+#: 8 bands × 4 bits over the 32-bit fingerprint. Pigeonhole: a pair at
+#: Hamming distance d touches at most d bands, so with d <= 6 < 8 at
+#: least one band is intact and the pair collides in the banded join —
+#: banding is EXACT for the <= 6 threshold, not approximate. That is why
+#: the oracle below stays the plain quadratic formulation: identical
+#: output, radically different plan.
+SIMHASH_N_BANDS = 8
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS  # 4
+assert _HAMMING_MAX < SIMHASH_N_BANDS  # the exactness condition
+
+
 @register("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 6 of 32 bits. The
-    pairing join here is quadratic (fine at fixture scale); at 100 TB you
-    band the fingerprint (4 x 8-bit chunks, join per chunk) exactly like
-    MinHash bands — same bucket-join shape as dedup_minhash_lsh."""
+    """SimHash near-dup pairs at Hamming distance <= 6 of 32 bits, banded:
+    fingerprints explode into 8 (band_id, 4-bit band_key) rows, candidates
+    come from the band-bucket self-join (the same shape as
+    dedup_minhash_lsh — shuffle on (band_id, band_key) only, no quadratic
+    join anywhere), then one exact bit_count(xor) filter over candidates.
+    Exact for this threshold by pigeonhole (see SIMHASH_N_BANDS); at
+    100 TB the band join touches O(Σ bucket²) pairs, and each bucket is
+    1/2^4 of a 1/8 slice of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     sig = simhash_signatures(docs)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright("simhash", j * _SIMHASH_BAND_BITS)
+                        .bitwiseAND(mask)
+                        .alias("band_key"),
+                    )
+                    for j in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(hamming <= _HAMMING_MAX)
-        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    return cand.filter(hamming <= _HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     )
 
 
