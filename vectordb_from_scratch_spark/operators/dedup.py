@@ -271,9 +271,9 @@ def banded_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BANDS_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        bands = minhash_bands(minhash_signatures(docs)).persist()
-        bands.count()
-        _BANDS_CACHE[key] = bands
+        # lazy persist: the first consuming action materializes the cache
+        # (an eager count() here would pay one extra documents pass)
+        _BANDS_CACHE[key] = minhash_bands(minhash_signatures(docs)).persist()
     return _BANDS_CACHE[key]
 
 
