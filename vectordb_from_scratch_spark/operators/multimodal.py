@@ -230,3 +230,43 @@ def decode_image(asset_df: DataFrame) -> DataFrame:
             "deterministic path"
         ) from exc
     raise NotImplementedError("real decoder wiring reserved for an environment with codecs")
+
+
+# --- audio byte-windows (tail-inclusive slicing, oracle-checked) -----------------
+
+WIN_BYTES = 64
+
+_AUDIO_SQL = f"""
+WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 1),
+w AS (SELECT asset_id, text,
+             unnest(range(0, CAST((length(text) + {WIN_BYTES} - 1) // {WIN_BYTES} AS BIGINT))) AS win_id
+      FROM a)
+SELECT asset_id, win_id,
+       length(substr(text, (win_id * {WIN_BYTES} + 1)::INT, {WIN_BYTES}))::BIGINT AS win_bytes,
+       md5(substr(text, (win_id * {WIN_BYTES} + 1)::INT, {WIN_BYTES}))            AS win_checksum
+FROM w
+"""
+
+
+@register("multimodal_audio_windows", _AUDIO_SQL)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped windowing for 'audio' assets: fixed-size byte windows
+    INCLUDING the partial tail — the complement of frame sampling, whose
+    video semantics drop incomplete frames. ceil(n/W) windows per asset;
+    the tail window's length is n mod W. Pure binary substring + md5
+    expressions — exactly the slicing a real resample/feature UDF
+    iterates, minus the codec; embarrassingly parallel, no shuffle."""
+    a = assets(load_table(spark, sf_dir, "documents")).filter(F.col("kind") == "audio")
+    n_wins = ((F.col("meta.n_bytes") + WIN_BYTES - 1) / WIN_BYTES).cast("long")
+    wins = a.select(
+        "asset_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_wins - 1)).alias("win_id"),
+    )
+    sliced = F.expr(f"substring(payload, win_id * {WIN_BYTES} + 1, {WIN_BYTES})")
+    return wins.select(
+        "asset_id",
+        "win_id",
+        F.length(sliced).cast("long").alias("win_bytes"),
+        F.md5(sliced).alias("win_checksum"),
+    )

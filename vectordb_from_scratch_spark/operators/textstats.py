@@ -10,7 +10,7 @@ final small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectordb_from_scratch_spark.functions import texthash
@@ -434,3 +434,107 @@ def chunker_udtf():
                 yield i, " ".join(piece), len(piece)
 
     return Chunker
+
+
+# --- n-gram frequency --------------------------------------------------------
+
+_NGRAM_K = 20
+
+_NGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w),
+c AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram)
+SELECT bigram, n, rnk FROM (
+  SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC) AS rnk
+  FROM c)
+WHERE rnk <= {_NGRAM_K}
+"""
+
+
+@register("text_ngram_freq", _NGRAM_SQL)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency top-20 — the n-gram census every
+    corpus-quality report starts with. zip_with over two shifted slices
+    builds bigrams without an explode-then-self-join; counts shuffle on
+    the bigram only; global top-20 is TakeOrderedAndProject (then a
+    one-row-partition rank for the stable rnk column — 20 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = texthash.words("text")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(_NGRAM_K)
+    rnk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("bigram")))
+    return top.withColumn("rnk", rnk.cast("long")).select("bigram", "n", "rnk")
+
+
+# --- TF-IDF top terms --------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {_TFIDF_K}
+"""
+
+
+@register("text_tfidf_topterms", _TFIDF_SQL)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinguishing terms by tf·idf — the classic
+    document-fingerprinting projection (BM25's static cousin; the BM25
+    query above ranks docs for one query, this ranks terms for every doc).
+
+    Plan shape: one explode → (doc, term) combine for tf; df reuses the
+    same rows through a distinct + term combine and joins back on term
+    (at 100 TB: broadcast the df table — vocabulary ≪ corpus); the
+    per-doc rank window prunes map-side (WindowGroupLimit). The rank
+    orders by the ROUNDED score so a final-ulp ln() divergence between
+    engines cannot flip neighbors."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # one metadata-cheap count; literal folds into codegen
+    terms = d.select("doc_id", F.explode(texthash.words("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )

@@ -1381,3 +1381,96 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# --- window: first/last/nth value over a full frame ------------------------------
+
+_FLN_SQL = """
+WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT o_orderkey, o_custkey,
+       first_value(cents) OVER w AS first_cents,
+       last_value(cents)  OVER w AS last_cents,
+       nth_value(cents, 2) OVER w AS second_cents,
+       lead(cents, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_cents
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_first_last_nth", _FLN_SQL)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-navigation window family (first_value / last_value /
+    nth_value over an explicit full frame, plus lead) — the one window
+    group not yet covered by the running/topn/lag/frames queries. All
+    four share one (o_custkey, date-ordered) window, so Catalyst computes
+    them in a single Window over one exchange; values ride as exact
+    integer cents. last_value/nth_value REQUIRE the unbounded-following
+    frame — the default frame stops at CURRENT ROW and silently yields
+    the running last, a classic semantics trap pinned here on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("cents").over(full).alias("first_cents"),
+        F.last("cents").over(full).alias("last_cents"),
+        F.nth_value("cents", 2).over(full).alias("second_cents"),
+        F.lead("cents", 1).over(base).alias("next_cents"),
+    )
+
+
+# --- full outer join: period-over-period reconciliation --------------------------
+
+_FOJ_SQL = """
+WITH y94 AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_1994
+             FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1994 GROUP BY o_custkey),
+y95 AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_1995
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY o_custkey)
+SELECT coalesce(y94.o_custkey, y95.o_custkey) AS custkey,
+       coalesce(cents_1994, 0) AS cents_1994,
+       coalesce(cents_1995, 0) AS cents_1995,
+       CASE WHEN y94.o_custkey IS NULL THEN '1995_only'
+            WHEN y95.o_custkey IS NULL THEN '1994_only'
+            ELSE 'both' END AS status
+FROM y94 FULL OUTER JOIN y95 ON y94.o_custkey = y95.o_custkey
+"""
+
+
+@register("join_full_outer_reconcile", _FOJ_SQL)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reconciliation via FULL OUTER join — the one
+    classic join type the q1-q22 suite never exercises (customers active
+    in either year, with null-materialized absences classified). Both
+    sides aggregate BEFORE the join (aggregate-then-join, same discipline
+    as q18), so the full outer joins two small per-customer tables, never
+    fact rows; money is exact integer cents. Note a full outer join
+    cannot broadcast either side (both sides must see unmatched rows) —
+    Catalyst correctly plans a shuffle join here, asserted nowhere else
+    in the suite."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def year_totals(year: int, out: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(cents).alias(out))
+        )
+
+    y94 = year_totals(1994, "cents_1994").withColumnRenamed("o_custkey", "ck94")
+    y95 = year_totals(1995, "cents_1995").withColumnRenamed("o_custkey", "ck95")
+    joined = y94.join(y95, y94["ck94"] == y95["ck95"], "full_outer")
+    return joined.select(
+        F.coalesce("ck94", "ck95").alias("custkey"),
+        F.coalesce("cents_1994", F.lit(0)).alias("cents_1994"),
+        F.coalesce("cents_1995", F.lit(0)).alias("cents_1995"),
+        F.when(F.col("ck94").isNull(), "1995_only")
+        .when(F.col("ck95").isNull(), "1994_only")
+        .otherwise("both")
+        .alias("status"),
+    )
