@@ -1,13 +1,17 @@
 """Multimodal column plumbing — image/audio/video as opaque BINARY columns
 with typed metadata (north-star extension; no reference analog).
 
-The container has no image/audio libraries, so the DECODE step is stubbed
-two ways (both clearly marked):
-- a deterministic fake decoder (``fake_decode_features``) that parses real
-  bytes with real Arrow/mapInPandas plumbing — schema, batching, partition
-  behavior are all production-shaped and tested;
-- a real-decoder integration point (``decode_image``) gated behind an
-  import-try that raises ``NotImplementedError`` with instructions.
+Decode comes in three tiers:
+- REAL codecs, fully value-checked: WAV (stdlib ``wave`` RIFF/PCM16
+  round-trip, ``multimodal_wav_decode``) and PNG (zlib inflate +
+  CRC-checked chunk walk + scanline unfiltering,
+  ``multimodal_png_decode``) — genuine encode and decode running
+  executor-side over Arrow batches;
+- a deterministic fake decoder (``fake_decode_features``) standing in for
+  codecs the container lacks, with production-shaped plumbing;
+- a vendor-library integration point (``decode_image``) gated behind an
+  import-try that raises ``NotImplementedError`` with instructions
+  (PIL/ffmpeg-class formats: JPEG, MP3, H.264).
 
 Payloads are synthesized deterministically from ``documents.text`` (ASCII →
 bytes is 1:1), which lets the byte-level oracle run on string slices in
@@ -270,3 +274,277 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(sliced).cast("long").alias("win_bytes"),
         F.md5(sliced).alias("win_checksum"),
     )
+
+
+# --- REAL audio decode: WAV (RIFF/PCM16) via the stdlib codec --------------------
+#
+# The container has no PIL/librosa, but Python ships a genuine WAV codec
+# (`wave`): these operators run REAL encode and REAL decode — actual RIFF
+# headers parsed by the standard-library parser inside executors — not the
+# deterministic fake above. Payload synthesis is itself the encode side:
+# each text byte becomes one signed PCM16 sample ((b - 128) << 8), mono,
+# 8 kHz, so the DuckDB oracle can compute the expected waveform statistics
+# from the source text while Spark must round-trip genuine WAV bytes to
+# reproduce them — a decoder bug (header offset, endianness, width) breaks
+# the value hash.
+
+WAV_RATE = 8000
+
+
+def synth_wav_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, wav BINARY): real WAV files written by the stdlib codec
+    in an Arrow-batched pass (the encode half of the codec plumbing)."""
+    import io
+    import wave as wave_mod
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                pcm = bytes(text, "utf-8")
+                samples = b"".join(
+                    int.to_bytes(((b - 128) << 8) & 0xFFFF, 2, "little")
+                    for b in pcm
+                )
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_RATE)
+                    w.writeframes(samples)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "wav": payloads})
+
+    return docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text").mapInPandas(
+        encode, schema="asset_id long, wav binary"
+    )
+
+
+def decode_wav_features(wav_df: DataFrame) -> DataFrame:
+    """REAL decode: parse each BINARY payload with the stdlib `wave`
+    parser, read the PCM frames, compute waveform statistics. Runs
+    executor-side over Arrow batches; the RIFF header is genuinely
+    parsed (a wrong magic/fmt chunk raises, it is not pattern-faked)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["wav"]):
+                with wave_mod.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    rate = w.getframerate()
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    frames = w.readframes(n)
+                x = np.frombuffer(frames, dtype="<i2").astype("float64")
+                rows.append(
+                    (
+                        int(aid),
+                        n,
+                        rate,
+                        int(np.abs(x).max()) if n else 0,
+                        round(float(np.sqrt(np.mean(x * x))) if n else 0.0, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_frames", "framerate", "peak", "rms"]
+            )
+
+    return wav_df.mapInPandas(
+        decode, schema="asset_id long, n_frames long, framerate long, peak long, rms double"
+    )
+
+
+_WAV_SQL = f"""
+WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 1),
+s AS (SELECT asset_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> (ascii(substr(text, i::INT, 1)) - 128) * 256) AS samples
+      FROM a)
+SELECT asset_id,
+       len(samples)::BIGINT AS n_frames,
+       {WAV_RATE}::BIGINT   AS framerate,
+       list_max(list_transform(samples, x -> abs(x)))::BIGINT AS peak,
+       round(sqrt(list_avg(list_transform(samples, x -> x * x * 1.0))), 6) AS rms
+FROM s
+"""
+
+
+@register("multimodal_wav_decode", _WAV_SQL)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL codec round-trip for audio assets: synthesize
+    genuine RIFF/PCM16 WAV files (stdlib encoder), decode them with the
+    stdlib `wave` parser, emit waveform stats — value-checked against the
+    oracle's direct computation on the source bytes. Samples are exact
+    integers (so peak and the mean-of-squares are exact on both engines;
+    only the final sqrt is rounded). Two chained mapInPandas passes, no
+    shuffle — the exact shape a production decode/feature stage has."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_features(synth_wav_assets(docs))
+
+
+# --- REAL image decode: PNG (zlib inflate + scanline unfilter) -------------------
+#
+# Same discipline as the WAV pair: genuine PNG files (signature, IHDR,
+# CRC-checked chunks, zlib-compressed scanlines with a NON-TRIVIAL filter)
+# are synthesized executor-side, then decoded by parsing the chunk stream,
+# inflating IDAT, and UNFILTERING the scanlines. Synthesis writes filter
+# type 2 ("Up": each byte stored as delta vs the byte above), so a decoder
+# that skips unfiltering produces wrong pixels and fails the value hash —
+# the decode is real work, not byte-copying.
+
+PNG_WIDTH = 32
+
+
+def synth_png_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, png BINARY): real 8-bit grayscale PNGs — text bytes as
+    pixels, rows of PNG_WIDTH, zero-padded tail row, Up-filtered
+    scanlines, zlib-compressed, CRC'd chunks."""
+    import struct
+    import zlib
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                pix = bytes(text, "utf-8")
+                h = (len(pix) + PNG_WIDTH - 1) // PNG_WIDTH
+                pix = pix.ljust(h * PNG_WIDTH, b"\x00")
+                raw = bytearray()
+                prev = bytes(PNG_WIDTH)
+                for r in range(h):
+                    row = pix[r * PNG_WIDTH : (r + 1) * PNG_WIDTH]
+                    raw.append(2)  # filter type 2: Up
+                    raw.extend((row[i] - prev[i]) & 0xFF for i in range(PNG_WIDTH))
+                    prev = row
+                ihdr = struct.pack(">IIBBBBB", PNG_WIDTH, h, 8, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "png": payloads})
+
+    return docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text").mapInPandas(
+        encode, schema="asset_id long, png binary"
+    )
+
+
+def decode_png_features(png_df: DataFrame) -> DataFrame:
+    """REAL decode: verify the PNG signature, walk the chunk stream with
+    CRC checks, inflate IDAT, reverse the per-scanline filters (types 0
+    and 2 — what the encoder emits), emit image statistics."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["png"]):
+                data = bytes(payload)
+                assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+                pos, width = 8, None
+                idat = bytearray()
+                while pos < len(data):
+                    (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                    tag = data[pos + 4 : pos + 8]
+                    body = data[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+                    assert zlib.crc32(tag + body) & 0xFFFFFFFF == crc, "CRC mismatch"
+                    if tag == b"IHDR":
+                        width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+                        assert depth == 8 and ctype == 0, "not 8-bit grayscale"
+                    elif tag == b"IDAT":
+                        idat.extend(body)
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                raw = zlib.decompress(bytes(idat))
+                stride = width + 1
+                prev = np.zeros(width, dtype=np.uint8)
+                pixels = []
+                for r in range(height):
+                    line = raw[r * stride : (r + 1) * stride]
+                    ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8)
+                    if ftype == 2:  # Up
+                        row = (row + prev).astype(np.uint8)
+                    elif ftype != 0:
+                        raise ValueError(f"unsupported filter {ftype}")
+                    pixels.append(row)
+                    prev = row
+                img = np.stack(pixels).astype("int64")
+                rows.append(
+                    (
+                        int(aid),
+                        int(width),
+                        int(height),
+                        int(img.max()),
+                        int(img.sum()),
+                        int(img.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "max_pixel", "pixel_sum", "n_pixels"],
+            )
+
+    return png_df.mapInPandas(
+        decode,
+        schema="asset_id long, width long, height long, max_pixel long, "
+        "pixel_sum long, n_pixels long",
+    )
+
+
+_PNG_SQL = f"""
+WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 0),
+d AS (SELECT asset_id,
+             length(text) AS n,
+             CAST((length(text) + {PNG_WIDTH} - 1) // {PNG_WIDTH} AS BIGINT) AS height,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i::INT, 1))) AS px
+      FROM a)
+SELECT asset_id,
+       {PNG_WIDTH}::BIGINT AS width,
+       height,
+       list_max(px)::BIGINT  AS max_pixel,
+       list_sum(px)::BIGINT  AS pixel_sum,
+       (height * {PNG_WIDTH})::BIGINT AS n_pixels
+FROM d
+"""
+
+
+@register("multimodal_png_decode", _PNG_SQL)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image codec round-trip: synthesize genuine PNGs
+    (Up-filtered scanlines, CRC'd chunks), decode by chunk-walking +
+    zlib-inflating + unfiltering, emit image stats — value-checked
+    against the oracle computing directly on the source bytes (zero-pad
+    semantics included: pixel_sum/n_pixels cover height*width pixels).
+    All outputs are EXACT integers — a mean would sit on power-of-two
+    rounding midpoints (sum / h*32) where the engines' half-up vs
+    half-even disagree; (pixel_sum, n_pixels) cannot. Padding bytes are
+    0x00, so max_pixel is unaffected (text is printable ASCII > 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png_features(synth_png_assets(docs))
