@@ -162,3 +162,28 @@ def test_jaccard_hot_shingle_cap_is_broadcast_anti(q):
     df = q("dedup_jaccard_pairs")
     p = plans.physical_plan(df)
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_tfidf_broadcast_df_and_window_limit(q):
+    """text_tfidf_topterms: the vocabulary (df) side must broadcast and the
+    per-doc rank must prune map-side — no sort-merge join anywhere."""
+    df = q("text_tfidf_topterms")
+    p = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert plans.has_window_group_limit(df)
+
+
+def test_full_outer_join_is_shuffle_join(q):
+    """A FULL OUTER join cannot broadcast either side (both must observe
+    unmatched rows) — Catalyst must plan a shuffle join here."""
+    p = plans.physical_plan(q("join_full_outer_reconcile"))
+    assert "SortMergeJoin FullOuter" in p or "ShuffledHashJoin FullOuter" in p
+    assert "BroadcastHashJoin FullOuter" not in p
+
+
+def test_codec_pipelines_have_zero_shuffles(q):
+    """The WAV/PNG encode→decode chains are mapInPandas compositions over
+    the scan — embarrassingly parallel, not a single Exchange."""
+    for name in ("multimodal_wav_decode", "multimodal_png_decode", "multimodal_audio_windows"):
+        df = q(name)
+        assert plans.n_shuffles(df) == 0, name
