@@ -127,3 +127,98 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --- the FULL pipeline: quality → near-dup → decontaminate → accounting ----------
+
+_CLEAN_SQL = f"""
+WITH RECURSIVE {dedup._minhash_sig_sql()},
+bands AS ({dedup._bands_sql()}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+nonrep AS (SELECT node AS doc_id FROM comp WHERE component <> node),
+eval_sh AS (
+  SELECT DISTINCT unnest(list_distinct(
+           {texthash.word_shingles_sql('text', 6)})) AS s
+  FROM documents WHERE source = 'src0'),
+batch_sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           {texthash.word_shingles_sql('text', 6)})) AS s
+  FROM documents WHERE source <> 'src0'),
+contaminated AS (
+  SELECT doc_id FROM batch_sh JOIN eval_sh USING (s)
+  GROUP BY doc_id HAVING count(*) >= 5),
+q AS (SELECT doc_id, source, lang,
+             list_filter(string_split(text, ' '), w -> w != '') AS ws,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text) AS punct_ratio
+      FROM documents WHERE source <> 'src0'),
+kept AS (SELECT doc_id, source, lang, len(ws)::BIGINT AS n_tokens
+         FROM q
+         WHERE len(ws) >= 20
+           AND len(list_filter(ws, w -> list_contains({_STOP_LIST_SQL}, w))) * 1.0 / len(ws) > 0.01
+           AND punct_ratio < 0.2
+           AND doc_id NOT IN (SELECT doc_id FROM nonrep)
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT source, lang,
+       count(*)      AS n_docs,
+       sum(n_tokens) AS total_tokens
+FROM kept GROUP BY source, lang
+"""
+
+
+@register("pipeline_clean_corpus", _CLEAN_SQL)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data preparation flow, one plan, one oracle:
+
+        documents (minus the held-out eval source)
+          → quality gate          (scan-local predicate)
+          → near-dup removal      (MinHash bands → components → keep reps;
+                                   note: dup detection runs over the FULL
+                                   corpus incl. eval docs, so a training
+                                   doc duplicating an eval doc is dropped
+                                   by whichever of dedup/decon fires first)
+          → eval decontamination  (≥5 shared 6-word shingles with the
+                                   src0 eval set → broadcast semi-join)
+          → corpus accounting     (docs + token budget per source × lang)
+
+    This is the composition the four standalone oracles
+    (text_quality_scores, dedup_minhash_lsh/components,
+    dedup_decontaminate, pipeline_training_prep) exist to feed — and the
+    end-to-end value check proves the stages don't interfere. Scale shape
+    is the union of its parts: band-key shuffles + node-id iterations for
+    dedup, an eval-side broadcast for decon, scan-local quality, one
+    small final groupBy. The corpus is never joined quadratically and
+    never shuffled whole."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = dedup.banded_signatures(spark, sf_dir)
+    kept = prepare_training_corpus(spark, docs.filter(F.col("source") != "src0"), bands=bands)
+
+    eval_sh = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(F.array_distinct(texthash.word_shingles("text", 6))).alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(F.array_distinct(texthash.word_shingles("text", 6))).alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .select("doc_id")
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    return clean.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
