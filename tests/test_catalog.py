@@ -239,3 +239,29 @@ def test_chunks_scan_prunes_by_library(cat):
     plan = plans.physical_plan(corpus)
     m = re.search(r"PartitionFilters: \[([^\]]*library_id[^\]]*)\]", plan)
     assert m, f"no library_id partition filter in scan:\n{plan}"
+
+
+def test_ingest_document_text_end_to_end(cat):
+    """The one-call ingest pipeline (chunk → embed → add) must produce
+    searchable chunks: text search for a phrase from the document finds a
+    chunk of that document at rank 1 with the same provider embedding."""
+    lib_id = cat.create_library("ingest-lib", 16, index_type="flat")
+    text = (
+        "spark shuffles partition data across executors during wide transformations "
+        "while narrow transformations stay pipeline local and avoid network traffic "
+        "broadcast joins ship the small side to every executor once"
+    )
+    doc_id, chunk_ids = cat.ingest_document_text(lib_id, "ingest-doc", text)
+    assert len(chunk_ids) >= 2  # sliding windows over ~30 words
+    listed = cat.list_chunks(lib_id)
+    assert {c["id"] for c in listed} == set(chunk_ids)
+    assert all(len(c["embedding"]) == 16 for c in listed)
+    assert {c["metadata"]["chunk_seq"] for c in listed} == {
+        str(i) for i in range(len(chunk_ids))
+    }
+
+    res = cat.search_text(lib_id, "broadcast joins ship the small side", k=3)
+    assert res and res[0].similarity_score > 0.3
+    top = cat.get_chunk(lib_id, res[0].chunk_id)
+    assert top["document_id"] == doc_id
+    assert "broadcast" in top["text"]

@@ -452,6 +452,60 @@ class VectorCatalog:
         )
         return out_ids
 
+    def ingest_document_text(
+        self,
+        lib_id: str,
+        title: str,
+        text: str,
+        provider: str = "hashed",
+        chunk_size: int = 16,
+        stride: int = 12,
+        **provider_kwargs,
+    ) -> tuple[str, list[str]]:
+        """The reference's WHOLE ingest pipeline as one call — what its API
+        forces clients to do by hand, one REST request per chunk
+        (documents.py + chunks.py:43-70 sequential loop + the embed route):
+        create the document, derive sliding-window chunks, embed each
+        chunk executor-side in bounded batches, add them atomically.
+
+        Composition of three existing operators (chunk derivation from
+        operators/textstats.chunk_documents's expression, embedder.
+        embed_texts, add_chunks) — the chunk/embed work runs as ONE Spark
+        job over an in-memory single-document frame; for bulk corpus
+        ingest call the same operators over the full documents table
+        instead (same plan, a million rows instead of one).
+
+        Returns (doc_id, chunk_ids)."""
+        from vectordb_from_scratch_spark.functions import embedder
+
+        lib = self.get_library(lib_id)
+        doc_id = self.create_document(lib_id, title)
+        words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
+        chunks = (
+            self.spark.createDataFrame([(text,)], "text STRING")
+            .select(words.alias("words"), F.explode(starts).alias("start"))
+            .select(
+                (F.col("start") / stride).cast("long").alias("chunk_seq"),
+                F.array_join(
+                    F.slice(F.col("words"), F.col("start") + 1, chunk_size), " "
+                ).alias("text"),
+            )
+        )
+        embedded = embedder.embed_texts(
+            chunks, dims=lib["dims"], provider=provider, **provider_kwargs
+        )
+        rows = embedded.orderBy("chunk_seq").collect()
+        items = [
+            {
+                "text": r["text"],
+                "embedding": [float(x) for x in r["embedding"]],
+                "metadata": {"chunk_seq": str(r["chunk_seq"])},
+            }
+            for r in rows
+        ]
+        return doc_id, self.add_chunks(lib_id, doc_id, items)
+
     def get_chunk(self, lib_id: str, chunk_id: str) -> dict:
         rows = (
             self.chunks.read()
