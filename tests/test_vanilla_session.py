@@ -65,3 +65,29 @@ def test_load_events_under_vanilla_session():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "VANILLA_OK" in proc.stdout
+
+
+def test_any_module_import_order():
+    """Importing an operator module directly (before registry) must not
+    hit the registry's module-load cycle — a user importing
+    operators.dedup first used to crash in pipeline's oracle-SQL
+    construction while dedup was partially initialized."""
+    for entry in (
+        "vectordb_from_scratch_spark.operators.dedup",
+        "vectordb_from_scratch_spark.operators.pipeline",
+        "vectordb_from_scratch_spark.operators.tpch",
+        "vectordb_from_scratch_spark.catalog",
+    ):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"import sys; sys.path.insert(0, '/root/repo'); import {entry}; "
+                "from vectordb_from_scratch_spark import registry; "
+                "assert len(registry.QUERIES) > 100",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, (entry, proc.stderr[-1500:])

@@ -42,39 +42,23 @@ from vectordb_from_scratch_spark.functions import linalg, texthash
 from vectordb_from_scratch_spark.registry import register, track_persist
 from vectordb_from_scratch_spark.session import load_table
 
-# ---------------------------------------------------------------------------
-# MinHash parameters — sized so (a*h + b) never overflows signed 64-bit in
-# either engine: h is folded to 30 bits, a,b < 2^30, modulus 2^31 - 1.
-# ---------------------------------------------------------------------------
-NUM_HASHES = 16
-N_BANDS = 4
-ROWS_PER_BAND = NUM_HASHES // N_BANDS
-MOD = 2147483647  # 2^31 - 1
-H_BITS = 1 << 30
-
-
-def minhash_params(num_hashes: int = NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) with a ∈ [1, 2^30), b ∈ [0, 2^30) from the same
-    LCG as texthash.affine_params — literals inlined into both engines."""
-    params = []
-    state = seed
-    for _ in range(num_hashes):
-        state = (state * 6364136223846793005 + 1442695040888963407) % ((1 << 61) - 1)
-        a = (state % (H_BITS - 1)) + 1
-        state = (state * 6364136223846793005 + 1442695040888963407) % ((1 << 61) - 1)
-        b = state % H_BITS
-        params.append((a, b))
-    return params
-
-
-_PARAMS = minhash_params()
-
-_SHINGLE_N = 3
-
-# DuckDB rendering of the distinct 3-shingle set of `text`
-_SH_SQL = f"list_distinct({texthash.word_shingles_sql('text', _SHINGLE_N)})"
-# DuckDB rendering of the folded 30-bit shingle hash
-_H30_SQL = f"({texthash.hash60_sql('s')} % {H_BITS})"
+# MinHash parameters + DuckDB fragments live in functions/minhash.py
+# (registry-free, so pipeline.py's oracle SQL can embed them without a
+# circular import); re-exported here under their historical names.
+from vectordb_from_scratch_spark.functions.minhash import (  # noqa: E402
+    H30_SQL as _H30_SQL,
+    H_BITS,
+    MOD,
+    N_BANDS,
+    NUM_HASHES,
+    PARAMS as _PARAMS,
+    ROWS_PER_BAND,
+    SH_SQL as _SH_SQL,
+    SHINGLE_N as _SHINGLE_N,
+    bands_sql as _bands_sql,
+    minhash_params,
+    minhash_sig_sql as _minhash_sig_sql,
+)
 
 
 def _shingle_rows(docs: DataFrame) -> DataFrame:
@@ -190,28 +174,6 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- 3. MinHash + LSH bands ------------------------------------------------------
-
-
-def _minhash_sig_sql() -> str:
-    mh = ",\n       ".join(
-        f"min(({a} * h + {b}) % {MOD}) AS mh{i}" for i, (a, b) in enumerate(_PARAMS)
-    )
-    return f"""
-sh  AS (SELECT doc_id, unnest({_SH_SQL}) AS s FROM documents),
-hh  AS (SELECT doc_id, {_H30_SQL} AS h FROM sh),
-sig AS (SELECT doc_id,
-       {mh}
-       FROM hh GROUP BY doc_id)"""
-
-
-def _bands_sql() -> str:
-    parts = []
-    for band in range(N_BANDS):
-        cols = "||'|'||".join(
-            f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
-        )
-        parts.append(f"SELECT doc_id, {band} AS band_id, {cols} AS band_key FROM sig")
-    return " UNION ALL ".join(parts)
 
 
 _MINHASH_SQL = f"""

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vectordb_from_scratch_spark.functions import texthash
+from vectordb_from_scratch_spark.functions import minhash, texthash
 from vectordb_from_scratch_spark.operators import dedup
 from vectordb_from_scratch_spark.registry import register
 from vectordb_from_scratch_spark.session import load_table
@@ -82,8 +82,8 @@ def prepare_training_corpus(
 
 
 _PREP_SQL = f"""
-WITH RECURSIVE {dedup._minhash_sig_sql()},
-bands AS ({dedup._bands_sql()}),
+WITH RECURSIVE {minhash.minhash_sig_sql()},
+bands AS ({minhash.bands_sql()}),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -132,8 +132,8 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- the FULL pipeline: quality → near-dup → decontaminate → accounting ----------
 
 _CLEAN_SQL = f"""
-WITH RECURSIVE {dedup._minhash_sig_sql()},
-bands AS ({dedup._bands_sql()}),
+WITH RECURSIVE {minhash.minhash_sig_sql()},
+bands AS ({minhash.bands_sql()}),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
