@@ -168,3 +168,23 @@ def test_delete_document_cascades_via_delta(cat):
     assert {r["id"] for r in assign.collect()} == set(extra)
     res = cat.search(lib_id, vecs[0].tolist(), k=3)
     assert [r.chunk_id for r in res] == ["cX"]
+
+
+def test_tablestore_time_travel_reads_previous_version(cat):
+    """The retained N-1 version is readable by name: a snapshot read from
+    before a mutation still shows the pre-mutation row."""
+    from vectordb_from_scratch_spark.catalog import NotFoundError
+
+    lib_id, _, ids = _populate(cat, "tt-lib")
+    store = cat.chunks
+    v_before = store._latest()
+    cat.update_chunk(lib_id, ids[0], text="mutated")
+
+    old = store.read(version=v_before).filter(f"id = '{ids[0]}'").collect()
+    new = store.read().filter(f"id = '{ids[0]}'").collect()
+    assert old[0]["text"] == "chunk 0" and new[0]["text"] == "mutated"
+    assert v_before in store.versions() and len(store.versions()) == 2
+
+    cat.update_chunk(lib_id, ids[1], text="again")  # v_before GC'd now
+    with pytest.raises(NotFoundError):
+        store.read(version=v_before)

@@ -119,11 +119,23 @@ class TableStore:
         except FileNotFoundError:
             return None
 
-    def read(self) -> DataFrame:
-        v = self._latest()
+    def versions(self) -> list[str]:
+        """On-disk versions, oldest first (GC keeps the latest two)."""
+        return sorted(
+            e for e in os.listdir(self.dir) if e.startswith("v") and e[1:].isdigit()
+        )
+
+    def read(self, version: str | None = None) -> DataFrame:
+        """Read the latest version, or time-travel to a retained one
+        (``version='v000003'`` or ``-1`` semantics via ``versions()``).
+        Reading a GC'd version raises — retention is latest two."""
+        v = version or self._latest()
         if v is None:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(os.path.join(self.dir, v))
+        path = os.path.join(self.dir, v)
+        if version is not None and not os.path.isdir(path):
+            raise NotFoundError(f"version {version} of {self.dir} not retained")
+        return self.spark.read.schema(self.schema).parquet(path)
 
     def write(self, df: DataFrame, partition_by: str | None = None) -> None:
         cur = self._latest()
