@@ -109,7 +109,7 @@ kept AS (SELECT doc_id, source, lang, len(ws)::BIGINT AS n_tokens
            AND doc_id NOT IN (SELECT doc_id FROM nonrep))
 SELECT source, lang,
        count(*)        AS n_docs,
-       sum(n_tokens)   AS total_tokens
+       sum(n_tokens)::BIGINT AS total_tokens
 FROM kept GROUP BY source, lang
 """
 
@@ -171,7 +171,7 @@ kept AS (SELECT doc_id, source, lang, len(ws)::BIGINT AS n_tokens
            AND doc_id NOT IN (SELECT doc_id FROM contaminated))
 SELECT source, lang,
        count(*)      AS n_docs,
-       sum(n_tokens) AS total_tokens
+       sum(n_tokens)::BIGINT AS total_tokens
 FROM kept GROUP BY source, lang
 """
 

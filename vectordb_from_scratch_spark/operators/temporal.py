@@ -157,7 +157,7 @@ _RANGE_SQL = f"""
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
 SELECT a.user_id AS user_id,
        count(*)            AS n_pairs,
-       sum(b.us - a.us)    AS total_gap_us
+       sum(b.us - a.us)::BIGINT AS total_gap_us
 FROM e a JOIN e b
   ON a.user_id = b.user_id
  AND b.us - a.us BETWEEN 0 AND {RANGE_WIDTH_US}

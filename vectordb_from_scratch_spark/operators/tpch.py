@@ -669,9 +669,9 @@ def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAMES_SQL = """
 WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
 SELECT o_orderkey, o_custkey,
-       sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)          AS rolling3_cents,
-       sum(cents) OVER (PARTITION BY o_custkey)                           AS cust_total_cents,
+       (sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS rolling3_cents,
+       (sum(cents) OVER (PARTITION BY o_custkey))::BIGINT                 AS cust_total_cents,
        count(*) OVER (PARTITION BY o_custkey)                              AS n_orders,
        ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
        rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_rank
@@ -1432,8 +1432,8 @@ WITH y94 AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS
 y95 AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_1995
         FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY o_custkey)
 SELECT coalesce(y94.o_custkey, y95.o_custkey) AS custkey,
-       coalesce(cents_1994, 0) AS cents_1994,
-       coalesce(cents_1995, 0) AS cents_1995,
+       coalesce(cents_1994, 0)::BIGINT AS cents_1994,
+       coalesce(cents_1995, 0)::BIGINT AS cents_1995,
        CASE WHEN y94.o_custkey IS NULL THEN '1995_only'
             WHEN y95.o_custkey IS NULL THEN '1994_only'
             ELSE 'both' END AS status

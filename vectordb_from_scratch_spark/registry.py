@@ -211,8 +211,8 @@ def knn_manhattan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT vec_id,
        round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
-       CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 THEN 0.0
-            ELSE 1.0 END AS post_norm
+       (CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 THEN 0.0
+             ELSE 1.0 END)::DOUBLE AS post_norm
 FROM embeddings
 """,
 )
