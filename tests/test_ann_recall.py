@@ -111,6 +111,43 @@ def test_blocked_neardup_recovers_top_pairs(spark, sf_small):
     assert recall >= 0.6, f"blocked near-dup pair recall = {recall:.2f}"
 
 
+def test_blocked_batch_topk_cap():
+    """score_iter must emit only each batch's local top-k (VERDICT r2 #3):
+    the cap keeps the global rank window's input at O(batches·k) rows, and
+    its ordering must be the window's exact total order so no globally
+    top-k pair is dropped."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators.dedup import _batch_topk
+
+    out = pd.DataFrame(
+        {
+            "vec_a": [1, 2, 3, 1, 2],
+            "vec_b": [9, 8, 7, 5, 6],
+            "score": [0.9, 0.9, 0.5, 0.9, 0.7],
+        }
+    )
+    capped = _batch_topk(out, 3)
+    assert len(capped) == 3
+    # ties on score break by (vec_a, vec_b) ascending — the window's order
+    assert list(map(tuple, capped[["vec_a", "vec_b"]].to_numpy())) == [
+        (1, 5),
+        (1, 9),
+        (2, 8),
+    ]
+    assert _batch_topk(out, 10) is out  # no-op under the cap
+
+
+def test_corpus_stats_cache(sf_small):
+    """Parquet-footer stats must match the actual table and be cached."""
+    from vectordb_from_scratch_spark.operators import dedup
+
+    dedup._GUARD_STATS_CACHE.pop(str(sf_small), None)
+    n, dims = dedup.embedding_corpus_stats(sf_small)
+    assert n > 0 and dims == 64
+    assert dedup._GUARD_STATS_CACHE[str(sf_small)] == (n, dims)
+
+
 def test_neardup_auto_routes_by_corpus_size(spark, sf_small):
     """The size guard (VERDICT #5): under the broadcast threshold the auto
     router must produce EXACTLY the exact kernel's top-k; forced over the
