@@ -265,3 +265,18 @@ def test_ingest_document_text_end_to_end(cat):
     top = cat.get_chunk(lib_id, res[0].chunk_id)
     assert top["document_id"] == doc_id
     assert "broadcast" in top["text"]
+
+
+def test_ingest_rejects_empty_text_without_orphan_document(cat):
+    """Empty/whitespace text must fail validation BEFORE the document is
+    created (an F.sequence(0, -1) crash after create_document would leave
+    an orphaned chunkless document behind)."""
+    import pytest
+
+    from vectordb_from_scratch_spark.catalog import ValidationError
+
+    lib_id = cat.create_library("empty-ingest-lib", 16, index_type="flat")
+    for bad in ("", "   "):
+        with pytest.raises(ValidationError):
+            cat.ingest_document_text(lib_id, "empty-doc", bad)
+    assert cat.list_documents(lib_id) == []

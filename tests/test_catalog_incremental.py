@@ -63,6 +63,25 @@ def _latest_version_dir(store) -> str:
     return os.path.join(store.dir, store._latest())
 
 
+def test_write_partition_drops_stray_rows_outside_values(cat):
+    """write_partition must ignore part_df rows for partitions NOT in
+    `values`: those partitions were just hardlinked from the current
+    version, so appending stray rows would silently duplicate data."""
+    lib_a, _, _ = _populate(cat, "stray-a")
+    lib_b, _, _ = _populate(cat, "stray-b")
+    from pyspark.sql import functions as F
+
+    store = cat.chunks
+    cur = store.read()
+    before = cur.filter(F.col("library_id") == lib_b).count()
+    part_a = cur.filter(F.col("library_id").isin([lib_a, lib_b]))
+    # part_df claims to cover only lib_a but carries lib_b rows too
+    store.write_partition(part_a, "library_id", [lib_a])
+    after = store.read()
+    assert after.filter(F.col("library_id") == lib_b).count() == before
+    assert after.filter(F.col("library_id") == lib_a).count() == N
+
+
 def test_chunk_update_rewrites_only_touched_library_partition(cat):
     """TableStore.write_partition: the untouched library's partition files
     in the NEW version are hardlinks (same inode) of the old version's —

@@ -39,6 +39,18 @@ def test_png_roundtrip_reconstructs_exact_pixels(spark):
     assert row["n_pixels"] == h * mm.PNG_WIDTH
 
 
+def test_png_zero_height_decodes_to_null_stats(spark):
+    """A zero-height PNG (empty source text) must decode to a stats row
+    with NULL max/sum and 0 pixels — matching the oracle's aggregates
+    over an empty pixel list — not crash in np.stack."""
+    png = _one_png(spark, "")
+    df = spark.createDataFrame([(0, bytearray(png))], "asset_id long, png binary")
+    row = mm.decode_png_features(df).collect()[0]
+    assert row["width"] == mm.PNG_WIDTH and row["height"] == 0
+    assert row["max_pixel"] is None and row["pixel_sum"] is None
+    assert row["n_pixels"] == 0
+
+
 def test_png_decoder_rejects_corrupt_crc(spark):
     png = bytearray(_one_png(spark, TEXT))
     # flip one byte inside the IDAT body (after sig+IHDR chunk)

@@ -178,6 +178,9 @@ class TableStore:
                 os.makedirs(dst, exist_ok=True)
                 for fname in os.listdir(src):
                     os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        # rows outside `values` would land next to a partition that was
+        # just hardlinked from the current version — silent duplication
+        part_df = part_df.filter(F.col(partition_by).isin(values))
         part_df.write.mode("append").partitionBy(partition_by).parquet(path)
         self._swap_and_gc(cur, nxt)
 
@@ -491,6 +494,11 @@ class VectorCatalog:
         from vectordb_from_scratch_spark.functions import embedder
 
         lib = self.get_library(lib_id)
+        if not text or not text.split():
+            # validate BEFORE create_document: empty tokenized text would
+            # make F.sequence(0, -1, stride) illegal (positive step,
+            # start > stop) and leave an orphaned chunkless document
+            raise ValidationError("document text must contain at least one token")
         doc_id = self.create_document(lib_id, title)
         words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
         starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))

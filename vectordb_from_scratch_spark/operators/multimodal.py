@@ -465,7 +465,7 @@ def decode_png_features(png_df: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["png"]):
                 data = bytes(payload)
                 assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
-                pos, width = 8, None
+                pos, width, height = 8, None, None
                 idat = bytearray()
                 while pos < len(data):
                     (ln,) = struct.unpack(">I", data[pos : pos + 4])
@@ -481,6 +481,13 @@ def decode_png_features(png_df: DataFrame) -> DataFrame:
                     elif tag == b"IEND":
                         break
                     pos += 12 + ln
+                assert width is not None, "missing IHDR chunk"
+                if height == 0:
+                    # zero-height PNG (empty source text): no scanlines to
+                    # unfilter; match the oracle's aggregates over an empty
+                    # pixel list (list_max/list_sum of [] are NULL, 0 pixels)
+                    rows.append((int(aid), int(width), 0, None, None, 0))
+                    continue
                 raw = zlib.decompress(bytes(idat))
                 stride = width + 1
                 prev = np.zeros(width, dtype=np.uint8)
@@ -508,7 +515,7 @@ def decode_png_features(png_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "width", "height", "max_pixel", "pixel_sum", "n_pixels"],
-            )
+            ).astype({"max_pixel": "Int64", "pixel_sum": "Int64"})
 
     return png_df.mapInPandas(
         decode,
