@@ -69,6 +69,48 @@ def test_png_decoder_rejects_bad_signature(spark):
         mm.decode_png_features(df).collect()
 
 
+def _one_bmp(spark, text: str) -> bytes:
+    df = spark.createDataFrame([(2, text)], "doc_id long, text string")
+    return bytes(mm.synth_bmp_assets(df).collect()[0]["bmp"])
+
+
+def test_bmp_roundtrip_reconstructs_pixels_and_row_order(spark):
+    """Decode must honor bottom-up storage (top_row_sum = sum of the
+    FIRST text row, not the last) and strip the 4-byte stride padding
+    (pixel_sum excludes pad columns)."""
+    bmp = _one_bmp(spark, TEXT)
+    df = spark.createDataFrame([(2, bytearray(bmp))], "asset_id long, bmp binary")
+    row = mm.decode_bmp_features(df).collect()[0]
+    pix = TEXT.encode()
+    h = (len(pix) + mm.BMP_WIDTH - 1) // mm.BMP_WIDTH
+    padded = pix.ljust(h * mm.BMP_WIDTH, b"\x00")
+    arr = np.frombuffer(padded, dtype=np.uint8)
+    assert row["width"] == mm.BMP_WIDTH and row["height"] == h
+    assert row["max_pixel"] == int(arr.max())
+    assert row["pixel_sum"] == int(arr.sum())
+    assert row["top_row_sum"] == int(arr[: mm.BMP_WIDTH].sum())
+    # order-sensitivity: a file-order (non-flipped) read would return the
+    # LAST text row here; prove the two differ on this fixture
+    assert int(arr[: mm.BMP_WIDTH].sum()) != int(arr[(h - 1) * mm.BMP_WIDTH :].sum())
+
+
+def test_bmp_decoder_rejects_bad_magic(spark):
+    bmp = bytearray(_one_bmp(spark, TEXT))
+    bmp[0] = 0x00
+    df = spark.createDataFrame([(2, bmp)], "asset_id long, bmp binary")
+    with pytest.raises(Exception, match="signature|PythonException"):
+        mm.decode_bmp_features(df).collect()
+
+
+def test_bmp_zero_height_decodes_to_null_stats(spark):
+    bmp = _one_bmp(spark, "")
+    df = spark.createDataFrame([(2, bytearray(bmp))], "asset_id long, bmp binary")
+    row = mm.decode_bmp_features(df).collect()[0]
+    assert row["height"] == 0
+    assert row["max_pixel"] is None and row["pixel_sum"] is None
+    assert row["top_row_sum"] is None
+
+
 def test_wav_roundtrip_matches_direct_pcm_stats(spark):
     wav = _one_wav(spark, TEXT)
     # the payload is a genuine WAV: stdlib wave parses it standalone

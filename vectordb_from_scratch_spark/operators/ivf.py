@@ -202,9 +202,11 @@ def search(
     n_probes: int = DEFAULT_N_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    qpdf=None,
 ) -> DataFrame:
     """V9: probe + exact rerank. Returns (query_id, vec_id, score, rank)
-    with cosine scores, deterministic tie-break (score DESC, id ASC)."""
+    with cosine scores, deterministic tie-break (score DESC, id ASC).
+    ``qpdf`` (pandas mirror of ``queries``) skips the rerank's collect."""
     probes = probe_clusters_df(centroids, queries, n_probes)
     # candidates: members of probed clusters, per query (small join, then
     # the only corpus touch is fetching candidate vectors by id)
@@ -212,7 +214,9 @@ def search(
 
     cand = assignments.join(F.broadcast(probes), "cluster_id").select("query_id", id_col)
     cand_vec = cand.join(corpus.select(id_col, vec_col), id_col)
-    rerank = knn.score_pairs_pandas(cand_vec, queries.toPandas(), id_col, vec_col)
+    rerank = knn.score_pairs_pandas(
+        cand_vec, qpdf if qpdf is not None else queries.toPandas(), id_col, vec_col
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         rerank.withColumn("rank", F.row_number().over(w))
@@ -255,13 +259,17 @@ def build_and_search(
     n_clusters: int = DEFAULT_N_CLUSTERS,
 ) -> DataFrame:
     """End-to-end IVF pipeline on the embeddings fixture: train → assign →
-    probe → rerank. The queries are the first ``n_queries`` vectors."""
+    probe → rerank. The queries are the first ``n_queries`` vectors,
+    served from the process-level query cache (knn.fixture_query_set) so
+    prebuilt searches pay only probe + rerank, never a corpus re-scan."""
+    from vectordb_from_scratch_spark.operators import knn
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    qpdf, queries = knn.fixture_query_set(spark, sf_dir, n_queries)
     centroids, assignments = built_index(spark, sf_dir, n_clusters=n_clusters)
-    return search(emb, centroids, assignments, queries, k=k, n_probes=n_probes)
+    return search(
+        emb, centroids, assignments, queries, k=k, n_probes=n_probes, qpdf=qpdf
+    )
 
 
 @register("ivf_search")  # no oracle: k-means is not SQL-expressible → rows-only check

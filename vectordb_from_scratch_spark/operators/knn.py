@@ -186,6 +186,43 @@ def topk_auto(
     )
 
 
+#: per-process query-set cache: (app_id, sf_dir, n_queries) → pandas
+#: frame of the first-n fixture vectors. The ANN entries (ivf_search,
+#: lsh_search) re-derived their query set from the embeddings parquet on
+#: EVERY call — a full scan job that polluted the cold-vs-prebuilt split
+#: (the prebuilt entries should isolate probe+rerank cost, not pay query
+#: derivation again). One scan per process; later calls rebuild only a
+#: driver-local DataFrame from the cached rows.
+_QUERY_CACHE: dict = {}
+
+
+def fixture_query_set(spark, sf_dir: str, n_queries: int = 10):
+    """(qpdf, queries_df) for the first ``n_queries`` embedding vectors:
+    ``qpdf`` is the driver-side pandas frame the rerank kernels consume,
+    ``queries_df`` a local-relation Spark DataFrame (no parquet scan) for
+    the probe joins. Cached per (session, sf_dir, n_queries)."""
+    from vectordb_from_scratch_spark.session import load_table
+
+    key = (spark.sparkContext.applicationId, str(sf_dir), n_queries)
+    if key not in _QUERY_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        pdf = (
+            emb.filter(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            .toPandas()
+        )
+        pdf["query_vec"] = pdf["query_vec"].map(list)
+        _QUERY_CACHE[key] = pdf
+    qpdf = _QUERY_CACHE[key]
+    queries_df = spark.createDataFrame(
+        qpdf, schema="query_id long, query_vec array<double>"
+    )
+    return qpdf, queries_df
+
+
 def score_pairs_pandas(
     cand_with_vec: DataFrame,
     queries_pdf: pd.DataFrame,

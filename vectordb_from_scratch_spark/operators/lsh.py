@@ -181,10 +181,12 @@ def build_and_search(
     n_queries: int = 10,
     n_flips: int = 0,
 ) -> DataFrame:
+    from vectordb_from_scratch_spark.operators import knn
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    # cached query set: search() collects this local-relation DataFrame
+    # driver-side, so prebuilt searches never re-scan the corpus parquet
+    _, queries = knn.fixture_query_set(spark, sf_dir, n_queries)
     H, buckets = built_buckets(spark, sf_dir, n_tables, n_bits)
     return search(emb, buckets, queries, H, k=k, n_flips=n_flips)
 

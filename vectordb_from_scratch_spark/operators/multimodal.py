@@ -1,17 +1,17 @@
 """Multimodal column plumbing — image/audio/video as opaque BINARY columns
 with typed metadata (north-star extension; no reference analog).
 
-Decode comes in three tiers:
+Decode comes in two tiers:
 - REAL codecs, fully value-checked: WAV (stdlib ``wave`` RIFF/PCM16
-  round-trip, ``multimodal_wav_decode``) and PNG (zlib inflate +
+  round-trip, ``multimodal_wav_decode``), PNG (zlib inflate +
   CRC-checked chunk walk + scanline unfiltering,
-  ``multimodal_png_decode``) — genuine encode and decode running
-  executor-side over Arrow batches;
+  ``multimodal_png_decode``), and BMP (header parse + bottom-up row
+  re-order + stride-padding strip, ``multimodal_bmp_decode``) — genuine
+  encode and decode running executor-side over Arrow batches;
 - a deterministic fake decoder (``fake_decode_features``) standing in for
-  codecs the container lacks, with production-shaped plumbing;
-- a vendor-library integration point (``decode_image``) gated behind an
-  import-try that raises ``NotImplementedError`` with instructions
-  (PIL/ffmpeg-class formats: JPEG, MP3, H.264).
+  codecs the container lacks (PIL/ffmpeg-class formats: JPEG, MP3,
+  H.264 — an explicit non-goal, see COVERAGE.md), with
+  production-shaped plumbing.
 
 Payloads are synthesized deterministically from ``documents.text`` (ASCII →
 bytes is 1:1), which lets the byte-level oracle run on string slices in
@@ -215,25 +215,140 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- real-decoder integration point -------------------------------------------------
+# --- REAL image decode #2: BMP (bottom-up rows + 4-byte stride padding) ----------
+#
+# Second real raster codec alongside PNG, zero external deps. BMP's two
+# traps make the decode genuine work: the pixel array is stored BOTTOM-UP
+# (a decoder that reads rows in file order flips the image — caught by the
+# order-sensitive top_row_sum output) and every row is padded to a 4-byte
+# boundary (BMP_WIDTH=30 → stride 32, so a decoder ignoring padding shears
+# every row after the first). PIL/ffmpeg-class formats (JPEG, MP3, H.264)
+# remain out of scope — see COVERAGE.md; the codec surface here is
+# WAV + PNG + BMP, all decoded from bytes with stdlib only.
+
+BMP_WIDTH = 30  # deliberately not a multiple of 4: stride padding is exercised
+_BMP_PALETTE = b"".join(bytes((i, i, i, 0)) for i in range(256))
+_BMP_OFFBITS = 14 + 40 + 256 * 4  # file header + info header + grayscale palette
 
 
-def decode_image(asset_df: DataFrame) -> DataFrame:
-    """Real image decode — NOT IMPLEMENTED in this container (no PIL/cv2).
+def synth_bmp_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, bmp BINARY): real 8-bit indexed-color BMPs — text bytes
+    as pixels over a grayscale palette, rows of BMP_WIDTH padded to the
+    4-byte stride, stored bottom-up per the format."""
+    import struct
 
-    Integration contract: swap ``_decode_real`` into the same mapInPandas
-    slot as ``fake_decode_features`` — identical schema and batching. Kept
-    as an explicit stub so the Spark-side plumbing is the tested part.
-    """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decoding requires pillow, which is not available in this "
-            "environment; use fake_decode_features for the plumbing-equivalent "
-            "deterministic path"
-        ) from exc
-    raise NotImplementedError("real decoder wiring reserved for an environment with codecs")
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                pix = bytes(text, "utf-8")
+                h = (len(pix) + BMP_WIDTH - 1) // BMP_WIDTH
+                pix = pix.ljust(h * BMP_WIDTH, b"\x00")
+                stride = (BMP_WIDTH + 3) & ~3
+                body = bytearray()
+                for r in range(h - 1, -1, -1):  # bottom-up row order
+                    row = pix[r * BMP_WIDTH : (r + 1) * BMP_WIDTH]
+                    body.extend(row.ljust(stride, b"\x00"))
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, BMP_WIDTH, h, 1, 8, 0, len(body), 0, 0, 256, 0
+                )
+                file_hdr = struct.pack(
+                    "<2sIHHI", b"BM", _BMP_OFFBITS + len(body), 0, 0, _BMP_OFFBITS
+                )
+                payloads.append(file_hdr + info + _BMP_PALETTE + bytes(body))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "bmp": payloads})
+
+    return docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text").mapInPandas(
+        encode, schema="asset_id long, bmp binary"
+    )
+
+
+def decode_bmp_features(bmp_df: DataFrame) -> DataFrame:
+    """REAL decode: validate the BM header, parse BITMAPINFOHEADER, read
+    the pixel array honoring the 4-byte row stride and bottom-up storage,
+    emit image statistics. ``top_row_sum`` is the sum of the image's TOP
+    row — wrong unless rows were re-ordered, so a file-order byte copy
+    fails the value check."""
+    import struct
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["bmp"]):
+                data = bytes(payload)
+                magic, _fsize, _r1, _r2, offbits = struct.unpack("<2sIHHI", data[:14])
+                assert magic == b"BM", "bad BMP signature"
+                hdr_size, width, height, planes, bpp, comp = struct.unpack(
+                    "<IiiHHI", data[14:34]
+                )
+                assert hdr_size == 40 and planes == 1, "bad BITMAPINFOHEADER"
+                assert bpp == 8 and comp == 0, "not uncompressed 8bpp"
+                assert height >= 0, "top-down BMP not emitted by our encoder"
+                if height == 0:
+                    rows.append((int(aid), int(width), 0, None, None, None))
+                    continue
+                stride = (width + 3) & ~3
+                arr = np.frombuffer(
+                    data, dtype=np.uint8, count=stride * height, offset=offbits
+                ).reshape(height, stride)
+                img = arr[::-1, :width].astype("int64")  # un-flip, drop padding
+                rows.append(
+                    (
+                        int(aid),
+                        int(width),
+                        int(height),
+                        int(img.max()),
+                        int(img.sum()),
+                        int(img[0].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "max_pixel", "pixel_sum", "top_row_sum"],
+            ).astype({"max_pixel": "Int64", "pixel_sum": "Int64", "top_row_sum": "Int64"})
+
+    return bmp_df.mapInPandas(
+        decode,
+        schema="asset_id long, width long, height long, max_pixel long, "
+        "pixel_sum long, top_row_sum long",
+    )
+
+
+_BMP_SQL = f"""
+WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 2),
+d AS (SELECT asset_id,
+             CAST((length(text) + {BMP_WIDTH} - 1) // {BMP_WIDTH} AS BIGINT) AS height,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i::INT, 1))) AS px,
+             list_transform(range(1, least(length(text), {BMP_WIDTH}) + 1),
+                            i -> ascii(substr(text, i::INT, 1))) AS top
+      FROM a)
+SELECT asset_id,
+       {BMP_WIDTH}::BIGINT AS width,
+       height,
+       list_max(px)::BIGINT  AS max_pixel,
+       list_sum(px)::BIGINT  AS pixel_sum,
+       list_sum(top)::BIGINT AS top_row_sum
+FROM d
+"""
+
+
+@register("multimodal_bmp_decode", _BMP_SQL)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second real image codec round-trip (after PNG): synthesize genuine
+    bottom-up stride-padded BMPs, decode by header parse + row re-order +
+    padding strip, value-checked against the oracle computing on source
+    bytes. top_row_sum pins row ORDER (the first text row must come out
+    on top); pixel_sum pins padding (pad bytes are 0x00, excluded by the
+    width slice). Exact integers only — same rationale as the PNG query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_bmp_features(synth_bmp_assets(docs))
 
 
 # --- audio byte-windows (tail-inclusive slicing, oracle-checked) -----------------
