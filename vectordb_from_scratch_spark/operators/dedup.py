@@ -186,16 +186,33 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def _hash_array(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): the 30-bit hashes of the distinct shingle set as an
+    ARRAY column — the scan-local base for both signature builders. Kept
+    as its own projection: ``hs`` is referenced many times downstream, and
+    Catalyst's CollapseProject declines to inline a non-cheap expression
+    used more than once, so md5 runs once per shingle, not once per use."""
+    sh = F.array_distinct(texthash.word_shingles("text", _SHINGLE_N))
+    return docs.select(
+        "doc_id", F.transform(sh, lambda s: texthash.hash60(s) % H_BITS).alias("hs")
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh15): 16 MinHash values over the 3-shingle set, using
-    the cross-engine md5 hash. One explode + one groupBy — the signature
-    build is a single shuffle on doc_id regardless of corpus size."""
-    hh = _shingle_rows(docs).select("doc_id", _h30("s").alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD).alias(f"mh{i}")
+    the cross-engine md5 hash. Entirely SCAN-LOCAL: each permutation's min
+    is an array_min over the per-row shingle-hash array, so the signature
+    build has NO shuffle at all. (The previous explode + groupBy shape
+    shuffled the exploded shingle table — ~50× corpus size at 100 TB —
+    just to regroup rows that were already co-located by document.)"""
+    hh = _hash_array(docs)
+    cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MOD)
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_PARAMS)
     ]
-    return hh.groupBy("doc_id").agg(*aggs)
+    return hh.select("doc_id", *cols)
 
 
 def minhash_bands(sig: DataFrame) -> DataFrame:
@@ -294,25 +311,22 @@ def simhash_signatures(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFrame
 
     NOTE: h is folded to 30 bits, so only bits 0..29 carry signal; bits
     30/31 of the fingerprint are constant (-1 sums → 0). Harmless for
-    pairing, kept for a round 32-bit key."""
-    hh = _shingle_rows(docs).select("doc_id", _h30("s").alias("h"))
-    bit_sums = [
-        F.when(
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            )
-            > 0,
-            F.lit(1 << j).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias(f"p{j}")
-        for j in range(n_bits)
-    ]
-    bits = hh.groupBy("doc_id").agg(*bit_sums)
-    pack = None
+    pairing, kept for a round 32-bit key.
+
+    SCAN-LOCAL like minhash_signatures: sign(sum of ±1 over bit j)
+    ⇔ 2·(count of set bits j) > n_shingles, a size(filter(hs)) per bit —
+    no explode, no shuffle."""
+    hh = _hash_array(docs)
+    n = F.size(F.col("hs"))
+    pack = F.lit(0).cast("long")
     for j in range(n_bits):
-        pack = F.col(f"p{j}") if pack is None else pack + F.col(f"p{j}")
-    return bits.select("doc_id", pack.alias("simhash"))
+        ones = F.size(
+            F.filter(F.col("hs"), lambda h: h.bitwiseAND(F.lit(1 << j)) != 0)
+        )
+        pack = pack + F.when(ones * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return hh.select("doc_id", pack.alias("simhash"))
 
 
 #: 8 bands × 4 bits over the 32-bit fingerprint. Pigeonhole: a pair at
