@@ -187,3 +187,34 @@ def test_codec_pipelines_have_zero_shuffles(q):
     for name in ("multimodal_wav_decode", "multimodal_png_decode", "multimodal_audio_windows"):
         df = q(name)
         assert plans.n_shuffles(df) == 0, name
+
+
+def test_minhash_simhash_signatures_scan_local(spark, sf_oracle):
+    """The signature builds must stay shuffle-free (scan-local array
+    expressions) and hash each shingle exactly once — the explode+groupBy
+    shape they replaced shuffled a ~50x-corpus exploded table."""
+    from vectordb_from_scratch_spark.operators import dedup
+    from vectordb_from_scratch_spark.session import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    for build in (dedup.minhash_signatures, dedup.simhash_signatures):
+        df = build(docs)
+        assert plans.n_shuffles(df) == 0, build.__name__
+        assert plans.physical_plan(df).count("md5") == 1, build.__name__
+
+
+def test_stratified_quota_limits_window_map_side(q):
+    """rank<=quota must compile to WindowGroupLimit: each map task keeps
+    its local top-quota per stratum before the exchange, so a skewed
+    stratum cannot skew the shuffle."""
+    assert plans.has_window_group_limit(q("sampling_stratified_exact"))
+
+
+def test_q1_decimal_is_single_scan_partial_agg(q):
+    """The decimal lane keeps q1's plan shape: one scan, no joins, and
+    column pruning to exactly the aggregated columns."""
+    df = q("tpch_q1_decimal")
+    # exactly the one groupBy shuffle (simple mode: one line per node)
+    assert plans.physical_plan(df, mode="simple").count("Exchange") == 1
+    schemas = plans.scan_read_schemas(df)
+    assert schemas and all("l_partkey" not in s for s in schemas)

@@ -69,3 +69,54 @@ def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- exact stratified quotas ------------------------------------------------
+
+STRATA_QUOTA = 50
+
+
+def stratified_quota(
+    df: DataFrame, strata_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """EXACT per-stratum quota: rank rows inside each stratum by content
+    hash (deterministic, partition-independent) and keep the first
+    ``quota``. Complements ``stratified_sample``: Bernoulli gives binomial
+    noise around the target; this gives exactly min(quota, |stratum|) rows.
+
+    Scale: the rank-≤-quota filter compiles to WindowGroupLimit, so each
+    map task keeps only its local top-``quota`` per stratum BEFORE the
+    exchange — the shuffle carries O(partitions · quota) rows per stratum,
+    not the stratum. Skewed strata therefore don't skew the shuffle."""
+    order = texthash.hash60(F.col(id_col).cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= quota)
+    )
+
+
+_STRATIFIED_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {texthash.hash60_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS rk
+  FROM documents)
+SELECT lang, doc_id, rk FROM ranked WHERE rk <= {STRATA_QUOTA}
+"""
+
+
+@register("sampling_stratified_exact", _STRATIFIED_SQL)
+def sampling_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly STRATA_QUOTA docs per language, chosen by deterministic
+    hash order — the reproducible per-stratum rebalancing draw (language
+    quotas are the standard LLM-corpus rebalancing lever). Byte-identical
+    in DuckDB: the rank order is the cross-engine md5 hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_quota(docs, "lang", "doc_id", STRATA_QUOTA).select(
+        "lang", "doc_id", "rk"
+    )

@@ -538,3 +538,54 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_K)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+# --- repetition scoring (Gopher/C4-style quality signal) --------------------
+#
+# Excessive n-gram repetition is the canonical low-quality marker in
+# LLM-corpus filtering (boilerplate, keyword stuffing, templated spam).
+# Score = frequency of the most-common word bigram over all bigrams.
+# Plan shape at 100 TB: explode → (doc_id, gram) partial-agg → (doc_id)
+# partial-agg. Both aggregations map-side combine before their exchange,
+# and nothing is quadratic in document length (an aggregate() over the
+# distinct-gram array would be O(len²) per doc — wrong for 100k-token
+# documents, fine only for fixtures).
+
+_REP_SQL = """
+WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS w
+            FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM ws WHERE len(w) >= 2),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       sum(cnt)::BIGINT                          AS n_grams,
+       count(*)                                  AS n_unique,
+       max(cnt)::BIGINT                          AS max_gram_count,
+       round(max(cnt) * 1.0 / sum(cnt), 6)       AS top_ratio
+FROM c GROUP BY doc_id
+"""
+
+
+@register("text_repetition_scores", _REP_SQL)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram repetition: total/unique bigram counts, the
+    top bigram's count, and its frequency ratio (the Gopher-style filter
+    signal). Documents under 2 words have no bigrams and are excluded on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = texthash.words("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    g = (
+        docs.filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.max("cnt").alias("max_gram_count"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_ratio"),
+    )

@@ -71,6 +71,65 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q1 decimal lane: exact DECIMAL money arithmetic, cross-engine ---------
+#
+# The double-based queries keep floats honest by rounding; this variant
+# retires the float class entirely for money: every factor is cast to
+# DECIMAL(18,2), products stay exact (2dp × 2dp × 2dp = 6dp), sums are
+# exact decimal aggregation on both engines. The FINAL outputs are
+# fixed-scale decimals rendered as STRINGS: a decimal output column would
+# survive Spark but DuckDB's pandas conversion canonicalizes DECIMAL to
+# float64 (exactly the HUGEINT bug class from round 2), while the string
+# rendering of a fixed-scale decimal is engine-independent and pins both
+# the value AND the scale ('453925196.125575' must match to the digit).
+
+_Q1_DECIMAL_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(28,4)) AS VARCHAR) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+       AS DECIMAL(28,6)) AS VARCHAR) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_decimal", _Q1_DECIMAL_SQL)
+def q1_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("decimal(28,2)").cast("string").alias("sum_qty"),
+            F.sum(d("l_extendedprice"))
+            .cast("decimal(28,2)")
+            .cast("string")
+            .alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (one - d("l_discount")))
+            .cast("decimal(28,4)")
+            .cast("string")
+            .alias("sum_disc_price"),
+            F.sum(
+                d("l_extendedprice") * (one - d("l_discount")) * (one + d("l_tax"))
+            )
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 # --- Q3-style shipping priority (dim-filter + 3-way join + agg + top-k) ----
 
 _Q3_SQL = """
