@@ -73,7 +73,16 @@ def ensure_bucketed(
     hit = _TABLES_CACHE.get(key)
     if hit is not None:
         return hit
-    digest = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:8]
+    # The digest includes each source parquet's (mtime, size) fingerprint:
+    # the driver regenerates testdata between rounds IN PLACE, and a layout
+    # keyed on path alone would silently serve the previous generation's
+    # rows from the attached bucket directories.
+    stamp = "|".join(
+        f"{s.st_mtime_ns}:{s.st_size}"
+        for src, _, _ in _SIDES
+        for s in (os.stat(os.path.join(sf_dir, f"{src}.parquet")),)
+    )
+    digest = hashlib.md5(f"{sf_dir}|{n_buckets}|{stamp}".encode()).hexdigest()[:8]
     names: dict[str, str] = {}
     for src, key_col, cols in _SIDES:
         tbl = f"b_{src}_{digest}"

@@ -70,13 +70,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Plain ``spark.read.parquet`` so
     Catalyst gets predicate pushdown + column pruning at the scan.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    with PARQUET_TYPE_ILLEGAL. We must work under *any* caller's
-    SparkSession (the correctness harness builds its own, without our
-    ``get_spark`` defaults), so the nanosAsLong conf is set defensively at
-    call time — it is a runtime-settable SQL conf, not a builder-only one.
-    With nanosAsLong the column arrives as a long which we convert to a
-    microsecond timestamp (exact integer division — no double rounding)."""
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (rounds 1-2) and
+    as plain timestamp[us] without UTC adjustment (round 3+), and we must
+    work under *any* caller's SparkSession (the correctness harness builds
+    its own, without our ``get_spark`` defaults). So normalize whatever
+    arrives to a TIMESTAMP_LTZ whose epoch equals the stored wall-clock
+    read as UTC — the same semantics DuckDB's naive-timestamp view gives
+    the oracle:
+
+    - NANOS + nanosAsLong → bigint → ``timestamp_micros(ts DIV 1000)``
+      (exact integer division — no double rounding);
+    - timestamp[us], isAdjustedToUTC=false → TIMESTAMP_NTZ under Spark 4's
+      default inference → pure-NTZ ``timestampdiff`` from the NTZ epoch,
+      then ``timestamp_micros``. NTZ→LTZ via CAST or to_utc_timestamp is
+      session-timezone-dependent; timestampdiff(NTZ, NTZ) is not."""
     from pyspark.errors import AnalysisException
 
     path = f"{sf_dir}/{name}.parquet"
@@ -92,10 +99,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf wasn't applied above: set it explicitly and retry once.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_LTZ with epoch == the
+    stored wall clock read as UTC, independent of the session timezone.
+    Accepts bigint nanos (legacy nanosAsLong reads), TIMESTAMP_NTZ
+    (parquet timestamp[us] without UTC adjustment), or an already-LTZ
+    timestamp (left untouched)."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+            ),
+        )
     return df
 
 

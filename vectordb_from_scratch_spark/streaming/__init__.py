@@ -24,26 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-#: events schema as stored (ts is TIMESTAMP(NANOS) parquet → bigint under
-#: the session's nanosAsLong setting; converted after read).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..session import normalize_event_ts
 
 SESSION_GAP = "30 minutes"
 
@@ -53,14 +35,24 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch under availableNow). Swapping in Kafka changes only this
-    function."""
+    function.
+
+    The stream schema comes from the batch footer read, so whatever shape
+    ``events.ts`` ships in (bigint nanos under nanosAsLong, TIMESTAMP_NTZ
+    for plain timestamp[us]) the raw stream matches it, and
+    ``normalize_event_ts`` converts to the canonical LTZ event time."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw_schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", glob)  # file source needs a dir
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, with_watermark: bool = True) -> DataFrame:
