@@ -75,6 +75,26 @@ def test_lsh_reference_defaults_return_results(spark, sf_small):
     assert all(q == v for q, v in top1.items())
 
 
+def test_sq8_recall(spark, sf_small, exact_topk):
+    """int8 scalar quantization loses ~log2(amax/127) bits of mantissa per
+    element; on unit-scale data the quantized cosine ordering should agree
+    with the float scan for nearly all of the top-k — well above what
+    probe-pruned indexes manage, because SQ8 still scans everything."""
+    from vectordb_from_scratch_spark.operators import quantization
+
+    emb = load_table(spark, sf_small, "embeddings")
+    enc = quantization.sq8_encode(emb)
+    qpdf = (
+        enc.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "codes", "norm2")
+        .toPandas()
+    )
+    qpdf["codes"] = qpdf["codes"].map(list)
+    res = quantization.sq8_topk_pandas(enc, qpdf, k=K)
+    r = _recall(res.collect(), exact_topk)
+    assert r >= 0.9, f"SQ8 recall@{K} = {r:.3f} < 0.9"
+
+
 def test_pandas_topk_matches_expr_topk(spark, sf_small):
     """The BLAS scale path must agree with the expression path exactly
     (same scores mod float assoc, same ids)."""

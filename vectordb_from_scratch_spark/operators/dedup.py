@@ -662,6 +662,90 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_minhash_sig_sql()},
+bands AS ({_bands_sql()}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+wl AS (SELECT doc_id,
+              len(list_filter(string_split(text, ' '), w -> w != ''))::BIGINT AS n_words
+       FROM documents),
+ranked AS (
+  SELECT c.component, c.node AS doc_id, wl.n_words,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY wl.n_words DESC, c.node ASC) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS csize
+  FROM comp c JOIN wl ON wl.doc_id = c.node)
+SELECT component, csize::BIGINT AS component_size,
+       doc_id AS kept_doc_id, n_words AS kept_n_words,
+       (csize - 1)::BIGINT AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_canonical_keep_best", _KEEP_BEST_SQL)
+def dedup_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the RESOLUTION step of a production
+    dedup pipeline: after MinHash banding groups near-duplicates into
+    components, keep exactly one representative per duplicate cluster.
+    Policy: longest document wins (word count), ties to the lowest doc_id
+    — the common 'keep the most complete copy' rule, and deliberately
+    integer-only so the cross-engine rank order needs no float tolerance.
+
+    The reference stops at index lookups; training-data pipelines need
+    this because the DELETE list (everything except kept_doc_id per
+    component) is what actually shrinks the corpus.
+
+    Scale shape: reuses the session-cached band table and the min-label
+    propagation of ``dedup_components``; the only additions are a word
+    count computed scan-local on documents and one window over the
+    component table — O(clustered docs), which is tiny relative to the
+    corpus. No new shuffle of document text."""
+    bands = banded_signatures(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    labels = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(texthash.words("text")).cast("long").alias("n_words")
+    )
+    ranked = labels.join(docs, labels["node"] == docs["doc_id"])
+    w = Window.partitionBy("label").orderBy(
+        F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "label")
+        .select(
+            F.col("label").alias("component"),
+            F.col("component_size"),
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_words").alias("kept_n_words"),
+            (F.col("component_size") - 1).alias("n_dropped"),
+        )
+    )
+
+
 def _batch_topk(out, k: int):
     """Reduce one scored Arrow batch to its local top-k under the SAME
     total order the global rank window uses (score desc, vec_a, vec_b).

@@ -1,0 +1,208 @@
+"""Scalar (int8) quantization — compressed-domain similarity search.
+
+The reference keeps every vector as float64 in RAM (``app/core/indexes/
+flat.py:30-38``); at 100 TB of embeddings that is the single biggest cost
+of the corpus. Scalar quantization stores each vector as 64 int8 codes
+(+ nothing else, for cosine): per vector, ``code_i = floor(x_i / amax *
+127 + 0.5)`` with ``amax = max|x_i|``. The per-vector scale CANCELS in
+cosine — cos(deq(a), deq(b)) = dot_int(a, b) / sqrt(||a||²_int ·
+||b||²_int) — so the compressed domain needs no dequantization at all,
+and the whole search is exact integer arithmetic + one sqrt. That makes
+it the one ANN compression whose results a SQL oracle can reproduce
+bit-for-bit: both engines compute the same integer dot products.
+
+Rounding is ``floor(v + 0.5)`` deliberately: Spark's ``round`` (HALF_UP
+via BigDecimal) and DuckDB's ``round`` (half-away-from-zero on doubles)
+disagree on negative .5 boundaries; ``floor`` is IEEE-exact and identical
+in both engines.
+
+Scale design: the codes table is 8× smaller than float64 (64 B vs 512 B a
+vector; packed BINARY on a real deployment, array<long> here for SQL
+ergonomics), so the scan that dominates brute-force search reads 8× less.
+The expression path keeps scoring JVM-side for oracle parity; the Arrow
+kernel path (``sq8_topk_pandas``) is the 100 TB plan — per-partition int
+matmul + local top-k, identical merge shape to ``knn.topk_pandas``.
+Shortlist + exact rerank against the raw vectors recovers full-precision
+ordering; at SQ8's fidelity the quantized ordering already value-matches
+the rerank on the fixture (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+SQ_MAX = 127  # int8 symmetric range
+
+
+def sq8_codes(vec: Column | str) -> Column:
+    """Per-vector symmetric int8 codes as array<long>: floor(x/amax*127
+    + 0.5); an all-zero vector encodes to all-zero codes."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    enc = F.transform(vec, lambda x: F.floor(x / amax * SQ_MAX + F.lit(0.5)))
+    zero = F.transform(vec, lambda x: F.lit(0).cast("long"))
+    return F.when(amax == 0, zero).otherwise(enc)
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_encode(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, codes, norm2) — norm2 = integer self-dot, precomputed once at
+    encode time so search divides by a stored value instead of recomputing
+    per pair (the same trick as storing unit-normalized floats)."""
+    codes = sq8_codes(vec_col)
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+    ).withColumn("norm2", _int_dot(F.col("codes"), F.col("codes")))
+
+
+_SQ8_SQL = """
+WITH enc AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+              THEN list_transform(embedding::DOUBLE[], x -> 0::BIGINT)
+              ELSE list_transform(embedding::DOUBLE[],
+                     x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+                                * 127 + 0.5)::BIGINT)
+         END AS codes
+  FROM embeddings),
+n AS (SELECT vec_id, codes,
+             list_dot_product(codes::DOUBLE[], codes::DOUBLE[]) AS norm2
+      FROM enc),
+q AS (SELECT vec_id AS query_id, codes AS qc, norm2 AS qn FROM n WHERE vec_id < {Q}),
+s AS (SELECT q.query_id, n.vec_id,
+             CASE WHEN q.qn * n.norm2 = 0 THEN 0.0
+                  ELSE list_dot_product(q.qc::DOUBLE[], n.codes::DOUBLE[])
+                       / sqrt(q.qn * n.norm2)
+             END AS score
+      FROM q CROSS JOIN n),
+r AS (SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM s)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {K}
+"""
+
+_SQ_Q = 10
+_SQ_K = 10
+
+
+@register("knn_sq8_topk", _SQ8_SQL.format(Q=_SQ_Q, K=_SQ_K))
+def knn_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain cosine top-k over int8 codes, value-checked
+    against DuckDB running the identical integer arithmetic — an
+    oracle-checked ANN compression path (recall vs the float scan is
+    additionally pinned in tests/test_ann_recall.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb)
+    q = enc.filter(F.col("vec_id") < _SQ_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("qc"),
+        F.col("norm2").alias("qn"),
+    )
+    dot = _int_dot(F.col("qc"), F.col("codes"))
+    score = F.when(F.col("qn") * F.col("norm2") == 0, F.lit(0.0)).otherwise(
+        dot / F.sqrt((F.col("qn") * F.col("norm2")).cast("double"))
+    )
+    scored = enc.join(F.broadcast(q)).select(
+        "query_id", "vec_id", score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SQ_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def sq8_topk_pandas(
+    enc: DataFrame, queries_pdf: pd.DataFrame, k: int = 10
+) -> DataFrame:
+    """Scale path: per-partition integer matmul over the codes table +
+    local top-k, then the tiny global merge — ``knn.topk_pandas`` over the
+    8×-compressed representation. ``queries_pdf`` carries (query_id,
+    codes, norm2) for a small query set."""
+    import numpy as np
+
+    qids = queries_pdf["query_id"].to_numpy()
+    Qc = np.stack(queries_pdf["codes"].to_list()).astype("float64")  # int-valued
+    qn = queries_pdf["norm2"].to_numpy().astype("float64")
+    qn_safe = np.where(qn == 0, 1.0, qn)
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = np.stack(pdf["codes"].to_list()).astype("float64")
+            n2 = pdf["norm2"].to_numpy().astype("float64")
+            n2_safe = np.where(n2 == 0, 1.0, n2)
+            S = (X @ Qc.T) / np.sqrt(np.outer(n2_safe, qn_safe))
+            S[n2 == 0, :] = 0.0
+            S[:, qn == 0] = 0.0
+            kk = min(k, S.shape[0])
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
+            rows = []
+            for j, qid in enumerate(qids):
+                sel = idx[:, j]
+                rows.append(
+                    pd.DataFrame({"query_id": qid, "vec_id": ids[sel], "score": S[sel, j]})
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    cand = enc.select("vec_id", "codes", "norm2").mapInPandas(
+        part_topk, schema="query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+@register("knn_sq8_topk_kernel", _SQ8_SQL.format(Q=_SQ_Q, K=_SQ_K))
+def knn_sq8_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-kernel plan for the same SQ8 search, against the same
+    oracle — pins the per-partition integer matmul against the expression
+    plan to 6dp, exactly as knn_cosine_topk_blas pins the float kernel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb)
+    qpdf = (
+        enc.filter(F.col("vec_id") < _SQ_Q)
+        .select(F.col("vec_id").alias("query_id"), "codes", "norm2")
+        .toPandas()
+    )
+    qpdf["codes"] = qpdf["codes"].map(list)
+    res = sq8_topk_pandas(enc, qpdf, k=_SQ_K)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
