@@ -95,6 +95,28 @@ def test_sq8_recall(spark, sf_small, exact_topk):
     assert r >= 0.9, f"SQ8 recall@{K} = {r:.3f} < 0.9"
 
 
+def test_pq_recall(spark, sf_small, exact_topk):
+    """PQ (8×8-dim subspaces, 256 codes) + shortlist-100 exact rerank must
+    recover nearly all of the exact top-10: the ADC shortlist only needs
+    the true neighbors somewhere in its top-100 of a 500-vector corpus,
+    then the rerank restores exact ordering."""
+    from vectordb_from_scratch_spark.operators import pq
+
+    res = pq.build_and_search(spark, sf_small, k=K, n_queries=N_QUERIES, shortlist=100)
+    r = _recall(res.collect(), exact_topk)
+    assert r >= 0.9, f"PQ recall@{K} = {r:.3f} < 0.9 (shortlist=100)"
+
+
+def test_pq_full_shortlist_is_exact(spark, sf_small, exact_topk):
+    """A shortlist as large as the corpus must reproduce the exact scan —
+    approximation comes only from shortlist pruning, never the rerank."""
+    from vectordb_from_scratch_spark.operators import pq
+
+    res = pq.build_and_search(spark, sf_small, k=K, n_queries=N_QUERIES, shortlist=10**6)
+    r = _recall(res.collect(), exact_topk)
+    assert r == 1.0, f"full-shortlist PQ recall = {r:.3f} != 1.0"
+
+
 def test_pandas_topk_matches_expr_topk(spark, sf_small):
     """The BLAS scale path must agree with the expression path exactly
     (same scores mod float assoc, same ids)."""
