@@ -186,6 +186,84 @@ def sq8_topk_pandas(
     )
 
 
+def sign_bits_word(vec_expr: str, word: int) -> Column:
+    """1-bit binarization, one 32-bit word at a time: bit i of word w is
+    set iff x_{32w+i} > 0, summed into a BIGINT. 32-bit words sidestep
+    the sign-bit overflow a single 64-bit pack would hit at dim 63, and
+    generalize to any dimension as an array of words."""
+    return F.expr(
+        f"aggregate(zip_with(slice({vec_expr}, {32 * word + 1}, 32), sequence(0, 31), "
+        f"(x, i) -> IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _hamming_word_sql(word: int) -> str:
+    lo, hi = 32 * word + 1, 32 * word + 32
+    return (
+        f"list_sum(list_transform(range(1, 33), "
+        f"i -> CASE WHEN (embedding[{lo}:{hi}])[i] > 0 "
+        f"THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT"
+    )
+
+
+_HAMMING_SQL = f"""
+WITH b AS (
+  SELECT vec_id,
+         {_hamming_word_sql(0)} AS lo,
+         {_hamming_word_sql(1)} AS hi
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM b WHERE vec_id < {{Q}}),
+s AS (SELECT q.query_id, b.vec_id,
+             (bit_count(xor(q.qlo, b.lo)) + bit_count(xor(q.qhi, b.hi)))::BIGINT AS hamming
+      FROM q CROSS JOIN b),
+r AS (SELECT query_id, vec_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, vec_id ASC) AS rnk
+      FROM s)
+SELECT query_id, vec_id, hamming, rnk
+FROM r WHERE rnk <= {{K}}
+"""
+
+
+@register("knn_hamming_topk", _HAMMING_SQL.format(Q=_SQ_Q, K=_SQ_K))
+def knn_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third compression tier: 1-bit sign binarization — 64 dims in
+    one BIGINT (512× vs float64). Ranking is Hamming distance =
+    bit_count(xor), a 2-instruction kernel that whole-stage codegen keeps
+    entirely JVM-side; the oracle reproduces it exactly because every
+    step is integer. At 100 TB this is the cheapest possible first-pass
+    filter — the binary scan touches 0.2% of the float bytes, and its
+    survivors feed the SQ8/PQ/exact tiers (the cascade every production
+    vector store runs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id",
+        sign_bits_word("embedding", 0).alias("lo"),
+        sign_bits_word("embedding", 1).alias("hi"),
+    )
+    q = bits.filter(F.col("vec_id") < _SQ_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    ).cast("long")
+    scored = bits.join(F.broadcast(q)).select(
+        "query_id", "vec_id", hamming.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SQ_K)
+        .select("query_id", "vec_id", "hamming", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 @register("knn_sq8_topk_kernel", _SQ8_SQL.format(Q=_SQ_Q, K=_SQ_K))
 def knn_sq8_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-kernel plan for the same SQ8 search, against the same
