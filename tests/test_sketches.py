@@ -26,3 +26,39 @@ def test_quantiles_bracket_exact_median(spark, sf_oracle):
         assert r["p50"] <= r["p90"] <= r["p99"]  # monotone
         denom = abs(r["exact_p50"]) or 1.0
         assert abs(r["p50"] - r["exact_p50"]) / denom <= 0.05, r
+
+
+def test_custom_hll_estimate_within_3sigma(spark, sf_oracle):
+    """The cross-engine md5 HLL (m=256): standard error is 1.04/sqrt(m)
+    ~= 6.5%; assert every per-type estimate lands within 3 sigma of the
+    exact distinct count."""
+    from vectordb_from_scratch_spark.operators.sketches import sketch_hll_estimate
+
+    for r in sketch_hll_estimate(spark, sf_oracle).collect():
+        rel_err = abs(r["hll_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel_err <= 3 * 1.04 / 16, (r["event_type"], rel_err)
+
+
+def test_custom_hll_registers_merge_algebra(spark, sf_oracle):
+    """Register tables built from disjoint halves of the input must merge
+    (elementwise max) into exactly the full-input register table — the
+    mergeability that makes the sketch a one-pass distributed aggregate."""
+    from vectordb_from_scratch_spark.operators.sketches import _hll_rho_cols
+
+    ev = load_table(spark, sf_oracle, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("k")
+    )
+    def regs(df):
+        return {
+            r["bucket"]: r["mr"]
+            for r in _hll_rho_cols(df, "k")
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("mr"))
+            .collect()
+        }
+
+    full = regs(ev)
+    lo = regs(ev.filter(F.col("event_id") % 2 == 0))
+    hi = regs(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {b: max(lo.get(b, 0), hi.get(b, 0)) for b in set(lo) | set(hi)}
+    assert merged == full
