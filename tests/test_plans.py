@@ -218,3 +218,48 @@ def test_q1_decimal_is_single_scan_partial_agg(q):
     assert plans.physical_plan(df, mode="simple").count("Exchange") == 1
     schemas = plans.scan_read_schemas(df)
     assert schemas and all("l_partkey" not in s for s in schemas)
+
+
+def test_hamming_topk_stays_jvm_side(q):
+    """The 1-bit tier's claim is 'pure codegen': no Python eval node
+    anywhere, the query side broadcast, and map-side top-k pruning."""
+    df = q("knn_hamming_topk")
+    p = plans.physical_plan(df)
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert plans.has_broadcast_join(df)
+    assert plans.has_window_group_limit(df)
+
+
+def test_sq8_expression_plan_broadcasts_and_prunes(q):
+    df = q("knn_sq8_topk")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_window_group_limit(df)
+    # codes are derived in-plan from the embedding column: the scan reads
+    # only (vec_id, embedding)
+    schemas = plans.scan_read_schemas(df)
+    assert schemas and all("label" not in s for s in schemas)
+
+
+def test_pq_encode_is_single_pass_no_shuffle(spark, sf_oracle):
+    """PQ encode must be one Arrow pass over the corpus — zero exchanges,
+    exactly like IVF assignment."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.operators import pq
+    from vectordb_from_scratch_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    books = np.zeros((pq.M_SUBSPACES, 4, 64 // pq.M_SUBSPACES))
+    enc = pq.encode(emb, books)
+    p = plans.physical_plan(enc)
+    assert "MapInPandas" in p and plans.n_shuffles(enc) == 0, p
+
+
+def test_keep_best_adds_no_text_shuffle(q):
+    """Canonical selection must not shuffle document text: the only new
+    data movement beyond the components build is the (doc_id, n_words)
+    projection joining the label table."""
+    df = q("dedup_canonical_keep_best")
+    schemas = plans.scan_read_schemas(df)
+    # every documents scan reads at most (doc_id, text) — no extra columns
+    assert schemas and all("source" not in s and "lang" not in s for s in schemas)
