@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_decontaminate",
     "dedup_embedding_neardup",
     "dedup_embedding_neardup_blocked",
+    "dedup_canonical_keep_best",
     "pipeline_training_prep",
     "text_quality_scores",
     "text_bm25_search",
@@ -66,6 +67,11 @@ HEADLINE = [
     "ivf_search_prebuilt",
     "lsh_search",
     "lsh_search_prebuilt",
+    "knn_sq8_topk_kernel",
+    "knn_hamming_topk",
+    "pq_search",
+    "pq_search_prebuilt",
+    "sketch_hll_estimate",
 ]
 
 

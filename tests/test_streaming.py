@@ -84,3 +84,23 @@ def test_stream_stream_join_equals_batch(spark, sf_small):
     )
     streaming.run_stream_to_memory(stream, "t_vp_join", output_mode="append")
     assert _rows(spark.table("t_vp_join")) == _rows(batch)
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_oracle):
+    """Register state after draining the stream == the batch register
+    table: the sketch's max-merge algebra makes streaming exact."""
+    from vectordb_from_scratch_spark import streaming
+    from vectordb_from_scratch_spark.operators.sketches import sketch_hll_registers
+
+    ev_stream = streaming.read_events_stream(spark, sf_oracle)
+    streaming.run_stream_to_memory(
+        streaming.hll_registers_stream(ev_stream), "t_hll_stream"
+    )
+    got = {
+        (r["bucket"], r["max_rho"]) for r in spark.table("t_hll_stream").collect()
+    }
+    want = {
+        (r["bucket"], r["max_rho"])
+        for r in sketch_hll_registers(spark, sf_oracle).collect()
+    }
+    assert got == want

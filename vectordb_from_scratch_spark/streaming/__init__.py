@@ -265,3 +265,23 @@ def view_purchase_join_stream(
         "purchase_ts",
         "amount",
     )
+
+
+def hll_registers_stream(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog: the register build (max rho per bucket) is
+    a plain streaming max aggregate, because HLL's merge IS max — the
+    whole point of sketch algebra is that the same expression tree runs
+    batch or streaming, and micro-batches merge into exact register
+    state. Identical registers to the batch build are asserted in
+    tests/test_streaming.py; the estimate is a driver-side fold over 256
+    rows of final state.
+
+    At scale this is the production distinct-count shape: unbounded
+    state is m=256 rows TOTAL (not per key, not per window), so the
+    sketch never needs a watermark to stay bounded."""
+    from vectordb_from_scratch_spark.operators.sketches import _hll_rho_cols
+
+    r = _hll_rho_cols(events.select(F.col("user_id").cast("string").alias("k")), "k")
+    return r.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.max("rho").cast("long").alias("max_rho")
+    )
