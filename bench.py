@@ -71,6 +71,7 @@ HEADLINE = [
     "knn_hamming_topk",
     "pq_search",
     "pq_search_prebuilt",
+    "ivfpq_search",
     "sketch_hll_estimate",
 ]
 

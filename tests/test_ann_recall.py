@@ -211,3 +211,26 @@ def test_neardup_auto_routes_by_corpus_size(spark, sf_small):
     blocked = key(embedding_pairs_blocked(emb, k=20).collect())
     routed_big = key(embedding_pairs_auto(emb, k=20, max_broadcast_bytes=1).collect())
     assert routed_big == blocked  # past the threshold: the scale path
+
+
+def test_ivfpq_recall(spark, sf_small, exact_topk):
+    """Composed IVF probe + PQ ADC + rerank: recall is bounded by the IVF
+    probe (the ADC shortlist only reorders within probed clusters), so the
+    threshold matches the IVF-alone guarantee."""
+    from vectordb_from_scratch_spark.operators import pq
+
+    res = pq.ivfpq_search_df(
+        spark, sf_small, k=K, n_probes=32, n_queries=N_QUERIES, shortlist=100
+    )
+    r = _recall(res.collect(), exact_topk)
+    assert r >= 0.8, f"IVFPQ recall@{K} = {r:.3f} < 0.8 (probes=32/64)"
+
+
+def test_ivfpq_full_probe_full_shortlist_is_exact(spark, sf_small, exact_topk):
+    from vectordb_from_scratch_spark.operators import pq
+
+    res = pq.ivfpq_search_df(
+        spark, sf_small, k=K, n_probes=64, n_queries=N_QUERIES, shortlist=10**6
+    )
+    r = _recall(res.collect(), exact_topk)
+    assert r == 1.0, f"full IVFPQ recall = {r:.3f} != 1.0"

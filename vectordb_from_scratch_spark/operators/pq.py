@@ -278,3 +278,92 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("code0")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def adc_score_candidates(
+    cand_codes: DataFrame,
+    queries_pdf: pd.DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC-score (query_id, id, codes) candidate rows — the PQ analog of
+    knn.score_pairs_pandas: LUTs ride in the closure, each batch is M
+    table-gathers, no float vectors touched."""
+    mm, kk, sub = codebooks.shape
+    qids = queries_pdf["query_id"].to_numpy()
+    Q = _unit(np.stack(queries_pdf["query_vec"].to_list()).astype("float64"))
+    lut = np.stack(
+        [Q[:, i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)], axis=1
+    )  # (Q, m, k)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["codes"].to_list())  # (n, m)
+            qi = pdf["query_id"].map(qpos).to_numpy()
+            s = np.zeros(len(pdf))
+            for i in range(mm):
+                s += lut[qi, i, C[:, i]]
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "adc": s}
+            )
+
+    return cand_codes.select("query_id", id_col, "codes").mapInPandas(
+        score_iter, schema=f"query_id long, {id_col} long, adc double"
+    )
+
+
+def ivfpq_search_df(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_probes: int = 8,
+    n_queries: int = 10,
+    shortlist: int = DEFAULT_SHORTLIST,
+) -> DataFrame:
+    """IVFPQ — the canonical composed index (FAISS 'IVFx,PQy'): IVF probe
+    prunes the candidate set to n_probes/n_clusters of the corpus, ADC
+    scores ONLY those candidates from their 8-byte codes, a shortlist is
+    exact-reranked. At 100 TB: the probe is partition pruning on the
+    cluster-partitioned codes table, the ADC scan reads 64× fewer bytes
+    than float, and the raw vectors serve only shortlist×Q point reads —
+    compute AND I/O both pruned, multiplicatively."""
+    from vectordb_from_scratch_spark.operators import ivf, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpdf, queries_df = knn.fixture_query_set(spark, sf_dir, n_queries)
+    centroids, assignments = ivf.built_index(spark, sf_dir)
+    books, codes = built_index(spark, sf_dir)
+    probes = ivf.probe_clusters_df(centroids, queries_df, n_probes)
+    cand = assignments.join(F.broadcast(probes), "cluster_id").select(
+        "query_id", "vec_id"
+    )
+    cand_codes = cand.join(codes, "vec_id")
+    adc = adc_score_candidates(cand_codes, qpdf, books)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+    short = (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    cand_vec = short.join(emb.select("vec_id", "embedding"), "vec_id")
+    rerank = knn.score_pairs_pandas(cand_vec, qpdf)
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+@register("ivfpq_search")  # rows-only: composed seeded k-means indexes
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = ivfpq_search_df(spark, sf_dir)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
