@@ -207,3 +207,55 @@ def test_tablestore_time_travel_reads_previous_version(cat):
     cat.update_chunk(lib_id, ids[1], text="again")  # v_before GC'd now
     with pytest.raises(NotFoundError):
         store.read(version=v_before)
+
+
+def test_pq_search_finds_self_match(cat):
+    """PQ-indexed library: a stored vector's own embedding must return it
+    at rank 1 (ADC shortlist + exact rerank — self-similarity is 1.0)."""
+    lib_id, _, ids = _populate(cat, "pq-lib", index_type="pq")
+    vecs = _vectors()
+    res = cat.search(lib_id, vecs[11].tolist(), k=3)
+    assert res[0].chunk_id == ids[11]
+    meta = cat._index_meta(lib_id)
+    assert meta["type"] == "pq" and meta["m"] == 8  # DIMS=8 → 8 subspaces
+
+
+def test_pq_delta_touches_only_affected_id_partitions(cat):
+    """Per-chunk mutation on a PQ index re-encodes only the touched id's
+    partition against the unchanged codebooks — the same partition-scoped
+    contract as LSH buckets."""
+    lib_id, _, ids = _populate(cat, "pq-delta", index_type="pq")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)  # build codes
+    cpath = cat._index_path(lib_id, "codes")
+    books_before = cat.spark.read.parquet(
+        cat._index_path(lib_id, "codebooks")
+    ).count()
+    before = _partition_inodes(cpath)
+    assert len(before) >= 3
+
+    cat.update_chunk(lib_id, ids[7], embedding=(vecs[7] * -1.0).tolist())
+    assert not cat._index_meta(lib_id).get("stale")
+    after = _partition_inodes(cpath)
+    changed = {p for p in after if after.get(p) != before.get(p)}
+    unchanged = {p for p in after if after.get(p) == before.get(p)}
+    assert len(changed) == 1, f"exactly the touched id's partition, got {changed}"
+    assert unchanged
+    # codebooks untouched by the delta
+    assert (
+        cat.spark.read.parquet(cat._index_path(lib_id, "codebooks")).count()
+        == books_before
+    )
+
+    res = cat.search(lib_id, (vecs[7] * -1.0).tolist(), k=3)
+    assert res[0].chunk_id == ids[7]
+
+
+def test_pq_train_index_retrains(cat):
+    lib_id, _, ids = _populate(cat, "pq-train", index_type="pq")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=1)
+    cat.train_index(lib_id)  # explicit retrain must leave a fresh index
+    assert not cat._index_meta(lib_id).get("stale")
+    res = cat.search(lib_id, vecs[5].tolist(), k=1)
+    assert res[0].chunk_id == ids[5]

@@ -46,13 +46,15 @@ from vectordb_from_scratch_spark.functions import linalg
 from vectordb_from_scratch_spark.operators import ivf as ivf_ops
 from vectordb_from_scratch_spark.operators import knn
 from vectordb_from_scratch_spark.operators import lsh as lsh_ops
+from vectordb_from_scratch_spark.operators import pq as pq_ops
 
 MAX_K = 100  # reference caps k ∈ [1, 100] (app/api/dto.py:58)
 
-INDEX_TYPES = ("flat", "ivf", "lsh_simhash")  # all three registered —
-# the reference silently falls back to flat for unknown types
-# (vector_db.py:96-102) and never registers lsh (SURVEY.md §2.4.1); we
-# register all three and REJECT unknown types instead of silent fallback.
+INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq")  # the reference's three
+# (it silently falls back to flat for unknown types, vector_db.py:96-102,
+# and never registers lsh, SURVEY.md §2.4.1; we register them and REJECT
+# unknown types instead of silent fallback) plus "pq" — the compressed
+# serving index the reference's in-RAM design grows into at scale.
 
 
 class NotFoundError(KeyError):
@@ -662,6 +664,23 @@ class VectorCatalog:
             res = lsh_ops.search(
                 corpus, buckets, queries, H, k=k, n_flips=1, id_col="id", vec_col="embedding"
             )
+        elif index_type == "pq" and self._ensure_pq(lib_id, corpus):
+            import pandas as pd
+
+            books, codes = self._read_pq(lib_id)
+            qpdf = pd.DataFrame(
+                {"query_id": [0], "query_vec": [[float(x) for x in embedding]]}
+            )
+            res = pq_ops.search(
+                corpus,
+                codes,
+                books,
+                qpdf,
+                k=k,
+                shortlist=max(pq_ops.DEFAULT_SHORTLIST, 4 * k),
+                id_col="id",
+                vec_col="embedding",
+            )
         else:  # flat — scored scan + top-k (V5)
             res = knn.topk(
                 corpus, queries, k=k, metric=metric, id_col="id", vec_col="embedding"
@@ -782,6 +801,8 @@ class VectorCatalog:
             self._ivf_delta(lib_id, upserts, removed, touched_ids)
         elif meta["type"] == "lsh_simhash":
             self._lsh_delta(lib_id, upserts, removed, touched_ids)
+        elif meta["type"] == "pq":
+            self._pq_delta(lib_id, upserts, removed, touched_ids)
         meta["stale"] = False
         meta["n"] = meta.get("n", 0) + n_delta
         self._write_index_meta(lib_id, meta)
@@ -895,6 +916,96 @@ class VectorCatalog:
             self.spark.read.parquet(self._index_path(lib_id, "assignments")),
         )
 
+    def _pq_params(self, lib_id: str, n: int) -> tuple[int, int]:
+        """(m, k) sized to the library: m = largest divisor of dims among
+        (8, 4, 2, 1) — PQ needs dims % m == 0; k capped by corpus size."""
+        dims = self.get_library(lib_id)["dims"]
+        m = next(c for c in (8, 4, 2, 1) if dims % c == 0)
+        return m, max(2, min(pq_ops.K_CODES, n))
+
+    def _ensure_pq(self, lib_id: str, corpus: DataFrame) -> bool:
+        meta = self._index_meta(lib_id)
+        if meta and meta.get("type") == "pq" and not meta.get("stale"):
+            return True
+        return self._build_pq(lib_id, corpus)
+
+    def _build_pq(self, lib_id: str, corpus: DataFrame) -> bool:
+        n = corpus.count()
+        if n == 0:
+            return False
+        m, kk = self._pq_params(lib_id, n)
+        books = pq_ops.train_codebooks(corpus, m=m, k=kk, vec_col="embedding")
+        codes = _with_id_part(
+            pq_ops.encode(corpus, books, id_col="id", vec_col="embedding")
+        )
+        # codebooks persist as (subspace, code, centroid) rows — the same
+        # sidecar-table discipline as IVF centroids
+        rows = [
+            (i, j, [float(x) for x in books[i][j]])
+            for i in range(books.shape[0])
+            for j in range(books.shape[1])
+        ]
+        self.spark.createDataFrame(
+            rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+        ).write.mode("overwrite").parquet(self._index_path(lib_id, "codebooks"))
+        # partitioned by id-hash so per-chunk mutations are a
+        # partition-scoped delta (_pq_delta), exactly like LSH buckets
+        codes.write.mode("overwrite").partitionBy("id_part").parquet(
+            self._index_path(lib_id, "codes")
+        )
+        self._write_index_meta(
+            lib_id, {"type": "pq", "n": n, "m": m, "k": kk}
+        )
+        return True
+
+    def _read_pq(self, lib_id: str):
+        import numpy as np
+
+        meta = self._index_meta(lib_id)
+        rows = (
+            self.spark.read.parquet(self._index_path(lib_id, "codebooks"))
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        m, kk = meta["m"], meta["k"]
+        sub = len(rows[0]["centroid"])
+        books = np.zeros((m, kk, sub))
+        for r in rows:
+            books[r["subspace"], r["code"]] = r["centroid"]
+        return books, self.spark.read.parquet(self._index_path(lib_id, "codes"))
+
+    def _pq_delta(
+        self, lib_id: str, upserts: list, removed: list, touched_ids: list
+    ) -> None:
+        """Upserted rows re-encode against the UNCHANGED codebooks (codes
+        are a deterministic function of embedding + codebooks, same
+        argument as IVF assignments); removed ids drop from their id-hash
+        partitions. Codebooks themselves only change on retrain/rebuild —
+        the standard PQ maintenance contract."""
+        books, _ = self._read_pq(lib_id)
+        new_codes = _with_id_part(
+            pq_ops.encode(self._delta_df(upserts), books, id_col="id", vec_col="embedding")
+        )
+        parts = {
+            r["id_part"]
+            for r in _with_id_part(
+                self.spark.createDataFrame([(c,) for c in touched_ids], "id STRING")
+            )
+            .select("id_part")
+            .distinct()
+            .collect()
+        }
+        path = self._index_path(lib_id, "codes")
+        keep = (
+            self.spark.read.parquet(path)
+            .filter(F.col("id_part").isin(list(parts)))
+            .filter(~F.col("id").isin(touched_ids))
+            .localCheckpoint(eager=True)
+        )
+        self._overwrite_partitions(
+            keep.unionByName(new_codes), path, "id_part", parts
+        )
+
     def _ensure_lsh(self, lib_id: str, corpus: DataFrame) -> bool:
         meta = self._index_meta(lib_id)
         if meta and meta.get("type") == "lsh_simhash" and not meta.get("stale"):
@@ -925,15 +1036,23 @@ class VectorCatalog:
             self._build_ivf(lib_id, corpus)
         elif lib["index_type"] == "lsh_simhash":
             self._ensure_lsh(lib_id, corpus)
+        elif lib["index_type"] == "pq":
+            self._build_pq(lib_id, corpus)
         # flat needs no sidecar (V6): the chunks table IS the index
 
     def train_index(self, lib_id: str, sample_vectors: list | None = None) -> None:
-        """V17 (vector_db.py:294-324): explicit IVF train; error when there
-        is nothing to train on."""
+        """V17 (vector_db.py:294-324): explicit train for the trainable
+        index types (IVF k-means; PQ codebooks); error when there is
+        nothing to train on."""
         lib = self.get_library(lib_id)
-        if lib["index_type"] != "ivf":
+        if lib["index_type"] not in ("ivf", "pq"):
             raise ValidationError(f"index type {lib['index_type']!r} is not trainable")
         corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
+        if lib["index_type"] == "pq":
+            if corpus.count() == 0:
+                raise ValidationError("no vectors available to train on")
+            self._build_pq(lib_id, corpus)  # retrain = rebuild codebooks + codes
+            return
         if sample_vectors:
             dims = lib["dims"]
             for v in sample_vectors:

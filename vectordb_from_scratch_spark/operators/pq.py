@@ -121,6 +121,7 @@ def encode(
     mm, kk, sub = codebooks.shape
     # precompute ||c||²/2 per subspace for the argmin expansion
     chalf = 0.5 * np.einsum("mkd,mkd->mk", codebooks, codebooks)  # (m, k)
+    id_type = corpus.schema[id_col].dataType.simpleString()
 
     def enc_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,7 +138,7 @@ def encode(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(
-        enc_iter, schema=f"{id_col} long, codes array<long>"
+        enc_iter, schema=f"{id_col} {id_type}, codes array<long>"
     )
 
 
@@ -159,6 +160,7 @@ def adc_shortlist(
     lut = np.stack(
         [Q[:, i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)], axis=1
     )
+    id_type = codes.schema[id_col].dataType.simpleString()
 
     def adc_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,7 +182,9 @@ def adc_shortlist(
                 )
             yield pd.concat(rows, ignore_index=True)
 
-    cand = codes.mapInPandas(adc_iter, schema=f"query_id long, {id_col} long, adc double")
+    cand = codes.mapInPandas(
+        adc_iter, schema=f"query_id long, {id_col} {id_type}, adc double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("_r", F.row_number().over(w))
@@ -296,6 +300,7 @@ def adc_score_candidates(
         [Q[:, i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)], axis=1
     )  # (Q, m, k)
     qpos = {int(q): i for i, q in enumerate(qids)}
+    id_type = cand_codes.schema[id_col].dataType.simpleString()
 
     def score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -311,7 +316,7 @@ def adc_score_candidates(
             )
 
     return cand_codes.select("query_id", id_col, "codes").mapInPandas(
-        score_iter, schema=f"query_id long, {id_col} long, adc double"
+        score_iter, schema=f"query_id long, {id_col} {id_type}, adc double"
     )
 
 
