@@ -234,3 +234,18 @@ def test_ivfpq_full_probe_full_shortlist_is_exact(spark, sf_small, exact_topk):
     )
     r = _recall(res.collect(), exact_topk)
     assert r == 1.0, f"full IVFPQ recall = {r:.3f} != 1.0"
+
+
+def test_sq8_encoders_identical(spark, sf_small):
+    """The Arrow-kernel encoder and the expression encoder must emit
+    IDENTICAL codes (same IEEE double ops: divide, multiply, floor) — the
+    scale path may never drift from the oracle-checked one."""
+    from vectordb_from_scratch_spark.operators import quantization as qz
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = {r["vec_id"]: (tuple(r["codes"]), r["norm2"]) for r in qz.sq8_encode(emb).collect()}
+    b = {
+        r["vec_id"]: (tuple(r["codes"]), r["norm2"])
+        for r in qz.sq8_encode_pandas(emb).collect()
+    }
+    assert a == b

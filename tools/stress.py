@@ -82,6 +82,36 @@ def main() -> None:
     print(f"all-pairs top-20: {t_pairs:6.2f}s ({n*(n-1)//2} pairs scored, "
           f"{n * (n - 1) / 2 / t_pairs / 1e6:.0f}M pairs/s)")
 
+    from vectordb_from_scratch_spark.operators import pq, quantization
+
+    t0 = time.perf_counter()
+    enc = quantization.sq8_encode_pandas(emb).persist()
+    enc.count()
+    t_sq_enc = time.perf_counter() - t0
+    sq_qpdf = (
+        enc.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "codes", "norm2")
+        .toPandas()
+    )
+    sq_qpdf["codes"] = sq_qpdf["codes"].map(list)
+    t0 = time.perf_counter()
+    cnt = quantization.sq8_topk_pandas(enc, sq_qpdf, k=10).count()
+    t_sq = time.perf_counter() - t0
+    print(f"SQ8 encode: {t_sq_enc:6.2f}s  search Q={n_queries}: {t_sq:6.2f}s "
+          f"({cnt} rows, {n * n_queries / t_sq / 1e6:.0f}M scores/s)")
+    enc.unpersist()
+
+    t0 = time.perf_counter()
+    books = pq.train_codebooks(emb)
+    codes = pq.encode(emb, books).persist()
+    codes.count()
+    t_pq_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cnt = pq.search(emb, codes, books, qpdf, k=10).count()
+    t_pq = time.perf_counter() - t0
+    print(f"PQ build: {t_pq_build:6.2f}s  ADC+rerank Q={n_queries}: {t_pq:6.2f}s ({cnt} rows)")
+    codes.unpersist()
+
 
 if __name__ == "__main__":
     main()

@@ -140,6 +140,42 @@ def knn_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sq8_encode_pandas(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`sq8_encode` — one batched NumPy pass.
+    Spark's higher-order array functions are interpreted per element (no
+    whole-stage codegen), so the expression encoder costs ~4× this kernel
+    at 200k×64 (measured in tools/stress.py); the arithmetic is the same
+    IEEE double ops (divide, multiply, floor), so both encoders produce
+    IDENTICAL codes — knn_sq8_topk_kernel runs this one against the same
+    DuckDB oracle as the expression plan."""
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def enc_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_list()).astype("float64")
+            amax = np.abs(X).max(axis=1, keepdims=True)
+            safe = np.where(amax == 0, 1.0, amax)
+            codes = np.floor(X / safe * SQ_MAX + 0.5).astype("int64")
+            codes[amax[:, 0] == 0, :] = 0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "norm2": np.einsum("ij,ij->i", codes, codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc_iter, schema=f"{id_col} {id_type}, codes array<long>, norm2 long"
+    )
+
+
 def sq8_topk_pandas(
     enc: DataFrame, queries_pdf: pd.DataFrame, k: int = 10
 ) -> DataFrame:
@@ -266,11 +302,12 @@ def knn_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_sq8_topk_kernel", _SQ8_SQL.format(Q=_SQ_Q, K=_SQ_K))
 def knn_sq8_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Arrow-kernel plan for the same SQ8 search, against the same
-    oracle — pins the per-partition integer matmul against the expression
-    plan to 6dp, exactly as knn_cosine_topk_blas pins the float kernel."""
+    """The all-Arrow plan for the same SQ8 search, against the same
+    oracle — pins BOTH kernels (batched encode + integer matmul) against
+    the expression plan, exactly as knn_cosine_topk_blas pins the float
+    kernel."""
     emb = load_table(spark, sf_dir, "embeddings")
-    enc = sq8_encode(emb)
+    enc = sq8_encode_pandas(emb)
     qpdf = (
         enc.filter(F.col("vec_id") < _SQ_Q)
         .select(F.col("vec_id").alias("query_id"), "codes", "norm2")
