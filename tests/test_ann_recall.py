@@ -249,3 +249,30 @@ def test_sq8_encoders_identical(spark, sf_small):
         for r in qz.sq8_encode_pandas(emb).collect()
     }
     assert a == b
+
+
+def test_cascade_recall(spark, sf_small, exact_topk):
+    """Binary→SQ8→exact funnel: with a 200-wide Hamming prefilter on a
+    500-vector corpus the funnel should recover nearly all of the exact
+    top-10 (both pruning tiers are generous at fixture scale)."""
+    from vectordb_from_scratch_spark.operators import knn, quantization
+
+    qpdf, _ = knn.fixture_query_set(spark, sf_small, N_QUERIES)
+    res = quantization.cascade_search(
+        load_table(spark, sf_small, "embeddings"), qpdf, k=K, prefilter=200
+    )
+    r = _recall(res.collect(), exact_topk)
+    assert r >= 0.85, f"cascade recall@{K} = {r:.3f} < 0.85"
+
+
+def test_cascade_full_prefilter_matches_sq8(spark, sf_small, exact_topk):
+    """prefilter == corpus disables tier 1; the funnel then equals the
+    SQ8 ordering reranked exact — recall must match the SQ8 tier's."""
+    from vectordb_from_scratch_spark.operators import knn, quantization
+
+    qpdf, _ = knn.fixture_query_set(spark, sf_small, N_QUERIES)
+    res = quantization.cascade_search(
+        load_table(spark, sf_small, "embeddings"), qpdf, k=K, prefilter=10**6
+    )
+    r = _recall(res.collect(), exact_topk)
+    assert r >= 0.9, f"no-prefilter cascade recall@{K} = {r:.3f} < 0.9"

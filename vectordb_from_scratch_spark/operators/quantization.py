@@ -321,3 +321,107 @@ def knn_sq8_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+def cascade_search(
+    corpus: DataFrame,
+    queries_pdf,
+    k: int = 10,
+    prefilter: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full compression cascade as ONE operator — the production
+    serving funnel every large vector store runs:
+
+    1. **binary tier** (512×): Hamming prefilter keeps each partition's
+       ``prefilter`` best candidates per query — bit_count(xor) over two
+       BIGINT words, inside the same Arrow pass as tier 2;
+    2. **SQ8 tier** (8×): integer-dot cosine rescores the survivors and
+       keeps the per-partition top-k;
+    3. **exact tier** (1×): the tiny global merge reranks O(partitions·
+       Q·k) survivors against the raw floats.
+
+    Each tier reads only what the previous one let through, so the bytes
+    touched per tier shrink 512× → 8× → (candidates only). At 100 TB the
+    binary scan is the only full pass. Recall vs the exact scan is pinned
+    in tests/test_ann_recall.py; approximation comes only from the two
+    pruning stages (prefilter == corpus reproduces the exact scan, also
+    asserted)."""
+    import numpy as np
+
+    qids = queries_pdf["query_id"].to_numpy()
+    Q = np.stack(queries_pdf["query_vec"].to_list()).astype("float64")
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qu = Q / np.where(qn == 0, 1.0, qn)
+    qbits = np.packbits(Q > 0, axis=1, bitorder="little")  # (Q, ceil(d/8)) uint8
+    qamax = np.abs(Q).max(axis=1, keepdims=True)
+    qsafe = np.where(qamax == 0, 1.0, qamax)
+    qcodes = np.floor(Q / qsafe * SQ_MAX + 0.5)
+    qnorm2 = np.einsum("ij,ij->i", qcodes, qcodes)
+    qn2_safe = np.where(qnorm2 == 0, 1.0, qnorm2)
+
+    def funnel(batches):
+        import pandas as pd
+
+        popcnt = np.unpackbits(np.arange(256, dtype="uint8")[:, None], axis=1).sum(1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.stack(pdf[vec_col].to_list()).astype("float64")
+            # tier 1: Hamming over packed sign bits
+            xbits = np.packbits(X > 0, axis=1, bitorder="little")  # (n, w)
+            # (n, Q, w) xor via broadcasting, popcount via table lookup
+            ham = popcnt[xbits[:, None, :] ^ qbits[None, :, :]].sum(axis=2)
+            keep_n = min(prefilter, ham.shape[0])
+            rows = []
+            for j, qid in enumerate(qids):
+                sel = np.argpartition(ham[:, j], keep_n - 1)[:keep_n]
+                # tier 2: SQ8 integer-dot cosine on the survivors
+                Xs = X[sel]
+                amax = np.abs(Xs).max(axis=1, keepdims=True)
+                safe = np.where(amax == 0, 1.0, amax)
+                codes = np.floor(Xs / safe * SQ_MAX + 0.5)
+                n2 = np.einsum("ij,ij->i", codes, codes)
+                n2s = np.where(n2 == 0, 1.0, n2)
+                s = (codes @ qcodes[j]) / np.sqrt(n2s * qn2_safe[j])
+                s[n2 == 0] = 0.0
+                kk = min(k, len(sel))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                rows.append(
+                    pd.DataFrame({"query_id": qid, id_col: ids[sel][top]})
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    shortlist = corpus.select(id_col, vec_col).mapInPandas(
+        funnel, schema=f"query_id long, {id_col} {id_type}"
+    )
+    # tier 3: exact rerank of the merged survivors
+    from vectordb_from_scratch_spark.operators import knn
+
+    cand_vec = shortlist.join(corpus.select(id_col, vec_col), id_col)
+    rerank = knn.score_pairs_pandas(cand_vec, queries_pdf, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+@register("knn_cascade")  # rows-only: multi-tier pruning is not SQL-shaped
+def knn_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → SQ8 → exact funnel over the fixture query set."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpdf, _ = knn.fixture_query_set(spark, sf_dir, 10)
+    res = cascade_search(emb, qpdf, k=10)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
