@@ -72,6 +72,7 @@ HEADLINE = [
     "pq_search",
     "pq_search_prebuilt",
     "ivfpq_search",
+    "knn_cascade",
     "sketch_hll_estimate",
 ]
 

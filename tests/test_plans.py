@@ -263,3 +263,15 @@ def test_keep_best_adds_no_text_shuffle(q):
     schemas = plans.scan_read_schemas(df)
     # every documents scan reads at most (doc_id, text) — no extra columns
     assert schemas and all("source" not in s and "lang" not in s for s in schemas)
+
+
+def test_day_partitioned_rollup_prunes_partitions(q):
+    """The day filter must resolve to PartitionFilters at the scan (struck
+    at planning time — 3 of 30 directories), not a post-scan Filter over
+    the whole table."""
+    df = q("events_partition_pruned_rollup")
+    p = plans.physical_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "day" in m.group(1) and ">=" in m.group(1) and "<=" in m.group(1), p

@@ -1,0 +1,99 @@
+"""Date-partitioned event layout — partition pruning as a first-class
+operator (the hypertable discipline).
+
+``events_hypertable_rollup`` (operators/events.py) computes time-bucketed
+rollups from the flat table; this module materializes the layout that
+makes such queries cheap at 100 TB: events written ``partitionBy(day)``,
+so any day-bounded query prunes to the touched directories at PLANNING
+time — `.inputFiles()` shrinks from 30 partitions to the 3 queried ones
+(asserted in tests/test_plans.py). On a petabyte event store this is the
+difference between scanning a month and scanning a weekend.
+
+The day column derives from epoch microseconds with integer division —
+NOT ``to_date(ts)``, which silently applies the session timezone to the
+LTZ event time and would move boundary events across partitions under a
+non-UTC caller (the same timezone-independence discipline as
+``session.normalize_event_ts``).
+
+Layout artifacts live beside the bucketed join tables in the repo
+warehouse, fingerprinted against the source parquet (mtime, size) so a
+regenerated testdata can never serve a stale layout (same contract as
+``operators/bucketed.ensure_bucketed``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+)
+
+#: epoch-day derivation, timezone-independent (integer division on micros)
+_DAY_EXPR = "date_add(DATE'1970-01-01', CAST(unix_micros(ts) DIV 86400000000 AS INT))"
+
+# (app_id, sf_dir) -> layout path
+_LAYOUT_CACHE: dict = {}
+
+
+def ensure_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently materialize the day-partitioned events layout for
+    ``sf_dir``; returns its path. Process cache → on-disk reuse (source
+    fingerprint in the digest) → write."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    digest = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    path = os.path.join(_WAREHOUSE, f"events_by_day_{digest}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").withColumn("day", F.expr(_DAY_EXPR))
+        ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    _LAYOUT_CACHE[key] = path
+    return path
+
+
+PRUNE_FROM = "2024-01-10"
+PRUNE_TO = "2024-01-12"
+
+_PRUNED_SQL = f"""
+SELECT ts::DATE AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE ts::DATE BETWEEN DATE '{PRUNE_FROM}' AND DATE '{PRUNE_TO}'
+GROUP BY 1, 2
+"""
+
+
+@register("events_partition_pruned_rollup", _PRUNED_SQL)
+def events_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-day rollup against the day-partitioned layout: the day
+    filter resolves at PLANNING time to 3 of 30 partition directories
+    (inputFiles-asserted in tests/test_plans.py), then a small
+    aggregation runs over only those files. The DuckDB oracle runs the
+    same rollup on the FLAT table — the layout must change the plan, not
+    the answer."""
+    path = ensure_day_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("day") >= F.lit(PRUNE_FROM)) & (F.col("day") <= F.lit(PRUNE_TO))
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
