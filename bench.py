@@ -48,6 +48,7 @@ HEADLINE = [
     "events_asof_last_view",
     "events_range_pairs",
     "events_retention_cohorts",
+    "events_partition_pruned_rollup",
     "streaming_attribution_pairs",
     "dedup_minhash_lsh",
     "dedup_components",

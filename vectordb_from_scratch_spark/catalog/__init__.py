@@ -900,7 +900,9 @@ class VectorCatalog:
         if n == 0:
             return False
         n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, n // 8 or 1))
-        centroids = ivf_ops.train_centroids(corpus, n_clusters=n_clusters, vec_col="embedding")
+        centroids = ivf_ops.train_centroids(
+            corpus, n_clusters=n_clusters, vec_col="embedding", n_hint=n
+        )
         assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
         centroids.write.mode("overwrite").parquet(self._index_path(lib_id, "centroids"))
         # partitioned by cluster_id: probe filters become partition pruning
@@ -934,7 +936,7 @@ class VectorCatalog:
         if n == 0:
             return False
         m, kk = self._pq_params(lib_id, n)
-        books = pq_ops.train_codebooks(corpus, m=m, k=kk, vec_col="embedding")
+        books = pq_ops.train_codebooks(corpus, m=m, k=kk, vec_col="embedding", n_hint=n)
         codes = _with_id_part(
             pq_ops.encode(corpus, books, id_col="id", vec_col="embedding")
         )

@@ -83,6 +83,7 @@ def train_centroids(
     max_iter: int = DEFAULT_TRAIN_ITERS,
     seed: int = SEED,
     vec_col: str = "embedding",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """V7: k-means training → centroids DataFrame (cluster_id INT,
     centroid ARRAY<DOUBLE>, unit-norm).
@@ -97,7 +98,10 @@ def train_centroids(
     the sample fraction shrinks, not the design."""
     spark = corpus.sparkSession
     vecs = corpus.select(vec_col)
-    n = vecs.count()
+    # the count only decides the sampling fraction — callers that know the
+    # row count (parquet footer, a count already paid for index metadata)
+    # pass n_hint and skip this scan job
+    n = n_hint if n_hint is not None else vecs.count()
     cap = TRAIN_SAMPLE_PER_CLUSTER * n_clusters
     if n > cap:
         vecs = vecs.sample(fraction=min(1.0, 1.25 * cap / n), seed=seed).limit(cap)
@@ -242,8 +246,11 @@ def built_index(
     probe + rerank path."""
     key = (spark.sparkContext.applicationId, sf_dir, n_clusters)
     if key not in _BUILD_CACHE:
+        from vectordb_from_scratch_spark.operators.dedup import embedding_corpus_stats
+
         emb = load_table(spark, sf_dir, "embeddings")
-        centroids = train_centroids(emb, n_clusters=n_clusters)
+        n, _ = embedding_corpus_stats(sf_dir)  # footer, no scan job
+        centroids = train_centroids(emb, n_clusters=n_clusters, n_hint=n)
         assignments = assign(emb, centroids).cache()
         assignments.count()
         _BUILD_CACHE[key] = (centroids, assignments)

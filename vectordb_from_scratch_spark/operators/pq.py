@@ -90,12 +90,15 @@ def train_codebooks(
     iters: int = TRAIN_ITERS,
     seed: int = SEED,
     vec_col: str = "embedding",
+    n_hint: int | None = None,
 ) -> np.ndarray:
     """(m, k, d/m) codebook tensor trained on a bounded sample of the
     unit-normalized corpus — one independent Euclidean k-means per
-    subspace (PQ trains subspaces independently by construction)."""
+    subspace (PQ trains subspaces independently by construction).
+    ``n_hint`` (row count from a parquet footer or an already-paid count)
+    skips the sampling-fraction scan."""
     vecs = corpus.select(vec_col)
-    n = vecs.count()
+    n = n_hint if n_hint is not None else vecs.count()
     if n > TRAIN_SAMPLE_CAP:
         vecs = vecs.sample(fraction=min(1.0, 1.25 * TRAIN_SAMPLE_CAP / n), seed=seed)
         vecs = vecs.limit(TRAIN_SAMPLE_CAP)
@@ -227,8 +230,11 @@ _BUILD_CACHE: dict = {}
 def built_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUILD_CACHE:
+        from vectordb_from_scratch_spark.operators.dedup import embedding_corpus_stats
+
         emb = load_table(spark, sf_dir, "embeddings")
-        books = train_codebooks(emb)
+        n, _ = embedding_corpus_stats(sf_dir)  # footer, no scan job
+        books = train_codebooks(emb, n_hint=n)
         codes = encode(emb, books).cache()
         codes.count()
         _BUILD_CACHE[key] = (books, codes)
