@@ -326,6 +326,24 @@ def adc_score_candidates(
     )
 
 
+#: (app_id, sf_dir) → (codebooks, codes-with-cluster cached DF): the
+#: IVFADC layout — codes co-located with their IVF cluster, built once.
+_IVFPQ_CACHE: dict = {}
+
+
+def ivfpq_codes(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_CACHE:
+        from vectordb_from_scratch_spark.operators import ivf
+
+        _, assignments = ivf.built_index(spark, sf_dir)
+        books, codes = built_index(spark, sf_dir)
+        joined = codes.join(assignments, "vec_id").cache()
+        joined.count()
+        _IVFPQ_CACHE[key] = (books, joined)
+    return _IVFPQ_CACHE[key]
+
+
 def ivfpq_search_df(
     spark: SparkSession,
     sf_dir: str,
@@ -340,18 +358,23 @@ def ivfpq_search_df(
     exact-reranked. At 100 TB: the probe is partition pruning on the
     cluster-partitioned codes table, the ADC scan reads 64× fewer bytes
     than float, and the raw vectors serve only shortlist×Q point reads —
-    compute AND I/O both pruned, multiplicatively."""
+    compute AND I/O both pruned, multiplicatively.
+
+    The codes⋈assignments co-location is paid ONCE at build time
+    (``ivfpq_codes``): the per-query plan is then broadcast(probes) ⋈
+    clustered-codes → ADC kernel — zero shuffles of the codes table per
+    search, exactly the IVFADC file layout a 100 TB deployment writes
+    ``partitionBy(cluster_id)``."""
     from vectordb_from_scratch_spark.operators import ivf, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
     qpdf, queries_df = knn.fixture_query_set(spark, sf_dir, n_queries)
-    centroids, assignments = ivf.built_index(spark, sf_dir)
-    books, codes = built_index(spark, sf_dir)
+    centroids, _ = ivf.built_index(spark, sf_dir)
+    books, codes_c = ivfpq_codes(spark, sf_dir)
     probes = ivf.probe_clusters_df(centroids, queries_df, n_probes)
-    cand = assignments.join(F.broadcast(probes), "cluster_id").select(
-        "query_id", "vec_id"
+    cand_codes = codes_c.join(F.broadcast(probes), "cluster_id").select(
+        "query_id", "vec_id", "codes"
     )
-    cand_codes = cand.join(codes, "vec_id")
     adc = adc_score_candidates(cand_codes, qpdf, books)
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
     short = (

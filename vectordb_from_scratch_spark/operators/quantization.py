@@ -308,8 +308,11 @@ def knn_sq8_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel."""
     emb = load_table(spark, sf_dir, "embeddings")
     enc = sq8_encode_pandas(emb)
+    # filter BEFORE the encode kernel: a filter above mapInPandas cannot
+    # push to the scan, so deriving queries from `enc` would pay a full
+    # corpus encode just to keep 10 rows
     qpdf = (
-        enc.filter(F.col("vec_id") < _SQ_Q)
+        sq8_encode_pandas(emb.filter(F.col("vec_id") < _SQ_Q))
         .select(F.col("vec_id").alias("query_id"), "codes", "norm2")
         .toPandas()
     )
