@@ -276,3 +276,32 @@ def test_cascade_full_prefilter_matches_sq8(spark, sf_small, exact_topk):
     )
     r = _recall(res.collect(), exact_topk)
     assert r >= 0.9, f"no-prefilter cascade recall@{K} = {r:.3f} < 0.9"
+
+
+def test_mmr_diversifies_and_stays_deterministic(spark, sf_small):
+    """MMR must (a) be idempotent across runs, (b) keep the top-1 (pure
+    relevance at the first pick), and (c) actually reorder vs plain
+    top-k for at least one query at λ=0.5 (otherwise the penalty term is
+    dead code on this fixture)."""
+    from vectordb_from_scratch_spark.operators import knn
+    from vectordb_from_scratch_spark.operators.search_ext import mmr_rerank
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qpdf, queries_df = knn.fixture_query_set(spark, sf_small, 10)
+    short = knn.topk(emb, queries_df, k=50)
+    cand = short.select("query_id", "vec_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    run1 = {(r["query_id"], r["mmr_rank"]): r["vec_id"]
+            for r in mmr_rerank(cand, qpdf, k=10, lam=0.5).collect()}
+    run2 = {(r["query_id"], r["mmr_rank"]): r["vec_id"]
+            for r in mmr_rerank(cand, qpdf, k=10, lam=0.5).collect()}
+    assert run1 == run2
+    plain = {(r["query_id"], r["rank"]): r["vec_id"] for r in short.collect()}
+    for q in {k[0] for k in run1}:
+        assert run1[(q, 1)] == plain[(q, 1)]  # first pick is pure relevance
+    assert any(
+        run1[(q, r)] != plain[(q, r)]
+        for q, r in run1
+        if (q, r) in plain and r > 1
+    )

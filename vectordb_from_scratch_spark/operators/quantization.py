@@ -428,3 +428,4 @@ def knn_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.col("rank").cast("long").alias("rnk"),
     )
+

@@ -254,3 +254,4 @@ from vectordb_from_scratch_spark.operators import bucketed  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import quantization  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import pq  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import layout  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import search_ext  # noqa: E402,F401
