@@ -34,3 +34,39 @@ def test_hash_split_deterministic_and_disjoint(spark, sf_oracle):
     assert m1 == m2
     n_val = sum(1 for v in m1.values() if v == "val")
     assert 0.05 <= n_val / len(m1) <= 0.15  # ~10%
+
+
+def test_component_split_has_no_cross_split_leakage(spark, sf_oracle):
+    """Every near-dup component must land whole in ONE split — the
+    property that makes the split safe against eval contamination."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.sampling import (
+        sampling_component_split,
+    )
+
+    split = sampling_component_split(spark, sf_oracle)
+    leaks = (
+        split.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaks == 0
+    # and all three splits are populated at fixture scale
+    names = {r["split"] for r in split.select("split").distinct().collect()}
+    assert names == {"train", "val", "test"}
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_oracle):
+    """Size-weighted draw: the selected set's mean n_chars must exceed
+    the corpus mean (weights ∝ n_chars must bias the draw heavy)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.sampling import sampling_weighted
+    from vectordb_from_scratch_spark.session import load_table
+
+    sel = sampling_weighted(spark, sf_oracle)
+    mean_sel = sel.agg(F.avg("n_chars")).first()[0]
+    mean_all = load_table(spark, sf_oracle, "documents").agg(F.avg("n_chars")).first()[0]
+    assert mean_sel > mean_all

@@ -222,3 +222,73 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --- sequence packing --------------------------------------------------------
+#
+# Pretraining consumes fixed-length sequences; "packing" concatenates
+# documents into token-budget bins so short docs don't waste context
+# window. Contiguous first-fit packing is a running sum + integer
+# division — pure window arithmetic, so the whole operator is
+# SQL-expressible and value-checked. Sharding bounds the window: packing
+# is embarrassingly parallel across (lang, shard) groups, which is how a
+# 100 TB corpus packs — the global-order variant would serialize on one
+# partition.
+
+PACK_BUDGET = 2048  # tokens per packed sequence
+PACK_SHARDS = 8
+
+_PACKING_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w != ''))::BIGINT AS n_tokens,
+         ({texthash.hash60_sql("CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS}) AS shard
+  FROM documents),
+runs AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS run_total
+  FROM d),
+binned AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         ((run_total - n_tokens) // {PACK_BUDGET})::BIGINT AS bin
+  FROM runs)
+SELECT lang, shard::BIGINT AS shard, bin,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM binned GROUP BY lang, shard, bin
+"""
+
+
+@register("pipeline_sequence_packing", _PACKING_SQL)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per (lang, shard), docs in
+    deterministic id order accumulate into PACK_BUDGET-token bins (a doc
+    starts the next bin when its START offset crosses the budget —
+    contiguous first-fit). Output is per-bin accounting, all integers.
+    The window is PARTITIONED by (lang, shard): each shard packs
+    independently, so the plan parallelizes instead of serializing on a
+    global cumulative sum."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(texthash.words("text")).cast("long").alias("n_tokens"),
+        (texthash.hash60(F.col("doc_id").cast("string")) % PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.withColumn("run_total", F.sum("n_tokens").over(w)).withColumn(
+        # integer DIV, not float division + cast: exact at any magnitude
+        "bin", F.expr(f"(run_total - n_tokens) DIV {PACK_BUDGET}")
+    )
+    return binned.groupBy("lang", F.col("shard").cast("long").alias("shard"), "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -120,3 +120,119 @@ def sampling_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_quota(docs, "lang", "doc_id", STRATA_QUOTA).select(
         "lang", "doc_id", "rk"
     )
+
+
+# --- weighted sampling (Efraimidis-Spirakis A-Res) ---------------------------
+
+WEIGHTED_K = 200
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: per row draw
+    u from the cross-engine md5 hash (u = (h+1)/2^60 ∈ (0,1]) and keep
+    the k largest ln(u)/w — the Efraimidis-Spirakis A-Res key, under
+    which each row's inclusion probability is proportional to its weight.
+    Deterministic u makes the draw REPRODUCIBLE across engines, runs, and
+    partitionings — the property a corpus-subsampling job needs so a
+    re-run doesn't silently train on a different corpus.
+
+    Scale: one scan; the rank-≤-k compiles to WindowGroupLimit, so the
+    shuffle carries O(partitions·k) rows."""
+    from pyspark.sql import Window
+
+    u = (texthash.hash60(F.col(id_col).cast("string")) + 1) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    w = Window.orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln(({texthash.hash60_sql("CAST(doc_id AS VARCHAR)")} + 1) / {float(1 << 60)!r})
+           / n_chars AS key
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rk
+  FROM keyed)
+SELECT doc_id, lang, n_chars, rk FROM ranked WHERE rk <= {WEIGHTED_K}
+"""
+
+
+@register("sampling_weighted", _WEIGHTED_SQL)
+def sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus draw: WEIGHTED_K docs sampled without
+    replacement with probability ∝ n_chars (the standard size-weighted
+    subsampling lever). Value-checked: both engines compute ln of the
+    same exact rational, so the selection and ranks agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "doc_id", "n_chars", WEIGHTED_K).select(
+        "doc_id", "lang", "n_chars", "rk"
+    )
+
+
+# --- component-aware (leakage-safe) splits -----------------------------------
+
+from vectordb_from_scratch_spark.functions.minhash import (  # noqa: E402
+    bands_sql as _bands_sql,
+    minhash_sig_sql as _minhash_sig_sql,
+)
+
+_COMPONENT_SPLIT_SQL = f"""
+WITH RECURSIVE {_minhash_sig_sql()},
+bands AS ({_bands_sql()}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+split AS (
+  SELECT doc_id, grp,
+         CASE WHEN ({texthash.hash60_sql("CAST(grp AS VARCHAR)")} % {SPLIT_BUCKETS}) < 10 THEN 'test'
+              WHEN ({texthash.hash60_sql("CAST(grp AS VARCHAR)")} % {SPLIT_BUCKETS}) < 20 THEN 'val'
+              ELSE 'train' END AS split
+  FROM grouped)
+SELECT doc_id, grp, split FROM split
+"""
+
+
+@register("sampling_component_split", _COMPONENT_SPLIT_SQL)
+def sampling_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the split unit is the near-dup
+    COMPONENT, not the document — hashing doc ids alone would scatter
+    near-duplicates across train and test, leaking training text into
+    eval (the classic contamination bug an id-level split can't prevent).
+    Unclustered docs form singleton groups (their own id). Every doc in a
+    component provably lands in the same split (asserted in tests).
+
+    Scale: reuses the cached component labels; the split itself is one
+    hash per group — no new shuffle beyond the label join."""
+    from vectordb_from_scratch_spark.operators.dedup import corpus_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = corpus_components(spark, sf_dir)
+    grouped = docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
+        "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("grp")
+    )
+    bucket = texthash.hash60(F.col("grp").cast("string")) % SPLIT_BUCKETS
+    return grouped.select(
+        "doc_id",
+        "grp",
+        F.when(bucket < 10, "test").when(bucket < 20, "val").otherwise("train").alias("split"),
+    )
