@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_embedding_neardup_blocked",
     "dedup_canonical_keep_best",
     "pipeline_training_prep",
+    "pipeline_sequence_packing",
+    "sampling_component_split",
     "text_quality_scores",
     "text_bm25_search",
     "chunk_documents",

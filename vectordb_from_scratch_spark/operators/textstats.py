@@ -589,3 +589,54 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_gram_count"),
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_ratio"),
     )
+
+
+# --- unigram surprisal (LM-style quality signal) -----------------------------
+#
+# The cheapest language-model quality score: a doc's mean token surprisal
+# -avg ln p(w) under the corpus's own Laplace-smoothed unigram
+# distribution. Gibberish and boilerplate both stand out (rare tokens →
+# high surprisal; repeated tokens → low), which is why unigram NLL is the
+# classic first-pass perplexity proxy before a real LM scores the corpus.
+
+_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS w
+  FROM documents),
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+tot AS (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM vocab),
+scored AS (
+  SELECT toks.doc_id,
+         ln((vocab.cnt + 1.0) / (tot.t + tot.v)) AS logp
+  FROM toks JOIN vocab USING (w) CROSS JOIN tot)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(-avg(logp), 6) AS surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_unigram_surprisal", _SURPRISAL_SQL)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token surprisal under the corpus unigram LM (Laplace
+    smoothed). Shape mirrors BM25: explode → vocabulary groupBy →
+    broadcast the (small) vocabulary back onto the token stream → per-doc
+    aggregate. The corpus totals ride a broadcast single-row frame so the
+    whole plan stays declarative (no driver collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(texthash.words("text")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log((F.col("cnt") + 1.0) / (F.col("t") + F.col("v"))).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.avg("logp"), 6).alias("surprisal"),
+    )
