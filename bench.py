@@ -61,6 +61,7 @@ HEADLINE = [
     "sampling_component_split",
     "text_quality_scores",
     "text_bm25_search",
+    "text_unigram_surprisal",
     "chunk_documents",
     "events_trailing_hour_window",
     "embed_documents",
@@ -76,6 +77,8 @@ HEADLINE = [
     "pq_search_prebuilt",
     "ivfpq_search",
     "knn_cascade",
+    "knn_radius_search",
+    "knn_mmr_diversified",
     "sketch_hll_estimate",
 ]
 

@@ -181,13 +181,19 @@ def test_blocked_batch_topk_cap():
 
 
 def test_corpus_stats_cache(sf_small):
-    """Parquet-footer stats must match the actual table and be cached."""
+    """Parquet-footer stats must match the actual table and be cached
+    under a source-fingerprinted key (path + mtime + size), so an
+    in-place regeneration can never serve stale stats."""
+    import os
+
     from vectordb_from_scratch_spark.operators import dedup
 
-    dedup._GUARD_STATS_CACHE.pop(str(sf_small), None)
+    dedup._GUARD_STATS_CACHE.clear()
     n, dims = dedup.embedding_corpus_stats(sf_small)
     assert n > 0 and dims == 64
-    assert dedup._GUARD_STATS_CACHE[str(sf_small)] == (n, dims)
+    st = os.stat(os.path.join(str(sf_small), "embeddings.parquet"))
+    key = (str(sf_small), st.st_mtime_ns, st.st_size)
+    assert dedup._GUARD_STATS_CACHE[key] == (n, dims)
 
 
 def test_neardup_auto_routes_by_corpus_size(spark, sf_small):

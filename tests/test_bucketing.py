@@ -61,8 +61,10 @@ def test_ensure_is_idempotent_no_rewrite(spark, sf_small, btables):
     before = mtimes()
     assert bucketed.ensure_bucketed(spark, sf_small) == btables  # cache hit
     # simulate a fresh session: catalog forgets, process cache cleared
-    key = (spark.sparkContext.applicationId, sf_small, bucketed.N_BUCKETS)
-    bucketed._TABLES_CACHE.pop(key)
+    # (the cache key embeds the source fingerprint, so clear by value)
+    saved = {k: v for k, v in bucketed._TABLES_CACHE.items() if v == btables}
+    for k in saved:
+        bucketed._TABLES_CACHE.pop(k)
     for tbl in btables.values():
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     try:
@@ -72,7 +74,7 @@ def test_ensure_is_idempotent_no_rewrite(spark, sf_small, btables):
         assert mtimes() == before, "re-attach must not rewrite data files"
     finally:
         # leave the module fixture state intact for other tests
-        bucketed._TABLES_CACHE[key] = btables
+        bucketed._TABLES_CACHE.update(saved)
 
 
 def test_bucketed_join_matches_plain_join(spark, btables, sf_small):

@@ -259,3 +259,39 @@ def test_pq_train_index_retrains(cat):
     assert not cat._index_meta(lib_id).get("stale")
     res = cat.search(lib_id, vecs[5].tolist(), k=1)
     assert res[0].chunk_id == ids[5]
+
+
+def test_pq_single_chunk_library_has_no_phantom_codes(cat):
+    """A 1-chunk library trains fewer codes than requested; meta must
+    record the ACTUAL codebook size so reads never zero-fill phantom
+    codes that a later delta could argmax into."""
+    lib_id = cat.create_library("pq-tiny", DIMS, index_type="pq")
+    doc_id = cat.create_document(lib_id, "d")
+    v = _vectors(1)[0]
+    (cid,) = cat.add_chunks(
+        lib_id, doc_id, [{"text": "only", "embedding": v.tolist()}], ids=["c0"]
+    )
+    res = cat.search(lib_id, v.tolist(), k=1)
+    assert res[0].chunk_id == cid
+    meta = cat._index_meta(lib_id)
+    books, _ = cat._read_pq(lib_id)
+    assert meta["k"] == books.shape[1]  # actual, not requested
+    # delta against the tiny codebooks stays consistent
+    cat.update_chunk(lib_id, cid, embedding=(v * -1.0).tolist())
+    res = cat.search(lib_id, (v * -1.0).tolist(), k=1)
+    assert res[0].chunk_id == cid
+
+
+def test_pq_train_index_validates_and_uses_samples(cat):
+    import pytest as _pytest
+
+    from vectordb_from_scratch_spark.catalog import ValidationError
+
+    lib_id, _, ids = _populate(cat, "pq-sample", index_type="pq")
+    vecs = _vectors()
+    with _pytest.raises(ValidationError):
+        cat.train_index(lib_id, sample_vectors=[[1.0, 2.0]])  # wrong dims
+    cat.train_index(lib_id, sample_vectors=[v.tolist() for v in vecs[:16]])
+    assert not cat._index_meta(lib_id).get("stale")
+    res = cat.search(lib_id, vecs[3].tolist(), k=1)
+    assert res[0].chunk_id == ids[3]

@@ -931,12 +931,27 @@ class VectorCatalog:
             return True
         return self._build_pq(lib_id, corpus)
 
-    def _build_pq(self, lib_id: str, corpus: DataFrame) -> bool:
+    def _build_pq(
+        self, lib_id: str, corpus: DataFrame, train_df: DataFrame | None = None
+    ) -> bool:
+        """Train codebooks (on ``train_df`` if given — the V17
+        sample-training path — else the corpus), encode the corpus,
+        persist both. Meta records the ACTUAL trained codebook size
+        (``books.shape[1]``), not the requested k: a tiny library trains
+        fewer centroids than requested, and a meta k larger than reality
+        would make _read_pq zero-fill phantom codes that deltas could
+        then argmax into."""
         n = corpus.count()
         if n == 0:
             return False
         m, kk = self._pq_params(lib_id, n)
-        books = pq_ops.train_codebooks(corpus, m=m, k=kk, vec_col="embedding", n_hint=n)
+        books = pq_ops.train_codebooks(
+            corpus if train_df is None else train_df,
+            m=m,
+            k=kk,
+            vec_col="embedding",
+            n_hint=n if train_df is None else None,
+        )
         codes = _with_id_part(
             pq_ops.encode(corpus, books, id_col="id", vec_col="embedding")
         )
@@ -956,7 +971,7 @@ class VectorCatalog:
             self._index_path(lib_id, "codes")
         )
         self._write_index_meta(
-            lib_id, {"type": "pq", "n": n, "m": m, "k": kk}
+            lib_id, {"type": "pq", "n": n, "m": m, "k": int(books.shape[1])}
         )
         return True
 
@@ -1051,9 +1066,21 @@ class VectorCatalog:
             raise ValidationError(f"index type {lib['index_type']!r} is not trainable")
         corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
         if lib["index_type"] == "pq":
-            if corpus.count() == 0:
+            train_df = None
+            if sample_vectors:
+                dims = lib["dims"]
+                for v in sample_vectors:
+                    if len(v) != dims:
+                        raise ValidationError("sample vector dims mismatch")
+                train_df = self.spark.createDataFrame(
+                    [
+                        (str(i), "s", lib_id, "s", [float(x) for x in v], {})
+                        for i, v in enumerate(sample_vectors)
+                    ],
+                    CHUNK_SCHEMA,
+                )
+            if not self._build_pq(lib_id, corpus, train_df=train_df):
                 raise ValidationError("no vectors available to train on")
-            self._build_pq(lib_id, corpus)  # retrain = rebuild codebooks + codes
             return
         if sample_vectors:
             dims = lib["dims"]

@@ -57,9 +57,23 @@ _SIDES = (
     ("orders", "o_orderkey", ("o_orderkey", "o_orderpriority")),
 )
 
-# (app_id, sf_dir, n_buckets) -> {src_name: registered_table_name}; same
-# process-level memoization pattern as dedup._BANDS_CACHE.
+# (app_id, sf_dir, n_buckets, source_fingerprint) -> {src: table_name};
+# same process-level memoization pattern as dedup._BANDS_CACHE.
 _TABLES_CACHE: dict = {}
+
+
+def _gc_stale_layouts(prefix: str, keep: str) -> None:
+    """Remove superseded digest-stamped warehouse dirs for ``prefix`` —
+    each testdata regeneration mints a new digest, and without GC the
+    previous generations' layouts accumulate forever."""
+    import shutil
+
+    try:
+        for entry in os.listdir(_WAREHOUSE):
+            if entry.startswith(prefix) and entry != keep:
+                shutil.rmtree(os.path.join(_WAREHOUSE, entry), ignore_errors=True)
+    except FileNotFoundError:
+        pass
 
 
 def ensure_bucketed(
@@ -69,20 +83,24 @@ def ensure_bucketed(
     ``sf_dir``. Three tiers, cheapest first: process cache hit → catalog
     already has the table (same session) → data directory exists from a
     prior process (attach via DDL, no rewrite) → write bucketed."""
-    key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
-    hit = _TABLES_CACHE.get(key)
-    if hit is not None:
-        return hit
     # The digest includes each source parquet's (mtime, size) fingerprint:
     # the driver regenerates testdata between rounds IN PLACE, and a layout
     # keyed on path alone would silently serve the previous generation's
-    # rows from the attached bucket directories.
+    # rows from the attached bucket directories. The fingerprint is part of
+    # the process-cache KEY too — a cache hit must never bypass the
+    # staleness check (stat calls are microseconds).
     stamp = "|".join(
         f"{s.st_mtime_ns}:{s.st_size}"
         for src, _, _ in _SIDES
         for s in (os.stat(os.path.join(sf_dir, f"{src}.parquet")),)
     )
+    key = (spark.sparkContext.applicationId, sf_dir, n_buckets, stamp)
+    hit = _TABLES_CACHE.get(key)
+    if hit is not None:
+        return hit
     digest = hashlib.md5(f"{sf_dir}|{n_buckets}|{stamp}".encode()).hexdigest()[:8]
+    _gc_stale_layouts("b_lineitem_", f"b_lineitem_{digest}")
+    _gc_stale_layouts("b_orders_", f"b_orders_{digest}")
     names: dict[str, str] = {}
     for src, key_col, cols in _SIDES:
         tbl = f"b_{src}_{digest}"

@@ -497,10 +497,13 @@ _GUARD_STATS_CACHE: dict = {}
 def embedding_corpus_stats(sf_dir: str) -> tuple:
     """(n_rows, dims) for ``sf_dir/embeddings.parquet`` from parquet
     metadata: row count from the footer (no data read), dims from a
-    single-row Arrow batch. Cached per path."""
+    single-row Arrow batch. Cached per (path, mtime, size) — the
+    fingerprint keeps a regenerated-in-place corpus from serving stale
+    stats into the broadcast-size guard or the train sampling fraction."""
     import os
 
-    key = str(sf_dir)
+    st = os.stat(os.path.join(str(sf_dir), "embeddings.parquet"))
+    key = (str(sf_dir), st.st_mtime_ns, st.st_size)
     if key not in _GUARD_STATS_CACHE:
         import pyarrow.parquet as pq
 

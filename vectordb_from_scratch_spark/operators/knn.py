@@ -78,6 +78,21 @@ def topk(
     )
 
 
+def local_topk_indices(scores, ids, k: int):
+    """Indices of the k best rows under the EXACT global tie-break
+    (score DESC, id ASC). A bare argpartition resolves score ties
+    arbitrarily, so a batch could keep the higher id and drop the lower
+    one the global window (and the DuckDB oracle) would keep — the same
+    defect class VERDICT r2 #3 fixed in dedup._batch_topk. Integer-scored
+    kernels (SQ8, Hamming, ADC) tie often; this total order is mandatory
+    wherever the local cap feeds an oracle-checked merge."""
+    import numpy as np
+
+    kk = min(k, len(ids))
+    order = np.lexsort((ids, -scores))  # primary: score desc; then id asc
+    return order[:kk]
+
+
 def topk_pandas(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,
@@ -116,12 +131,9 @@ def topk_pandas(
             Xu = X / norms[:, None]
             S = Xu @ qunit.T  # (m, Q)
             S[zero, :] = 0.0  # reference: zero vector → score 0.0
-            kk = min(k, S.shape[0])
-            # argpartition per query column — same partial-select as ivf.py:119
-            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
             rows = []
             for j, qid in enumerate(qids):
-                sel = idx[:, j]
+                sel = local_topk_indices(S[:, j], ids, k)
                 rows.append(
                     pd.DataFrame(
                         {"query_id": qid, id_col: ids[sel], "score": S[sel, j]}

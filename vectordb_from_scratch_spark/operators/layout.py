@@ -48,15 +48,20 @@ def ensure_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
     """Idempotently materialize the day-partitioned events layout for
     ``sf_dir``; returns its path. Process cache → on-disk reuse (source
     fingerprint in the digest) → write."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    # fingerprint is part of the cache KEY: a hit must never bypass the
+    # staleness check when testdata regenerates in place
+    key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
     hit = _LAYOUT_CACHE.get(key)
     if hit is not None:
         return hit
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
     digest = hashlib.md5(
         f"{sf_dir}|{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:8]
     path = os.path.join(_WAREHOUSE, f"events_by_day_{digest}")
+    from vectordb_from_scratch_spark.operators.bucketed import _gc_stale_layouts
+
+    _gc_stale_layouts("events_by_day_", f"events_by_day_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events").withColumn("day", F.expr(_DAY_EXPR))
         ev.write.mode("overwrite").partitionBy("day").parquet(path)

@@ -145,6 +145,20 @@ def encode(
     )
 
 
+def _query_luts(queries_pdf: pd.DataFrame, codebooks: np.ndarray):
+    """(qids, lut): per-query (m, k) ADC lookup tables — LUT[q, m, c] =
+    dot(q_m, codebook[m][c]) over the unit-normalized queries. Shared by
+    the shortlist scan and the candidate scorer so the two can never
+    drift."""
+    mm, kk, sub = codebooks.shape
+    qids = queries_pdf["query_id"].to_numpy()
+    Q = _unit(np.stack(queries_pdf["query_vec"].to_list()).astype("float64"))
+    lut = np.stack(
+        [Q[:, i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)], axis=1
+    )
+    return qids, lut
+
+
 def adc_shortlist(
     codes: DataFrame,
     queries_pdf: pd.DataFrame,
@@ -152,17 +166,14 @@ def adc_shortlist(
     shortlist: int = DEFAULT_SHORTLIST,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Per-query top-``shortlist`` candidate ids by ADC approximate cosine:
-    LUT[q, m, c] = dot(q_m, codebook[m][c]); a candidate's score is
-    sum_m LUT[q, m, code_m]. Each partition emits its local shortlist, the
-    global merge ranks O(partitions·Q·shortlist) tiny rows."""
-    mm, kk, sub = codebooks.shape
-    qids = queries_pdf["query_id"].to_numpy()
-    Q = _unit(np.stack(queries_pdf["query_vec"].to_list()).astype("float64"))
-    # (Q, m, k) lookup tables
-    lut = np.stack(
-        [Q[:, i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)], axis=1
-    )
+    """Per-query top-``shortlist`` candidate ids by ADC approximate cosine.
+    Each partition emits its local shortlist under the exact (score DESC,
+    id ASC) order, the global merge ranks O(partitions·Q·shortlist) tiny
+    rows."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    mm = codebooks.shape[0]
+    qids, lut = _query_luts(queries_pdf, codebooks)
     id_type = codes.schema[id_col].dataType.simpleString()
 
     def adc_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -175,11 +186,9 @@ def adc_shortlist(
             for i in range(mm):
                 # lut[:, i, :] is (Q, k); C[:, i] indexes k → (n, Q)
                 S += lut[:, i, C[:, i]].T
-            kk_local = min(shortlist, S.shape[0])
-            idx = np.argpartition(-S, kk_local - 1, axis=0)[:kk_local, :]
             rows = []
             for j, qid in enumerate(qids):
-                sel = idx[:, j]
+                sel = knn.local_topk_indices(S[:, j], ids, shortlist)
                 rows.append(
                     pd.DataFrame({"query_id": qid, id_col: ids[sel], "adc": S[sel, j]})
                 )
@@ -209,14 +218,29 @@ def search(
     """ADC shortlist over the codes table, exact cosine rerank of the
     shortlist against the raw vectors (the only touch of float data),
     deterministic (score DESC, id ASC) top-k."""
+    short = adc_shortlist(codes, queries_pdf, codebooks, shortlist, id_col=id_col)
+    return rerank_exact(corpus, short, queries_pdf, k, id_col=id_col, vec_col=vec_col)
+
+
+def rerank_exact(
+    corpus: DataFrame,
+    short: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine rerank of a (query_id, id) shortlist against the raw
+    vectors + deterministic top-k — the shared tail of every
+    shortlist-producing index (PQ, IVFPQ), kept in ONE place because
+    oracle parity depends on this exact tie-break."""
     from vectordb_from_scratch_spark.operators import knn
 
-    short = adc_shortlist(codes, queries_pdf, codebooks, shortlist, id_col=id_col)
     cand_vec = short.join(corpus.select(id_col, vec_col), id_col)
-    rerank = knn.score_pairs_pandas(cand_vec, queries_pdf, id_col=id_col, vec_col=vec_col)
+    rr = knn.score_pairs_pandas(cand_vec, queries_pdf, id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
-        rerank.withColumn("rank", F.row_number().over(w))
+        rr.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
@@ -299,12 +323,8 @@ def adc_score_candidates(
     """ADC-score (query_id, id, codes) candidate rows — the PQ analog of
     knn.score_pairs_pandas: LUTs ride in the closure, each batch is M
     table-gathers, no float vectors touched."""
-    mm, kk, sub = codebooks.shape
-    qids = queries_pdf["query_id"].to_numpy()
-    Q = _unit(np.stack(queries_pdf["query_vec"].to_list()).astype("float64"))
-    lut = np.stack(
-        [Q[:, i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)], axis=1
-    )  # (Q, m, k)
+    mm = codebooks.shape[0]
+    qids, lut = _query_luts(queries_pdf, codebooks)
     qpos = {int(q): i for i, q in enumerate(qids)}
     id_type = cand_codes.schema[id_col].dataType.simpleString()
 
@@ -382,14 +402,7 @@ def ivfpq_search_df(
         .filter(F.col("_r") <= shortlist)
         .select("query_id", "vec_id")
     )
-    cand_vec = short.join(emb.select("vec_id", "embedding"), "vec_id")
-    rerank = knn.score_pairs_pandas(cand_vec, qpdf)
-    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
-        rerank.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return rerank_exact(emb, short, qpdf, k)
 
 
 @register("ivfpq_search")  # rows-only: composed seeded k-means indexes

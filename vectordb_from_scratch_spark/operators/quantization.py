@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vectordb_from_scratch_spark.operators import knn
 from vectordb_from_scratch_spark.registry import register
 from vectordb_from_scratch_spark.session import load_table
 
@@ -201,11 +202,11 @@ def sq8_topk_pandas(
             S = (X @ Qc.T) / np.sqrt(np.outer(n2_safe, qn_safe))
             S[n2 == 0, :] = 0.0
             S[:, qn == 0] = 0.0
-            kk = min(k, S.shape[0])
-            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
             rows = []
             for j, qid in enumerate(qids):
-                sel = idx[:, j]
+                # exact (score DESC, id ASC) local order — integer-dot
+                # scores tie routinely, and the merge is oracle-checked
+                sel = knn.local_topk_indices(S[:, j], ids, k)
                 rows.append(
                     pd.DataFrame({"query_id": qid, "vec_id": ids[sel], "score": S[sel, j]})
                 )
