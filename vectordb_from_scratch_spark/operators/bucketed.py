@@ -98,9 +98,15 @@ def ensure_bucketed(
     hit = _TABLES_CACHE.get(key)
     if hit is not None:
         return hit
-    digest = hashlib.md5(f"{sf_dir}|{n_buckets}|{stamp}".encode()).hexdigest()[:8]
-    _gc_stale_layouts("b_lineitem_", f"b_lineitem_{digest}")
-    _gc_stale_layouts("b_orders_", f"b_orders_{digest}")
+    # two-part name: a SOURCE key (sf_dir + bucket count) and a CONTENT
+    # stamp. GC removes only dirs for the same source with a different
+    # stamp — a prefix-wide sweep would delete other sf_dirs' live
+    # layouts out from under their attached catalog tables.
+    srckey = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:6]
+    stamphash = hashlib.md5(stamp.encode()).hexdigest()[:8]
+    digest = f"{srckey}_{stamphash}"
+    _gc_stale_layouts(f"b_lineitem_{srckey}_", f"b_lineitem_{digest}")
+    _gc_stale_layouts(f"b_orders_{srckey}_", f"b_orders_{digest}")
     names: dict[str, str] = {}
     for src, key_col, cols in _SIDES:
         tbl = f"b_{src}_{digest}"

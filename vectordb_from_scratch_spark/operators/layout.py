@@ -55,13 +55,15 @@ def ensure_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
     hit = _LAYOUT_CACHE.get(key)
     if hit is not None:
         return hit
-    digest = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
+    # source-scoped GC (see bucketed.ensure_bucketed): only this sf_dir's
+    # superseded layouts are removed, never another source's live one
+    srckey = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    stamphash = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    digest = f"{srckey}_{stamphash}"
     path = os.path.join(_WAREHOUSE, f"events_by_day_{digest}")
     from vectordb_from_scratch_spark.operators.bucketed import _gc_stale_layouts
 
-    _gc_stale_layouts("events_by_day_", f"events_by_day_{digest}")
+    _gc_stale_layouts(f"events_by_day_{srckey}_", f"events_by_day_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events").withColumn("day", F.expr(_DAY_EXPR))
         ev.write.mode("overwrite").partitionBy("day").parquet(path)
