@@ -414,3 +414,11 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+@register("ivfpq_search_prebuilt")  # rows-only
+def ivfpq_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve path against the process-cached IVFADC layout: probe + ADC +
+    rerank only — what a query costs once both indexes exist (the same
+    cold/serve split as ivf_search / ivf_search_prebuilt)."""
+    return ivfpq_search(spark, sf_dir)
