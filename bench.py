@@ -76,6 +76,7 @@ HEADLINE = [
     "pq_search",
     "pq_search_prebuilt",
     "ivfpq_search",
+    "ivfpq_search_prebuilt",
     "knn_cascade",
     "knn_radius_search",
     "knn_mmr_diversified",
