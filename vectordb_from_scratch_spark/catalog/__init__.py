@@ -648,6 +648,12 @@ class VectorCatalog:
             index_type = "flat"  # filtered search bypasses the ANN index
         else:
             index_type = lib["index_type"]
+        if metric != "cosine":
+            # Every ANN index here (ivf / lsh_simhash / pq / ivfpq) is
+            # built for cosine; silently answering an l2/manhattan query
+            # with cosine scores would be wrong (ADVICE r3). The exact
+            # scan honors any metric, so route there instead.
+            index_type = "flat"
 
         queries = self.spark.createDataFrame(
             [(0, [float(x) for x in embedding])],

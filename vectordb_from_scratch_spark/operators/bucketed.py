@@ -68,9 +68,17 @@ def _gc_stale_layouts(prefix: str, keep: str) -> None:
     previous generations' layouts accumulate forever."""
     import shutil
 
+    import re
+
+    # Pre-r3 layouts were named 'b_<src>_<8hex>' (content stamp only, no
+    # source key), which the '<srckey>_' prefix never matches — sweep that
+    # legacy shape too or pre-migration dirs are orphaned forever. Safe:
+    # no current writer mints that name, so any match is stale.
+    src = prefix.rsplit("_", 2)[0]  # 'b_lineitem_abc123_' -> 'b_lineitem'
+    legacy = re.compile(re.escape(src) + r"_[0-9a-f]{8}$")
     try:
         for entry in os.listdir(_WAREHOUSE):
-            if entry.startswith(prefix) and entry != keep:
+            if (entry.startswith(prefix) or legacy.fullmatch(entry)) and entry != keep:
                 shutil.rmtree(os.path.join(_WAREHOUSE, entry), ignore_errors=True)
     except FileNotFoundError:
         pass

@@ -535,7 +535,7 @@ def embedding_pairs_auto(
     n, dims = stats
     if n * dims * 8 <= max_broadcast_bytes:
         return embedding_pairs_topk(emb, k=k)
-    return embedding_pairs_blocked(emb, k=k)
+    return embedding_pairs_blocked(emb, k=k, dims=dims or None)
 
 
 @register("dedup_embedding_neardup", _EMB_PAIRS_SQL)
@@ -779,6 +779,7 @@ def embedding_pairs_blocked(
     n_tables: int = 16,
     n_bits: int = 8,
     n_flips: int = 1,
+    dims: int = None,
 ) -> DataFrame:
     """The SCALE path for all-pairs near-dup: LSH blocking first, exact
     cosine only within blocks — O(Σ bucket²) instead of O(N²), the
@@ -797,7 +798,8 @@ def embedding_pairs_blocked(
 
     from vectordb_from_scratch_spark.operators import lsh as lsh_ops
 
-    dims = len(emb.select("embedding").first()[0])
+    if dims is None:  # callers with a parquet source pass footer-cached dims
+        dims = len(emb.select("embedding").first()[0])
     H = lsh_ops.hyperplanes(dims, n_tables, n_bits)
     buckets = track_persist(lsh_ops.compute_buckets(emb, H, id_col="vec_id"))
     probe = buckets
@@ -856,7 +858,8 @@ def embedding_pairs_blocked(
 def dedup_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked near-dup top-20 — recall vs the exact kernel measured in
     tests (the driver sees rows-only since hyperplanes aren't SQL)."""
-    return embedding_pairs_blocked(load_table(spark, sf_dir, "embeddings"), k=20)
+    _, dims = embedding_corpus_stats(sf_dir)
+    return embedding_pairs_blocked(load_table(spark, sf_dir, "embeddings"), k=20, dims=dims)
 
 
 # --- 7. eval-set decontamination --------------------------------------------

@@ -31,6 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vectordb_from_scratch_spark import registry
 from vectordb_from_scratch_spark.functions import linalg
 from vectordb_from_scratch_spark.registry import register
 from vectordb_from_scratch_spark.session import load_table
@@ -290,13 +291,31 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warm_ivf(spark: SparkSession, sf_dir: str) -> None:
+    """Build the IVF index + fixture query set outside any timed region."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    built_index(spark, sf_dir)
+    knn.fixture_query_set(spark, sf_dir, 10)
+
+
+registry.WARMERS["ivf_search_prebuilt"] = warm_ivf
+
+
 @register("ivf_search_prebuilt")  # rows-only: depends on k-means
 def ivf_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure query path against an already-built (process-cached)
     index — the reference's serving regime: `rebuild_index`/`train` once,
     then every REST search hits the in-RAM index (vector_db.py:262-265).
     `ivf_search` measures cold build+search; this entry measures what a
-    query costs once the index exists. Identical results to ivf_search."""
+    query costs once the index exists. Identical results to ivf_search.
+    Under registry.STRICT_SERVE (bench mode) a cold cache raises — the
+    serve number must never silently include the build."""
+    registry.require_warm(
+        _BUILD_CACHE,
+        (spark.sparkContext.applicationId, sf_dir, DEFAULT_N_CLUSTERS),
+        "ivf",
+    )
     return ivf_search(spark, sf_dir)
 
 

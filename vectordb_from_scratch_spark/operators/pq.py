@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vectordb_from_scratch_spark import registry
 from vectordb_from_scratch_spark.registry import register
 from vectordb_from_scratch_spark.session import load_table
 
@@ -292,11 +293,26 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warm_pq(spark: SparkSession, sf_dir: str) -> None:
+    """Train codebooks + encode + fixture query set, untimed."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    built_index(spark, sf_dir)
+    knn.fixture_query_set(spark, sf_dir, 10)
+
+
+registry.WARMERS["pq_search_prebuilt"] = warm_pq
+
+
 @register("pq_search_prebuilt")  # rows-only
 def pq_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve path against the process-cached codes table: ADC + rerank
     only — what a query costs once the index exists (compare ivf_search
-    vs ivf_search_prebuilt)."""
+    vs ivf_search_prebuilt). Under registry.STRICT_SERVE a cold cache
+    raises instead of silently training+encoding inside the timed call."""
+    registry.require_warm(
+        _BUILD_CACHE, (spark.sparkContext.applicationId, sf_dir), "pq"
+    )
     return pq_search(spark, sf_dir)
 
 
@@ -416,9 +432,24 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warm_ivfpq(spark: SparkSession, sf_dir: str) -> None:
+    """Build the full IVFADC layout (ivf + pq + co-location join) untimed."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    ivfpq_codes(spark, sf_dir)
+    knn.fixture_query_set(spark, sf_dir, 10)
+
+
+registry.WARMERS["ivfpq_search_prebuilt"] = warm_ivfpq
+
+
 @register("ivfpq_search_prebuilt")  # rows-only
 def ivfpq_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve path against the process-cached IVFADC layout: probe + ADC +
     rerank only — what a query costs once both indexes exist (the same
-    cold/serve split as ivf_search / ivf_search_prebuilt)."""
+    cold/serve split as ivf_search / ivf_search_prebuilt). Under
+    registry.STRICT_SERVE a cold cache raises instead of building."""
+    registry.require_warm(
+        _IVFPQ_CACHE, (spark.sparkContext.applicationId, sf_dir), "ivfpq"
+    )
     return ivfpq_search(spark, sf_dir)

@@ -356,8 +356,6 @@ def cascade_search(
 
     qids = queries_pdf["query_id"].to_numpy()
     Q = np.stack(queries_pdf["query_vec"].to_list()).astype("float64")
-    qn = np.linalg.norm(Q, axis=1, keepdims=True)
-    Qu = Q / np.where(qn == 0, 1.0, qn)
     qbits = np.packbits(Q > 0, axis=1, bitorder="little")  # (Q, ceil(d/8)) uint8
     qamax = np.abs(Q).max(axis=1, keepdims=True)
     qsafe = np.where(qamax == 0, 1.0, qamax)
@@ -381,7 +379,11 @@ def cascade_search(
             keep_n = min(prefilter, ham.shape[0])
             rows = []
             for j, qid in enumerate(qids):
-                sel = np.argpartition(ham[:, j], keep_n - 1)[:keep_n]
+                # Both cutoffs use the pinned total order (score desc, id
+                # asc) via knn.local_topk_indices — a bare argpartition
+                # makes shortlist membership at a tie depend on row order
+                # within the partition (ADVICE r3 #1).
+                sel = knn.local_topk_indices(-ham[:, j].astype("float64"), ids, keep_n)
                 # tier 2: SQ8 integer-dot cosine on the survivors
                 Xs = X[sel]
                 amax = np.abs(Xs).max(axis=1, keepdims=True)
@@ -391,8 +393,7 @@ def cascade_search(
                 n2s = np.where(n2 == 0, 1.0, n2)
                 s = (codes @ qcodes[j]) / np.sqrt(n2s * qn2_safe[j])
                 s[n2 == 0] = 0.0
-                kk = min(k, len(sel))
-                top = np.argpartition(-s, kk - 1)[:kk]
+                top = knn.local_topk_indices(s, ids[sel], k)
                 rows.append(
                     pd.DataFrame({"query_id": qid, id_col: ids[sel][top]})
                 )
@@ -402,9 +403,9 @@ def cascade_search(
     shortlist = corpus.select(id_col, vec_col).mapInPandas(
         funnel, schema=f"query_id long, {id_col} {id_type}"
     )
-    # tier 3: exact rerank of the merged survivors
-    from vectordb_from_scratch_spark.operators import knn
-
+    # tier 3: exact rerank of the merged survivors (knn is the module-level
+    # import — a local re-import here would turn `knn` into an unbound
+    # closure cell inside `funnel`, which is serialized before this line)
     cand_vec = shortlist.join(corpus.select(id_col, vec_col), id_col)
     rerank = knn.score_pairs_pandas(cand_vec, queries_pdf, id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())

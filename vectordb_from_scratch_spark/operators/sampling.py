@@ -143,7 +143,12 @@ def weighted_sample_topk(
     from pyspark.sql import Window
 
     u = (texthash.hash60(F.col(id_col).cast("string")) + 1) / F.lit(float(1 << 60))
-    key = F.log(u) / F.col(weight_col)
+    # Round the A-Res key to 12 dp before ranking: JVM Math.log and
+    # DuckDB ln agree only to ~1 ulp, and an unrounded key makes the
+    # cross-engine rank comparison knife-edge flaky at near-ties. 12 dp
+    # keeps ~40 bits of the 60-bit draw (keys are O(1e-2..1e-5)), and the
+    # id tie-break resolves rounded collisions identically in both engines.
+    key = F.round(F.log(u) / F.col(weight_col), 12)
     w = Window.orderBy(key.desc(), F.col(id_col).asc())
     return (
         df.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -154,8 +159,8 @@ def weighted_sample_topk(
 _WEIGHTED_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, lang, n_chars,
-         ln(({texthash.hash60_sql("CAST(doc_id AS VARCHAR)")} + 1) / {float(1 << 60)!r})
-           / n_chars AS key
+         round(ln(({texthash.hash60_sql("CAST(doc_id AS VARCHAR)")} + 1) / {float(1 << 60)!r})
+           / n_chars, 12) AS key
   FROM documents),
 ranked AS (
   SELECT doc_id, lang, n_chars,

@@ -21,6 +21,30 @@ from vectordb_from_scratch_spark.operators import knn
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+#: name -> (spark, sf_dir) warmer for the ``*_prebuilt`` serve twins:
+#: builds the process-level index caches OUTSIDE any timed region so the
+#: serve-path bench numbers measure probe+rerank only, regardless of
+#: invocation order (ADVICE r3: the twins were literal aliases relying on
+#: bench ordering for cache warmth).
+WARMERS: dict[str, Callable[[SparkSession, str], None]] = {}
+
+#: When True (bench.py sets it after running a query's warmer), a
+#: ``*_prebuilt`` entry point RAISES if its build cache is cold instead of
+#: silently building — the cold/serve split then measures what it claims.
+#: Default False: standalone/driver invocations build on demand, which is
+#: correct for correctness checking, just not a serve-cost measurement.
+STRICT_SERVE = False
+
+
+def require_warm(cache: dict, key, what: str) -> None:
+    """Serve-path guard: in STRICT_SERVE mode a cold cache is a
+    measurement bug, not a build request — fail loudly."""
+    if STRICT_SERVE and key not in cache:
+        raise RuntimeError(
+            f"{what} serve path invoked with a cold build cache under "
+            f"STRICT_SERVE — run the registered warmer first"
+        )
+
 #: Per-query persisted intermediates (e.g. MinHash band tables that feed both
 #: sides of a self-join). A registry caller runs many queries in ONE session;
 #: without release, each query's cached partitions pile up in executor
