@@ -295,3 +295,95 @@ def test_pq_train_index_validates_and_uses_samples(cat):
     assert not cat._index_meta(lib_id).get("stale")
     res = cat.search(lib_id, vecs[3].tolist(), k=1)
     assert res[0].chunk_id == ids[3]
+
+
+def test_ivfpq_search_finds_self_match(cat):
+    """IVFPQ-indexed library: probe → ADC over cluster-partitioned codes
+    → exact rerank must return a stored vector's own embedding at rank 1
+    (48 vecs / 6 clusters with 8 probes covers every cluster, so the only
+    approximation is PQ's, and the exact rerank undoes it for self)."""
+    lib_id, _, ids = _populate(cat, "ivfpq-lib", index_type="ivfpq")
+    vecs = _vectors()
+    res = cat.search(lib_id, vecs[11].tolist(), k=3)
+    assert res[0].chunk_id == ids[11]
+    meta = cat._index_meta(lib_id)
+    assert meta["type"] == "ivfpq" and meta["m"] == 8 and meta["n_clusters"] == 6
+
+
+def test_ivfpq_delta_touches_only_affected_cluster_partitions(cat):
+    """Per-chunk mutation on an IVFPQ index re-assigns + re-encodes only
+    the delta rows and rewrites only the affected CLUSTER partitions of
+    the co-located codes table; centroids and codebooks stay untouched."""
+    lib_id, _, ids = _populate(cat, "ivfpq-delta", index_type="ivfpq")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)  # build the IVFADC layout
+    cpath = cat._index_path(lib_id, "ivfpq_codes")
+    books_before = cat.spark.read.parquet(
+        cat._index_path(lib_id, "codebooks")
+    ).count()
+    cent_before = cat.spark.read.parquet(
+        cat._index_path(lib_id, "centroids")
+    ).count()
+    before = _partition_inodes(cpath)
+    assert len(before) >= 3
+
+    cat.update_chunk(lib_id, ids[7], embedding=(vecs[7] * -1.0).tolist())
+    assert not cat._index_meta(lib_id).get("stale")
+    after = _partition_inodes(cpath)
+    changed = {p for p in after if after.get(p) != before.get(p)}
+    unchanged = {p for p in after if after.get(p) == before.get(p)}
+    # old cluster + new cluster at most (equal when the flip stays home)
+    assert 1 <= len(changed) <= 2, f"only affected clusters may rewrite, got {changed}"
+    assert unchanged, "untouched cluster partitions must keep their files"
+    assert (
+        cat.spark.read.parquet(cat._index_path(lib_id, "codebooks")).count()
+        == books_before
+    )
+    assert (
+        cat.spark.read.parquet(cat._index_path(lib_id, "centroids")).count()
+        == cent_before
+    )
+
+    res = cat.search(lib_id, (vecs[7] * -1.0).tolist(), k=3)
+    assert res[0].chunk_id == ids[7]
+
+
+def test_ivfpq_delete_removes_rows_without_rebuild(cat):
+    lib_id, _, ids = _populate(cat, "ivfpq-del", index_type="ivfpq")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=1)
+    n_before = cat.spark.read.parquet(
+        cat._index_path(lib_id, "ivfpq_codes")
+    ).count()
+    cat.delete_chunks(lib_id, [ids[3]])
+    assert not cat._index_meta(lib_id).get("stale")
+    codes = cat.spark.read.parquet(cat._index_path(lib_id, "ivfpq_codes"))
+    assert codes.count() == n_before - 1
+    assert codes.filter(codes["id"] == ids[3]).count() == 0
+    res = cat.search(lib_id, vecs[3].tolist(), k=1)
+    assert res[0].chunk_id != ids[3]
+
+
+def test_ivfpq_train_index_validates_and_uses_samples(cat):
+    import pytest as _pytest
+
+    from vectordb_from_scratch_spark.catalog import ValidationError
+
+    lib_id, _, ids = _populate(cat, "ivfpq-sample", index_type="ivfpq")
+    vecs = _vectors()
+    with _pytest.raises(ValidationError):
+        cat.train_index(lib_id, sample_vectors=[[1.0, 2.0]])  # wrong dims
+    cat.train_index(lib_id, sample_vectors=[v.tolist() for v in vecs[:16]])
+    assert not cat._index_meta(lib_id).get("stale")
+    res = cat.search(lib_id, vecs[3].tolist(), k=1)
+    assert res[0].chunk_id == ids[3]
+
+
+def test_ivfpq_non_cosine_metric_falls_back_to_flat(cat):
+    """ADVICE r3: an ANN-indexed library must not silently answer an l2
+    query with cosine scores — the metric routes to the exact scan."""
+    lib_id, _, ids = _populate(cat, "ivfpq-metric", index_type="ivfpq")
+    vecs = _vectors()
+    res = cat.search(lib_id, vecs[9].tolist(), k=1, metric="l2")
+    assert res[0].chunk_id == ids[9]
+    # l2 self-distance is 0 → knn.topk's l2 score convention applies

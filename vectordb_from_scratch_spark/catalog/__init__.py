@@ -50,11 +50,13 @@ from vectordb_from_scratch_spark.operators import pq as pq_ops
 
 MAX_K = 100  # reference caps k ∈ [1, 100] (app/api/dto.py:58)
 
-INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq")  # the reference's three
-# (it silently falls back to flat for unknown types, vector_db.py:96-102,
-# and never registers lsh, SURVEY.md §2.4.1; we register them and REJECT
-# unknown types instead of silent fallback) plus "pq" — the compressed
-# serving index the reference's in-RAM design grows into at scale.
+INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq", "ivfpq")  # the
+# reference's three (it silently falls back to flat for unknown types,
+# vector_db.py:96-102, and never registers lsh, SURVEY.md §2.4.1; we
+# register them and REJECT unknown types instead of silent fallback) plus
+# "pq" and the composed "ivfpq" (FAISS 'IVFx,PQy') — the strongest
+# serve-path index: probe prunes candidates, ADC scores them from 8-byte
+# codes co-located with their cluster, a shortlist is exact-reranked.
 
 
 class NotFoundError(KeyError):
@@ -687,6 +689,40 @@ class VectorCatalog:
                 id_col="id",
                 vec_col="embedding",
             )
+        elif index_type == "ivfpq" and self._ensure_ivfpq(lib_id, corpus):
+            import pandas as pd
+
+            centroids, books, codes_c = self._read_ivfpq(lib_id)
+            qpdf = pd.DataFrame(
+                {"query_id": [0], "query_vec": [[float(x) for x in embedding]]}
+            )
+            # single-query probe is a tiny driver-side matmul (same policy
+            # as the reference's centroid scoring) → the probed cluster
+            # ids land as a partition-pruning filter on the codes table
+            probed = [
+                cid
+                for _, cid in ivf_ops.probe_clusters(
+                    centroids, [(0, embedding)], ivf_ops.DEFAULT_N_PROBES
+                )
+            ]
+            cand = codes_c.filter(F.col("cluster_id").isin(probed)).withColumn(
+                "query_id", F.lit(0).cast("long")
+            )
+            adc = pq_ops.adc_score_candidates(cand, qpdf, books, id_col="id")
+            shortlist = max(pq_ops.DEFAULT_SHORTLIST, 4 * k)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("adc").desc(), F.col("id").asc()
+            )
+            short = (
+                adc.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= shortlist)
+                .select("query_id", "id")
+            )
+            res = pq_ops.rerank_exact(
+                corpus, short, qpdf, k, id_col="id", vec_col="embedding"
+            )
         else:  # flat — scored scan + top-k (V5)
             res = knn.topk(
                 corpus, queries, k=k, metric=metric, id_col="id", vec_col="embedding"
@@ -809,6 +845,8 @@ class VectorCatalog:
             self._lsh_delta(lib_id, upserts, removed, touched_ids)
         elif meta["type"] == "pq":
             self._pq_delta(lib_id, upserts, removed, touched_ids)
+        elif meta["type"] == "ivfpq":
+            self._ivfpq_delta(lib_id, upserts, removed, touched_ids)
         meta["stale"] = False
         meta["n"] = meta.get("n", 0) + n_delta
         self._write_index_meta(lib_id, meta)
@@ -981,7 +1019,10 @@ class VectorCatalog:
         )
         return True
 
-    def _read_pq(self, lib_id: str):
+    def _read_codebooks(self, lib_id: str):
+        """Rehydrate the (m, k, sub) codebook array from its sidecar
+        table; shared by the pq and ivfpq read paths (meta records the
+        ACTUAL trained shape)."""
         import numpy as np
 
         meta = self._index_meta(lib_id)
@@ -995,7 +1036,13 @@ class VectorCatalog:
         books = np.zeros((m, kk, sub))
         for r in rows:
             books[r["subspace"], r["code"]] = r["centroid"]
-        return books, self.spark.read.parquet(self._index_path(lib_id, "codes"))
+        return books
+
+    def _read_pq(self, lib_id: str):
+        return (
+            self._read_codebooks(lib_id),
+            self.spark.read.parquet(self._index_path(lib_id, "codes")),
+        )
 
     def _pq_delta(
         self, lib_id: str, upserts: list, removed: list, touched_ids: list
@@ -1027,6 +1074,111 @@ class VectorCatalog:
         )
         self._overwrite_partitions(
             keep.unionByName(new_codes), path, "id_part", parts
+        )
+
+    def _ensure_ivfpq(self, lib_id: str, corpus: DataFrame) -> bool:
+        meta = self._index_meta(lib_id)
+        if meta and meta.get("type") == "ivfpq" and not meta.get("stale"):
+            return True
+        return self._build_ivfpq(lib_id, corpus)
+
+    def _build_ivfpq(
+        self, lib_id: str, corpus: DataFrame, train_df: DataFrame | None = None
+    ) -> bool:
+        """The composed IVFADC layout through the service surface
+        (mirrors operators/pq.ivfpq_codes): train IVF centroids AND PQ
+        codebooks (on ``train_df`` when given — V17 sample training),
+        then write ONE codes table partitioned by cluster_id, so a probe
+        becomes partition pruning and the co-location join is paid once
+        at build, never per query."""
+        n = corpus.count()
+        if n == 0:
+            return False
+        train = corpus if train_df is None else train_df
+        n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, n // 8 or 1))
+        centroids = ivf_ops.train_centroids(
+            train,
+            n_clusters=n_clusters,
+            vec_col="embedding",
+            n_hint=n if train_df is None else None,
+        )
+        m, kk = self._pq_params(lib_id, n)
+        books = pq_ops.train_codebooks(
+            train, m=m, k=kk, vec_col="embedding",
+            n_hint=n if train_df is None else None,
+        )
+        assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
+        codes = pq_ops.encode(corpus, books, id_col="id", vec_col="embedding")
+        joined = codes.join(assignments, "id")
+        centroids.write.mode("overwrite").parquet(self._index_path(lib_id, "centroids"))
+        rows = [
+            (i, j, [float(x) for x in books[i][j]])
+            for i in range(books.shape[0])
+            for j in range(books.shape[1])
+        ]
+        self.spark.createDataFrame(
+            rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+        ).write.mode("overwrite").parquet(self._index_path(lib_id, "codebooks"))
+        joined.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            self._index_path(lib_id, "ivfpq_codes")
+        )
+        self._write_index_meta(
+            lib_id,
+            {
+                "type": "ivfpq",
+                "n": n,
+                "n_clusters": n_clusters,
+                "m": m,
+                "k": int(books.shape[1]),
+            },
+        )
+        return True
+
+    def _read_ivfpq(self, lib_id: str):
+        return (
+            self.spark.read.parquet(self._index_path(lib_id, "centroids")),
+            self._read_codebooks(lib_id),
+            self.spark.read.parquet(self._index_path(lib_id, "ivfpq_codes")),
+        )
+
+    def _ivfpq_delta(
+        self, lib_id: str, upserts: list, removed: list, touched_ids: list
+    ) -> None:
+        """Partition-scoped IVFADC maintenance: a row's cluster AND codes
+        are deterministic functions of its embedding + the (unchanged)
+        centroids/codebooks, so the affected cluster partitions come from
+        the delta embeddings alone — the union of the IVF-delta and
+        PQ-delta arguments, applied to the one co-located table."""
+        centroids = self.spark.read.parquet(self._index_path(lib_id, "centroids"))
+        books = self._read_codebooks(lib_id)
+        new_assign = ivf_ops.assign(
+            self._delta_df(upserts), centroids, id_col="id", vec_col="embedding"
+        )
+        new_codes = pq_ops.encode(
+            self._delta_df(upserts), books, id_col="id", vec_col="embedding"
+        )
+        new_rows = new_codes.join(new_assign, "id")
+        affected = {
+            r["cluster_id"]
+            for r in ivf_ops.assign(
+                self._delta_df(upserts + removed),
+                centroids,
+                id_col="id",
+                vec_col="embedding",
+            )
+            .select("cluster_id")
+            .distinct()
+            .collect()
+        }
+        path = self._index_path(lib_id, "ivfpq_codes")
+        keep = (
+            self.spark.read.parquet(path)
+            .filter(F.col("cluster_id").isin(list(affected)))
+            .filter(~F.col("id").isin(touched_ids))
+            .localCheckpoint(eager=True)
+        )
+        self._overwrite_partitions(
+            keep.unionByName(new_rows), path, "cluster_id", affected
         )
 
     def _ensure_lsh(self, lib_id: str, corpus: DataFrame) -> bool:
@@ -1061,6 +1213,8 @@ class VectorCatalog:
             self._ensure_lsh(lib_id, corpus)
         elif lib["index_type"] == "pq":
             self._build_pq(lib_id, corpus)
+        elif lib["index_type"] == "ivfpq":
+            self._build_ivfpq(lib_id, corpus)
         # flat needs no sidecar (V6): the chunks table IS the index
 
     def train_index(self, lib_id: str, sample_vectors: list | None = None) -> None:
@@ -1068,9 +1222,26 @@ class VectorCatalog:
         index types (IVF k-means; PQ codebooks); error when there is
         nothing to train on."""
         lib = self.get_library(lib_id)
-        if lib["index_type"] not in ("ivf", "pq"):
+        if lib["index_type"] not in ("ivf", "pq", "ivfpq"):
             raise ValidationError(f"index type {lib['index_type']!r} is not trainable")
         corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
+        if lib["index_type"] == "ivfpq":
+            train_df = None
+            if sample_vectors:
+                dims = lib["dims"]
+                for v in sample_vectors:
+                    if len(v) != dims:
+                        raise ValidationError("sample vector dims mismatch")
+                train_df = self.spark.createDataFrame(
+                    [
+                        (str(i), "s", lib_id, "s", [float(x) for x in v], {})
+                        for i, v in enumerate(sample_vectors)
+                    ],
+                    CHUNK_SCHEMA,
+                )
+            if not self._build_ivfpq(lib_id, corpus, train_df=train_df):
+                raise ValidationError("no vectors available to train on")
+            return
         if lib["index_type"] == "pq":
             train_df = None
             if sample_vectors:
