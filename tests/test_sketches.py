@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from vectordb_from_scratch_spark.functions import texthash
 from vectordb_from_scratch_spark.operators.sketches import (
     approx_user_counts,
     approx_value_quantiles,
@@ -62,3 +63,37 @@ def test_custom_hll_registers_merge_algebra(spark, sf_oracle):
     hi = regs(ev.filter(F.col("event_id") % 2 == 1))
     merged = {b: max(lo.get(b, 0), hi.get(b, 0)) for b in set(lo) | set(hi)}
     assert merged == full
+
+
+def test_heavy_hitters_mg_superset_guarantee(spark, sf_oracle):
+    """The Misra-Gries candidate pass must retain EVERY true heavy hitter
+    under adversarial partitioning (the pigeonhole + undercount-bound
+    argument in sketches.py) — verified by comparing candidates against
+    exact counts at several partition counts, including 1 and a prime."""
+    from vectordb_from_scratch_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    toks = docs.select(F.explode(texthash.words("text")).alias("w"))
+    exact = {r["w"]: r["c"] for r in toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    truth = {w for w, c in exact.items() if c * sketches.HH_THRESHOLD_K > n}
+    assert truth, "fixture should have heavy hitters at the chosen threshold"
+    for parts in (1, 7, 32):
+        cands = {
+            r["w"]
+            for r in sketches.misra_gries_partials(
+                toks.repartition(parts), col="w"
+            ).collect()
+        }
+        assert truth <= cands, f"MG missed heavy hitters at {parts} partitions"
+
+
+def test_heavy_hitters_exact_counts_partition_independent(spark, sf_oracle):
+    """Final output is exact counts — identical across partitionings."""
+    from vectordb_from_scratch_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    toks = docs.select(F.explode(texthash.words("text")).alias("w"))
+    a = sorted(tuple(r) for r in sketches.heavy_hitters(toks.repartition(3)).collect())
+    b = sorted(tuple(r) for r in sketches.heavy_hitters(toks.repartition(17)).collect())
+    assert a == b and len(a) > 0

@@ -3,7 +3,8 @@ to verify the plans hold when N grows 100x (the fixture's embeddings
 table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
-Usage: python tools/stress.py [n_rows] [dims]
+Usage: python tools/stress.py [n_rows] [dims] [mode]
+  mode: core (default, the original kernel battery) | cascade | neardup
 """
 
 from __future__ import annotations
@@ -21,9 +22,49 @@ from vectordb_from_scratch_spark.operators.dedup import embedding_pairs_topk
 from vectordb_from_scratch_spark.session import get_spark
 
 
+def run_cascade(spark, emb, n: int, d: int, n_queries: int, qpdf) -> None:
+    """Binary→SQ8→exact funnel at scale: the shortlist the global merge
+    sees is O(partitions · Q · k) rows regardless of N — print it so the
+    claim is measured, not asymptotic."""
+    from vectordb_from_scratch_spark.operators import quantization
+
+    n_parts = emb.rdd.getNumPartitions()
+    t0 = time.perf_counter()
+    res = quantization.cascade_search(emb, qpdf, k=10, prefilter=200)
+    cnt = res.count()
+    t = time.perf_counter() - t0
+    print(
+        f"cascade Q={len(qpdf)}: {t:6.2f}s ({cnt} rows; global merge input "
+        f"<= parts*Q*k = {n_parts}*{len(qpdf)}*10 = {n_parts * len(qpdf) * 10} "
+        f"rows vs corpus {n} — shuffle stays O(parts*k))"
+    )
+
+
+def run_neardup(spark, emb, n: int, d: int) -> None:
+    """Blocked near-dup at scale + the auto-route guard decision."""
+    from vectordb_from_scratch_spark.operators import dedup
+
+    route = (
+        "exact-broadcast"
+        if n * d * 8 <= dedup.EXACT_PAIRS_MAX_BROADCAST_BYTES
+        else "lsh-blocked"
+    )
+    bits = dedup.blocked_n_bits(n)
+    print(
+        f"auto-route at n={n}, d={d}: {n * d * 8 / 1e6:.0f}MB corpus -> {route}; "
+        f"blocked key width auto-scales to {bits} bits "
+        f"(~{n / (1 << bits):.0f} vectors/bucket)"
+    )
+    t0 = time.perf_counter()
+    cnt = dedup.embedding_pairs_blocked(emb, k=20, dims=d, n_rows=n).count()
+    t = time.perf_counter() - t0
+    print(f"blocked near-dup top-20: {t:6.2f}s ({cnt} rows) at {n} x {d}")
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    mode = sys.argv[3] if len(sys.argv) > 3 else "core"
     n_queries = 100
     spark = get_spark("stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,6 +90,11 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     qpdf = queries.toPandas()
+
+    if mode == "cascade":
+        return run_cascade(spark, emb, n, d, n_queries, qpdf)
+    if mode == "neardup":
+        return run_neardup(spark, emb, n, d)
 
     t0 = time.perf_counter()
     cnt = knn.topk_pandas(emb, qpdf, k=10).count()

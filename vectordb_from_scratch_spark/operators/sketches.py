@@ -206,3 +206,118 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sketch_value_quantiles")  # rows-only: GK sketch engine-specific
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_value_quantiles(load_table(spark, sf_dir, "events"))
+
+
+# --- heavy hitters (Misra-Gries candidates + exact recount) ------------------
+#
+# The corpus-vocabulary question a 100 TB pipeline actually asks: which
+# tokens exceed x% of all traffic (stopword discovery, boilerplate
+# detection, tokenizer-health dashboards). The naive answer is a full
+# (token → count) shuffle of the whole vocabulary; the sketch answer is
+# the classic two-pass heavy hitters:
+#
+#  pass 1 — per-partition Misra-Gries summaries (fixed HH_STATE_K
+#           counters, ZERO shuffle, one Arrow scan). MG's undercount
+#           bound (≤ n_p/(k+1)) plus pigeonhole over partitions
+#           guarantees the union of partition summaries is a SUPERSET of
+#           every token with global freq > n/HH_THRESHOLD_K;
+#  pass 2 — exact counts for the ≤ parts·k candidates only (the single
+#           shuffle carries candidate tokens, not the vocabulary), then
+#           the exact integer threshold cnt·K > n.
+#
+# Because the OUTPUT depends only on exact counts (MG only proposes
+# candidates and can never miss a true heavy hitter), the operator is
+# deterministic under ANY partitioning and carries a FULL value oracle —
+# the same two-tier discipline as the ANN cascade: approximate pruning,
+# exact final answer.
+
+HH_THRESHOLD_K = 30  # report tokens with freq > n/30 (~3.3% of all tokens;
+# the fixture vocabulary is near-uniform at ~3.4%, so this yields a real,
+# non-empty answer — and the integer comparison is exact either way)
+HH_STATE_K = 64  # MG counters per partition; > 2·threshold for margin
+
+
+def misra_gries_partials(tokens: DataFrame, col: str = "w", state_k: int = HH_STATE_K):
+    """Per-partition MG summaries: DataFrame(token, est, part_total).
+    est undercounts by ≤ part_total/(state_k+1); any token with local
+    count above that bound is guaranteed present."""
+    import pandas as pd
+
+    def mg_iter(batches):
+        import numpy as np
+
+        state: dict = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            total += int(vc.sum())
+            for tok, c in vc.items():
+                state[tok] = state.get(tok, 0) + int(c)
+            over = len(state) - state_k
+            if over > 0:
+                # batch decrement: subtract the over-th smallest counter
+                # from all — destroys d·|state| > d·(k+1) arrivals per
+                # round, so Σd ≤ n_p/(k+1), the standard MG bound
+                vals = np.sort(np.fromiter(state.values(), dtype="int64"))
+                d = int(vals[over - 1])
+                state = {t: c - d for t, c in state.items() if c > d}
+        if total:
+            yield pd.DataFrame(
+                {
+                    col: list(state.keys()) or [""],
+                    "est": list(state.values()) or [0],
+                    "part_total": total,
+                }
+            )
+
+    return tokens.select(col).mapInPandas(
+        mg_iter, schema=f"{col} string, est long, part_total long"
+    )
+
+
+def heavy_hitters(
+    tokens: DataFrame, col: str = "w", threshold_k: int = HH_THRESHOLD_K
+) -> DataFrame:
+    """Exact heavy hitters via MG candidate pruning: tokens with exact
+    count · threshold_k > total tokens, with exact counts. One zero-
+    shuffle scan + one candidate-only shuffle; never a full-vocabulary
+    aggregation."""
+    cands = {
+        r[col] for r in misra_gries_partials(tokens, col=col).collect()
+    }  # ≤ parts·k rows collected
+    cands.discard("")
+    # exact total via a count-only scan (map-side partial count, no
+    # shuffle of values) — partition-shape-independent, unlike trying to
+    # reconstruct it from the per-partition summary rows
+    n = tokens.count()
+    if not cands:
+        return tokens.sparkSession.createDataFrame([], f"{col} string, cnt long")
+    return (
+        tokens.filter(F.col(col).isin(list(cands)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * threshold_k > F.lit(int(n)))
+    )
+
+
+_HH_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), w -> w != '')) AS w
+  FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+c AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w)
+SELECT w, cnt FROM c CROSS JOIN tot WHERE cnt * {HH_THRESHOLD_K} > n
+"""
+
+
+@register("text_heavy_hitters", _HH_SQL)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens exceeding 1/HH_THRESHOLD_K of all corpus tokens, with EXACT
+    counts — found without ever shuffling the vocabulary (MG candidate
+    pass + candidate-only recount). FULL value oracle: the output is a
+    pure function of exact counts, so DuckDB reproduces it bit-for-bit;
+    the sketch is only the pruning strategy. The integer comparison
+    cnt·K > n avoids any float threshold drift between engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(texthash.words("text")).alias("w"))
+    return heavy_hitters(toks, col="w")
