@@ -81,6 +81,7 @@ HEADLINE = [
     "knn_radius_search",
     "knn_mmr_diversified",
     "sketch_hll_estimate",
+    "text_heavy_hitters",
 ]
 
 
