@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_decontaminate",
+    "dedup_decontaminate_bloom",
     "dedup_embedding_neardup",
     "dedup_embedding_neardup_blocked",
     "dedup_canonical_keep_best",

@@ -113,3 +113,37 @@ def test_minhash_band_guarantee(spark):
     rows = collide.collect()
     assert len(rows) == N_BANDS  # docs 1 and 2 collide in every band
     assert all(sorted(r["members"]) == [1, 2] for r in rows)
+
+
+def test_bloom_decontaminate_superset_and_low_fp(spark, sf_oracle):
+    """Bloom decontamination can only ADD hits (false positives), never
+    lose one: flagged docs and per-doc shared counts must dominate the
+    exact operator's. At fixture load (~15k shingles into 4M bits) the FP
+    rate is ~1e-6, so the two answers should in fact be identical."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vectordb_from_scratch_spark import registry
+
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in registry.QUERIES["dedup_decontaminate"](spark, sf_oracle).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_shared"]
+        for r in registry.QUERIES["dedup_decontaminate_bloom"](spark, sf_oracle).collect()
+    }
+    assert set(exact) <= set(bloom)
+    assert all(bloom[d] >= c for d, c in exact.items())
+    assert bloom == exact  # FP ≈ 0 at fixture load — measured, not assumed
+
+
+def test_bloom_decontaminate_plan_no_corpus_shuffle(spark, sf_oracle):
+    """The corpus side must reach the per-doc aggregate through a 1-row
+    broadcast (the words array) — no join shuffle of corpus shingles."""
+    from vectordb_from_scratch_spark import plans, registry
+
+    p = plans.physical_plan(
+        registry.QUERIES["dedup_decontaminate_bloom"](spark, sf_oracle)
+    )
+    assert "BroadcastNestedLoopJoin" in p  # 1-row words frame rides broadcast
+    assert "SortMergeJoin" not in p
