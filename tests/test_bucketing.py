@@ -88,3 +88,50 @@ def test_bucketed_join_matches_plain_join(spark, btables, sf_small):
     a = b.agg(F.round(F.sum("l_quantity"), 2).alias("q")).first()["q"]
     e = plain.agg(F.round(F.sum("l_quantity"), 2).alias("q")).first()["q"]
     assert a == e
+
+
+def test_incremental_rollup_rewrites_only_delta_day_partitions(spark, sf_small, tmp_path):
+    """refresh_day_rollup must (a) equal the one-shot batch aggregate and
+    (b) rewrite only the day partitions the delta touches — prior days'
+    parquet files keep their inodes (the catalog-delta discipline applied
+    to analytics materialization)."""
+    from pyspark.sql import functions as F
+
+    from tests.test_catalog_incremental import _partition_inodes
+    from vectordb_from_scratch_spark.operators import layout
+    from vectordb_from_scratch_spark.session import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    day = F.expr(layout._DAY_EXPR)
+    split = "2024-01-25"
+    base, delta = ev.filter(day < F.lit(split)), ev.filter(day >= F.lit(split))
+    assert base.count() > 0 and delta.count() > 0, "fixture must straddle the split"
+
+    path = str(tmp_path / "rollup")
+    layout.refresh_day_rollup(spark, path, base)
+    before = _partition_inodes(path)
+    assert len(before) >= 3
+
+    layout.refresh_day_rollup(spark, path, delta)
+    after = _partition_inodes(path)
+    changed = {p for p in after if after.get(p) != before.get(p)}
+    delta_days = {
+        f"day={r[0]}" for r in delta.select(day.alias("d")).distinct().collect()
+    }
+    assert changed == delta_days, f"only delta days may rewrite: {changed} vs {delta_days}"
+    assert any(p not in changed for p in before), "base partitions must persist"
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("day", "event_type", "n_events", F.round("sum_value", 6).alias("v"))
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.select(day.alias("day"), "event_type", "value")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("v"))
+        .collect()
+    )
+    assert got == want

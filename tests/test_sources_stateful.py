@@ -144,3 +144,45 @@ def test_streaming_knn_matches_batch(spark, sf_small, tmp_path):
         for r in topk_pandas(emb, queries.toPandas(), k=5).collect()
     )
     assert got == exp and len(got) == 6 * 5
+
+
+def test_streaming_mg_candidates_keep_every_heavy_hitter(spark, sf_small, tmp_path):
+    """Streaming Misra-Gries: after draining the token stream in 4
+    micro-batches, the union of final bucket summaries must contain every
+    token whose TOTAL frequency exceeds n/HH_THRESHOLD_K — the batch
+    operator's superset guarantee carried across incremental state."""
+    from vectordb_from_scratch_spark.functions import texthash
+    from vectordb_from_scratch_spark.operators import sketches
+
+    docs = load_table(spark, sf_small, "documents")
+    toks = docs.select(F.explode(texthash.words("text")).alias("w"))
+    src = str(tmp_path / "tok_stream")
+    toks.repartition(4).write.parquet(src)
+
+    stream = sources.read_stream(spark, src, schema=spark.read.parquet(src).schema)
+    out = streaming.heavy_hitter_candidates_stream(stream)
+    streaming.run_stream_to_memory(out, "t_mg_stream", output_mode="update")
+
+    sunk = spark.table("t_mg_stream")
+    rows = sunk.collect()  # sketch-sized: buckets × state_k × versions
+    last_ver: dict = {}
+    for r in rows:
+        last_ver[r["bucket"]] = max(last_ver.get(r["bucket"], 0), r["ver"])
+    cands = {r["w"] for r in rows if r["ver"] == last_ver[r["bucket"]]}
+    final_counts: dict = {}
+    for r in rows:
+        if r["ver"] == last_ver[r["bucket"]]:
+            final_counts[r["bucket"]] = final_counts.get(r["bucket"], 0) + 1
+
+    exact = {
+        r["w"]: r["c"]
+        for r in toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(exact.values())
+    truth = {w for w, c in exact.items() if c * sketches.HH_THRESHOLD_K > n}
+    assert truth, "fixture must have heavy hitters"
+    assert truth <= cands
+    # bounded state: every bucket's final summary respects the cap
+    assert all(c <= sketches.HH_STATE_K for c in final_counts.values())
+    # and the stream really ran multiple micro-batches
+    assert max(last_ver.values()) > 1

@@ -805,11 +805,15 @@ def _seg_pairs_topk(Bm, bid, bn2, k: int):
         )
     ca, cb, cs = [], [], []
     jj = np.arange(nb)[None, :]
-    sqrt_n2 = np.sqrt(np.where(bn2 == 0, 1.0, bn2))
     zero = bn2 == 0
     for lo in range(0, nb, 512):
         hi = min(lo + 512, nb)
-        S = (Bm[lo:hi] @ Bm.T) / np.outer(sqrt_n2[lo:hi], sqrt_n2)
+        # sqrt(outer(n2a, n2b)), NOT sqrt(n2a)*sqrt(n2b): the two differ
+        # by 1 ulp (sqrt(39)*sqrt(39) != 39.0), and the direct path /
+        # exact rerank use the former — a mixed convention would let
+        # shortlist membership at a tie depend on which path scored it
+        denom = np.sqrt(np.outer(bn2[lo:hi], bn2))
+        S = (Bm[lo:hi] @ Bm.T) / np.where(denom == 0, 1.0, denom)
         S[zero[lo:hi], :] = 0.0
         S[:, zero] = 0.0
         # keep strictly-upper pairs only (i < j in bucket order)

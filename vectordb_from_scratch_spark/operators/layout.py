@@ -104,3 +104,102 @@ def events_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --- incremental rollup maintenance ------------------------------------------
+#
+# The day-partitioned layout above makes READS prune; this maintains a
+# materialized (day, event_type) aggregate INCREMENTALLY as new events
+# arrive — the warehouse "incremental view maintenance" pattern, and the
+# analytics twin of the catalog's partition-scoped index deltas. The
+# stored state is algebraic partials (count, sum), so a refresh is:
+# aggregate the delta, read back ONLY the touched day partitions, re-sum,
+# dynamic-overwrite those partitions. Untouched days never rewrite
+# (inode-asserted in tests); at 100 TB a daily refresh touches one day's
+# directory, not the year's.
+
+ROLLUP_SPLITS = ("2024-01-20", "2024-01-25")  # base < s0, delta1 [s0,s1), delta2 >= s1
+
+
+def refresh_day_rollup(spark: SparkSession, path: str, delta_events: DataFrame) -> None:
+    """Merge a batch of new events into the materialized rollup at
+    ``path``. The distinct-day collect is bounded by the delta's calendar
+    span (days, not rows)."""
+    delta = (
+        delta_events.withColumn("day", F.expr(_DAY_EXPR))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    days = [r["day"] for r in delta.select("day").distinct().collect()]
+    if not days:
+        return
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        existing = spark.read.parquet(path).filter(F.col("day").isin(days))
+        merged = (
+            existing.unionByName(delta)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+    else:
+        merged = delta
+    # materialize BEFORE the overwrite: the write must not read the
+    # partition files it replaces (same discipline as catalog deltas)
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").partitionBy("day").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(path)
+
+
+_ROLLUP_INC_SQL = """
+SELECT ts::DATE AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_rollup_incremental", _ROLLUP_INC_SQL)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-history rollup built INCREMENTALLY: base load (days
+    before the first split), then two successive delta refreshes — and
+    the result must equal the one-shot batch aggregate, which is exactly
+    what the DuckDB oracle computes from the flat table. Incremental ==
+    batch is the entire correctness contract of view maintenance, so the
+    oracle check IS the invariant."""
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    path = _ROLLUP_CACHE.get(key)
+    if path is None:
+        srckey = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+        stamphash = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+        digest = f"{srckey}_{stamphash}"
+        path = os.path.join(_WAREHOUSE, f"events_rollup_inc_{digest}")
+        from vectordb_from_scratch_spark.operators.bucketed import _gc_stale_layouts
+
+        _gc_stale_layouts(f"events_rollup_inc_{srckey}_", f"events_rollup_inc_{digest}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ev = load_table(spark, sf_dir, "events")
+            day = F.expr(_DAY_EXPR)
+            s0, s1 = ROLLUP_SPLITS
+            refresh_day_rollup(spark, path, ev.filter(day < F.lit(s0)))
+            refresh_day_rollup(
+                spark, path, ev.filter((day >= F.lit(s0)) & (day < F.lit(s1)))
+            )
+            refresh_day_rollup(spark, path, ev.filter(day >= F.lit(s1)))
+        _ROLLUP_CACHE[key] = path
+    return spark.read.parquet(path).select(
+        F.col("day").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("total_value"),
+    )
+
+
+_ROLLUP_CACHE: dict = {}

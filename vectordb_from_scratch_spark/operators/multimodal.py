@@ -670,3 +670,153 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     0x00, so max_pixel is unaffected (text is printable ASCII > 0)."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_png_features(synth_png_assets(docs))
+
+
+# --- image average-hash (perceptual fingerprint) -----------------------------
+#
+# aHash is the standard first-pass image near-dup fingerprint: decode →
+# nearest-neighbor resize to 8×8 → each bit = pixel above the tile mean.
+# Two images whose hashes sit within a small Hamming distance are
+# near-duplicate candidates — the image-side analog of SimHash over text,
+# and it composes with the same banded/bucketed machinery (knn_hamming_topk
+# already searches packed sign bits with bit_count(xor) in codegen).
+#
+# Because our BMP assets' pixels ARE the document's text bytes, DuckDB can
+# reproduce the nearest-neighbor index arithmetic and the exact bit
+# packing — a FULL value oracle over a real decode → resize → threshold
+# pipeline (the comparison that PIL-style codecs can never carry here).
+# The mean comparison is done as 64·pixel > sum so both engines stay in
+# exact integer arithmetic.
+
+
+def image_ahash(bmp_df: DataFrame) -> DataFrame:
+    """(asset_id, hash_lo, hash_hi, n_set): 64-bit aHash split into two
+    uint32-valued longs (bit 63 would overflow a signed BIGINT in either
+    engine), plus the popcount. Real byte-level decode: header parse,
+    stride honor, bottom-up un-flip — then an 8×8 nearest-neighbor sample
+    (row r → source row ⌊r·h/8⌋, col c → ⌊c·W/8⌋) and the above-mean
+    threshold."""
+    import struct
+
+    import numpy as np
+
+    def hash_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["bmp"]):
+                data = bytes(payload)
+                magic, _fs, _r1, _r2, offbits = struct.unpack("<2sIHHI", data[:14])
+                assert magic == b"BM", "bad BMP signature"
+                _hs, width, height, _pl, bpp, comp = struct.unpack(
+                    "<IiiHHI", data[14:34]
+                )
+                assert bpp == 8 and comp == 0, "not uncompressed 8bpp"
+                if height == 0:
+                    rows.append((int(aid), 0, 0, 0))
+                    continue
+                stride = (width + 3) & ~3
+                arr = np.frombuffer(
+                    data, dtype=np.uint8, count=stride * height, offset=offbits
+                ).reshape(height, stride)
+                img = arr[::-1, :width].astype("int64")
+                ridx = (np.arange(8) * height) // 8
+                cidx = (np.arange(8) * width) // 8
+                sub = img[np.ix_(ridx, cidx)]
+                total = int(sub.sum())
+                bits = (sub.ravel() * 64) > total  # row-major: i = 8r + c
+                lo = sum(1 << i for i in range(32) if bits[i])
+                hi = sum(1 << i for i in range(32) if bits[32 + i])
+                rows.append((int(aid), int(lo), int(hi), int(bits.sum())))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "hash_lo", "hash_hi", "n_set"]
+            )
+
+    return bmp_df.mapInPandas(
+        hash_iter, schema="asset_id long, hash_lo long, hash_hi long, n_set long"
+    )
+
+
+_AHASH_IDX = f"(((i // 8) * h) // 8) * {BMP_WIDTH} + (((i % 8) * {BMP_WIDTH}) // 8) + 1"
+
+_AHASH_SQL = f"""
+WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 2),
+d AS (SELECT asset_id, length(text) AS n,
+             CAST((length(text) + {BMP_WIDTH} - 1) // {BMP_WIDTH} AS BIGINT) AS h,
+             text
+      FROM a),
+s AS (SELECT asset_id,
+             list_transform(range(0, 64),
+               i -> CASE WHEN {_AHASH_IDX} <= n
+                         THEN ascii(substr(text, ({_AHASH_IDX})::INT, 1))
+                         ELSE 0 END) AS px
+      FROM d WHERE h > 0),
+b AS (SELECT asset_id, px, list_sum(px) AS total FROM s)
+SELECT asset_id,
+       list_sum(list_transform(range(0, 32),
+         i -> CASE WHEN px[i + 1] * 64 > total THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS hash_lo,
+       list_sum(list_transform(range(0, 32),
+         i -> CASE WHEN px[i + 33] * 64 > total THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS hash_hi,
+       len(list_filter(px, p -> p * 64 > total))::BIGINT AS n_set
+FROM b
+"""
+
+
+@register("multimodal_image_ahash", _AHASH_SQL)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash fingerprints over the synthesized BMP corpus — decode →
+    8×8 nearest-neighbor resize → above-mean bits, value-checked against
+    DuckDB reproducing the same index arithmetic on the source text
+    bytes. Feed the two packed words into the Hamming machinery
+    (knn_hamming_topk's bit_count(xor) plan) for image near-dup search."""
+    docs = load_table(spark, sf_dir, "documents")
+    return image_ahash(synth_bmp_assets(docs))
+
+
+_IMG_NEARDUP_SQL = f"""
+WITH h AS ({_AHASH_SQL.strip()})
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       (bit_count(xor(a.hash_lo, b.hash_lo))
+        + bit_count(xor(a.hash_hi, b.hash_hi)))::BIGINT AS hamming
+FROM h a JOIN h b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+      + bit_count(xor(a.hash_hi, b.hash_hi)) <= 1
+"""
+
+
+@register("multimodal_image_neardup", _IMG_NEARDUP_SQL)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates: aHash pairs within Hamming distance 1.
+    The pair search is BANDED, not quadratic — distance ≤ 1 over a hash
+    split into two words means AT LEAST ONE word is identical
+    (pigeonhole), so two equi-joins on the word values find every
+    qualifying pair and the filter only rescreens band collisions with
+    codegen bit_count(xor). The oracle runs the plain quadratic
+    formulation — same answer, which is exactly the losslessness claim.
+    At 100 TB the equi-joins are shuffle-on-32-bit-key joins whose
+    candidate sets are hash-collision-sized, the same shape as
+    dedup_simhash's banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = image_ahash(synth_bmp_assets(docs)).select("asset_id", "hash_lo", "hash_hi")
+    ha = h.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("hash_lo").alias("lo_a"),
+        F.col("hash_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("hash_lo").alias("lo_b"),
+        F.col("hash_hi").alias("hi_b"),
+    )
+    j_lo = ha.join(hb, (F.col("lo_a") == F.col("lo_b")) & (F.col("asset_a") < F.col("asset_b")))
+    j_hi = ha.join(hb, (F.col("hi_a") == F.col("hi_b")) & (F.col("asset_a") < F.col("asset_b")))
+    cand = j_lo.unionByName(j_hi).distinct()
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 1)
+        .select("asset_a", "asset_b", "hamming")
+    )

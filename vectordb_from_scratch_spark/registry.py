@@ -279,3 +279,4 @@ from vectordb_from_scratch_spark.operators import quantization  # noqa: E402,F40
 from vectordb_from_scratch_spark.operators import pq  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import layout  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import search_ext  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import sqlapi  # noqa: E402,F401

@@ -285,3 +285,64 @@ def hll_registers_stream(events: DataFrame) -> DataFrame:
     return r.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.max("rho").cast("long").alias("max_rho")
     )
+
+
+def heavy_hitter_candidates_stream(
+    tokens: DataFrame, n_buckets: int = 8, state_k: int = None
+) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter candidates: the batch two-pass
+    operator's pass 1 (operators/sketches.py::misra_gries_partials) as a
+    custom stateful stream. Tokens group by a cross-engine hash bucket —
+    every occurrence of a token lands in ONE bucket, so each bucket's MG
+    summary carries the standard undercount bound over that token's FULL
+    stream history and the superset guarantee survives micro-batching:
+    any token with global frequency > n/HH_THRESHOLD_K is present in its
+    bucket's final state (asserted in tests/test_sources_stateful.py).
+
+    State is n_buckets × state_k (token, count) pairs TOTAL — like the
+    streaming HLL, bounded without a watermark, which is the whole point
+    of sketch state. Each emission carries a per-bucket version counter
+    so the update-mode sink's final summary per bucket is selectable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vectordb_from_scratch_spark.functions import texthash
+    from vectordb_from_scratch_spark.operators import sketches
+
+    k = sketches.HH_STATE_K if state_k is None else state_k
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        toks, cnts, ver = state.get if state.exists else ([], [], 0)
+        st = dict(zip(toks, [int(c) for c in cnts]))
+        for pdf in pdfs:
+            vc = pdf["w"].value_counts()
+            for t, c in vc.items():
+                st[t] = st.get(t, 0) + int(c)
+            over = len(st) - k
+            if over > 0:
+                vals = np.sort(np.fromiter(st.values(), dtype="int64"))
+                d = int(vals[over - 1])
+                st = {t: c - d for t, c in st.items() if c > d}
+        ver += 1
+        state.update((list(st.keys()), [int(v) for v in st.values()], ver))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "w": list(st.keys()),
+                "est": [int(v) for v in st.values()],
+                "ver": ver,
+            }
+        )
+
+    bucketed = tokens.withColumn(
+        "bucket", F.pmod(texthash.hash60(F.col("w")), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket long, w string, est long, ver long",
+        stateStructType="toks array<string>, cnts array<long>, ver long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
