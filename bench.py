@@ -82,6 +82,9 @@ HEADLINE = [
     "knn_radius_search",
     "knn_mmr_diversified",
     "sketch_hll_estimate",
+    "sketch_histogram_quantiles",
+    "events_rollup_incremental",
+    "sql_api_top_customers_window",
     "text_heavy_hitters",
     "multimodal_image_ahash",
     "multimodal_image_neardup",

@@ -97,3 +97,56 @@ def test_heavy_hitters_exact_counts_partition_independent(spark, sf_oracle):
     a = sorted(tuple(r) for r in sketches.heavy_hitters(toks.repartition(3)).collect())
     b = sorted(tuple(r) for r in sketches.heavy_hitters(toks.repartition(17)).collect())
     assert a == b and len(a) > 0
+
+
+def test_histogram_quantiles_within_one_bin(spark, sf_oracle):
+    """The histogram estimate is the lower edge of the bin holding the
+    DISCRETE quantile — the smallest order statistic whose rank reaches
+    q·n (interpolating percentile() targets a different, definitionally
+    off-by-one value that a sparse tail puts bins away). That order
+    statistic must lie INSIDE the selected bin: est ≤ stat ≤ est+width."""
+    from pyspark.sql import Window
+
+    from vectordb_from_scratch_spark.operators.sketches import (
+        HIST_BINS,
+        HIST_QS,
+        histogram_quantiles,
+    )
+
+    ev = load_table(spark, sf_oracle, "events")
+    est = {r["event_type"]: r for r in histogram_quantiles(ev).collect()}
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    disc = {
+        (r["event_type"], k): r[f"q{k}"]
+        for k, _ in HIST_QS
+        for r in ranked.groupBy("event_type")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("rk") * 100 >= F.col("n") * kk, F.col("value"))
+                ).alias(f"q{kk}")
+                for kk, _ in HIST_QS
+            ]
+        )
+        .collect()
+    }
+    spans = {
+        r["event_type"]: (r["mx"] - r["mn"]) / HIST_BINS
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert est
+    for et, e in est.items():
+        width = spans[et]
+        for k, label in HIST_QS:
+            lo, stat = e[label], disc[(et, k)]
+            assert lo - 1e-9 <= stat <= lo + width + 1e-9, (
+                f"{et} {label}: est {lo}, order-stat {stat}, width {width}"
+            )

@@ -321,3 +321,105 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(texthash.words("text")).alias("w"))
     return heavy_hitters(toks, col="w")
+
+
+# --- histogram quantiles (cross-engine value-checked) ------------------------
+#
+# Completes the value-checked sketch triad: distinct counts (md5 HLL),
+# heavy hitters (MG + exact recount), and now quantiles. GK/t-digest
+# internals are engine-specific (rows-only forever); an equi-width
+# histogram is the quantile sketch whose STATE a SQL engine can
+# reproduce bit-for-bit: bin = floor((v - min) / (max - min) * B) is the
+# same IEEE double expression in both engines, the histogram is one
+# mergeable groupBy (partial = per-partition counts, merge = sum — the
+# sum algebra again), and the estimate is integer arithmetic over
+# cumulative counts. Error is bounded by construction: the true quantile
+# lies inside the selected bin, so |est - exact| <= bin width (asserted
+# in tests). Two linear passes (min/max, then bins), state B ints per
+# group regardless of rows.
+
+HIST_BINS = 1024
+#: (q numerator, label) — thresholds compared as 100·cum >= k·n, exact
+#: integer arithmetic, no float quantile thresholds anywhere.
+HIST_QS = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+def histogram_quantiles(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """(event_type, p50_est, p90_est, p99_est) from an equi-width
+    histogram: estimates are each bin's LOWER edge — deterministic,
+    interpolation-free, within one bin width of the exact quantile."""
+    from pyspark.sql import Window
+
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("vmax") == F.col("vmin"), F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("value") - F.col("vmin"))
+                        / (F.col("vmax") - F.col("vmin"))
+                        * bins
+                    ),
+                )
+            ).cast("long"),
+        )
+        .groupBy("event_type", "vmin", "vmax", "n", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = binned.withColumn("cum", F.sum("c").over(w))
+    edge = F.col("vmin") + F.col("bin") * (F.col("vmax") - F.col("vmin")) / bins
+    agg = [
+        F.round(
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * k, edge)), 6
+        ).alias(label)
+        for k, label in HIST_QS
+    ]
+    return cum.groupBy("event_type").agg(*agg)
+
+
+def _hist_sql(bins: int = HIST_BINS) -> str:
+    qs = ",\n       ".join(
+        f"round(min(CASE WHEN cum * 100 >= n * {k} THEN vmin + bin * (vmax - vmin) / {bins} END), 6) AS {label}"
+        for k, label in HIST_QS
+    )
+    return f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type),
+binned AS (
+  SELECT e.event_type, s.vmin, s.vmax, s.n,
+         CASE WHEN s.vmax = s.vmin THEN 0
+              ELSE least({bins - 1},
+                         floor((e.value - s.vmin) / (s.vmax - s.vmin) * {bins}))
+         END::BIGINT AS bin,
+         count(*)::BIGINT AS c
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY 1, 2, 3, 4, 5),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM binned)
+SELECT event_type,
+       {qs}
+FROM cum GROUP BY event_type
+"""
+
+
+@register("sketch_histogram_quantiles", _hist_sql())
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 from the 1024-bin histogram sketch,
+    value-checked against DuckDB running the identical double arithmetic
+    — the quantile sketch that CAN carry a full oracle. The one-bin
+    error bound vs the exact percentile is asserted in
+    tests/test_sketches.py."""
+    return histogram_quantiles(load_table(spark, sf_dir, "events"))
