@@ -83,6 +83,8 @@ HEADLINE = [
     "knn_mmr_diversified",
     "sketch_hll_estimate",
     "sketch_histogram_quantiles",
+    "profile_orders",
+    "events_value_outliers",
     "events_rollup_incremental",
     "sql_api_top_customers_window",
     "text_heavy_hitters",

@@ -475,3 +475,101 @@ def streaming_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# --- data profiling + outlier detection --------------------------------------
+
+_PROFILE_SQL = """
+SELECT 'o_totalprice' AS col,
+       count(*)::BIGINT AS n_rows,
+       count(o_totalprice)::BIGINT AS n_nonnull,
+       count(DISTINCT o_totalprice)::BIGINT AS n_distinct,
+       round(min(o_totalprice), 2) AS min_v,
+       round(max(o_totalprice), 2) AS max_v,
+       round(avg(o_totalprice), 4) AS mean_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       count(*)::BIGINT, count(o_custkey)::BIGINT,
+       count(DISTINCT o_custkey)::BIGINT,
+       round(min(o_custkey), 2), round(max(o_custkey), 2),
+       round(avg(o_custkey), 4)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       count(*)::BIGINT, count(o_orderstatus)::BIGINT,
+       count(DISTINCT o_orderstatus)::BIGINT,
+       NULL, NULL, NULL
+FROM orders
+"""
+
+
+@register("profile_orders", _PROFILE_SQL)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality pass every ingestion pipeline
+    runs before training: per-column row/non-null/distinct counts and
+    numeric ranges as ONE aggregation job (Catalyst plans the
+    multi-column distinct counts via Expand; a per-column describe loop
+    would run a job per column), then `stack` unpivots the single stats
+    row into one row per column. Numeric and categorical columns share
+    the output schema with NULLed numeric stats for the latter."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = (("o_totalprice", True), ("o_custkey", True), ("o_orderstatus", False))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, numeric in cols:
+        aggs.append(F.count(col).alias(f"{col}__nn"))
+        aggs.append(F.countDistinct(col).alias(f"{col}__nd"))
+        if numeric:
+            aggs.append(F.round(F.min(col), 2).cast("double").alias(f"{col}__mn"))
+            aggs.append(F.round(F.max(col), 2).cast("double").alias(f"{col}__mx"))
+            aggs.append(F.round(F.avg(col), 4).cast("double").alias(f"{col}__mu"))
+    one = o.agg(*aggs)  # single scan: every stat is a partial aggregate
+    parts = []
+    for col, numeric in cols:
+        nums = (
+            f"`{col}__mn`, `{col}__mx`, `{col}__mu`"
+            if numeric
+            else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+        parts.append(f"'{col}', n_rows, `{col}__nn`, `{col}__nd`, {nums}")
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) AS "
+            "(col, n_rows, n_nonnull, n_distinct, min_v, max_v, mean_v)"
+        )
+    )
+
+
+_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round(e.value, 2) AS value,
+       round((e.value - s.mu) / s.sd, 4) AS zscore
+FROM events e JOIN s USING (event_type)
+WHERE abs(e.value - s.mu) > 3 * s.sd
+"""
+
+
+@register("events_value_outliers", _OUTLIERS_SQL)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outliers per event type — the anomaly screen run before
+    metrics trust a feed. Two-pass shape: tiny per-type (mean, stddev)
+    aggregate broadcasts back onto the scan, the filter stays in codegen,
+    and only outlier rows survive to the driver. stddev_samp matches
+    DuckDB's stddev_samp definition exactly (n-1 denominator)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        )
+    )
