@@ -297,3 +297,48 @@ def test_day_partitioned_rollup_prunes_partitions(q):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "day" in m.group(1) and ">=" in m.group(1) and "<=" in m.group(1), p
+
+
+def test_mg_candidate_pass_is_scan_local(spark, sf_oracle):
+    """Heavy hitters pass 1 (Misra-Gries partials) must have ZERO
+    exchanges — the whole point is summarizing without shuffling the
+    vocabulary. Pass 2 (exact recount of candidates) is allowed exactly
+    one aggregate exchange."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.functions import texthash
+    from vectordb_from_scratch_spark.operators import sketches
+
+    toks = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        F.explode(texthash.words("text")).alias("w")
+    )
+    assert plans.n_shuffles(sketches.misra_gries_partials(toks)) == 0
+    # one real aggregate exchange (formatted mode lists nodes twice)
+    assert plans.n_shuffles(sketches.heavy_hitters(toks)) <= 2
+
+
+def test_histogram_quantiles_single_broadcast_no_sort(spark, sf_oracle):
+    """The stats frame (5 rows) must broadcast back onto the scan; no
+    global sort appears anywhere (the selection is integer comparisons
+    over a windowed cumsum per type, not an order-by of the data)."""
+    df = registry.QUERIES["sketch_histogram_quantiles"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_image_neardup_banded_equi_joins_only(spark, sf_oracle):
+    """The Hamming<=1 pair search must run as equi-joins on the hash
+    words — a nested-loop/cartesian plan would mean the banding
+    regressed to quadratic."""
+    df = registry.QUERIES["multimodal_image_neardup"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_outliers_broadcast_moments(spark, sf_oracle):
+    """events_value_outliers: the per-type moment frame broadcasts; the
+    events table is scanned, never shuffle-joined."""
+    df = registry.QUERIES["events_value_outliers"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
