@@ -186,3 +186,35 @@ def test_streaming_mg_candidates_keep_every_heavy_hitter(spark, sf_small, tmp_pa
     assert all(c <= sketches.HH_STATE_K for c in final_counts.values())
     # and the stream really ran multiple micro-batches
     assert max(last_ver.values()) > 1
+
+
+def test_streaming_histogram_register_identical_to_batch(spark, sf_small, tmp_path):
+    """The streaming histogram's final (event_type, bin) counts must
+    equal the batch histogram built with the SAME edges — sketch merge
+    is addition, so micro-batch accumulation is exact, not approximate."""
+    from vectordb_from_scratch_spark.operators.sketches import HIST_BINS
+
+    ev = load_table(spark, sf_small, "events")
+    edges = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    src = str(tmp_path / "hist_stream")
+    ev.select("event_type", "value").repartition(4).write.parquet(src)
+    stream = sources.read_stream(spark, src, schema=spark.read.parquet(src).schema)
+    out = streaming.histogram_bins_stream(stream, edges)
+    streaming.run_stream_to_memory(out, "t_hist_stream", output_mode="complete")
+
+    got = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in spark.table("t_hist_stream").collect()
+    }
+    want = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in streaming.histogram_bins_stream(
+            ev.select("event_type", "value"), edges
+        ).collect()
+    }
+    assert got == want and len(want) > 50
+    # bounded state: at most types x HIST_BINS rows
+    n_types = edges.count()
+    assert len(got) <= n_types * HIST_BINS

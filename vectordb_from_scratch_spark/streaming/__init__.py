@@ -346,3 +346,39 @@ def heavy_hitter_candidates_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def histogram_bins_stream(
+    stream: DataFrame, edges: DataFrame, bins: int = None
+) -> DataFrame:
+    """Streaming histogram-quantile state: (event_type, bin) counts over
+    the stream, binned against the broadcast static ``edges`` frame
+    (event_type, vmin, vmax). Histogram merge IS addition, so a plain
+    streaming sum carries the sketch — the same algebra argument as
+    hll_registers_stream (merge = max) and heavy_hitter_candidates_stream
+    (MG summaries). Bin ranges must be FIXED up front in a streaming
+    setting (no second pass over history): the production shape takes
+    edges from yesterday's profile, not today's stream. State is
+    types × B rows total, watermark-free; register-identical to the
+    batch histogram built with the same edges (asserted in tests)."""
+    from vectordb_from_scratch_spark.operators.sketches import HIST_BINS
+
+    b = HIST_BINS if bins is None else bins
+    binned = stream.join(F.broadcast(edges), "event_type").withColumn(
+        "bin",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(b - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * b
+                ),
+            )
+        )
+        .cast("long"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
