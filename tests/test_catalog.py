@@ -280,3 +280,87 @@ def test_ingest_rejects_empty_text_without_orphan_document(cat):
         with pytest.raises(ValidationError):
             cat.ingest_document_text(lib_id, "empty-doc", bad)
     assert cat.list_documents(lib_id) == []
+
+
+def test_export_import_roundtrip_preserves_search(spark, tmp_path):
+    """Export a library (with a built IVFPQ index) and restore it into a
+    FRESH catalog: identical search results, and the restored index
+    serves immediately — no retrain (train entry points are poisoned
+    during the restored search to prove it)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_from_scratch_spark.catalog import ConflictError, VectorCatalog
+    from vectordb_from_scratch_spark.operators import ivf as ivf_ops
+    from vectordb_from_scratch_spark.operators import pq as pq_ops
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    src = VectorCatalog(spark, str(tmp_path / "src"))
+    lib = src.create_library("portme", 8, index_type="ivfpq", metadata={"k": "v"})
+    doc = src.create_document(lib, "d1")
+    ids = src.add_chunks(
+        lib,
+        doc,
+        [{"text": f"c{i}", "embedding": vecs[i].tolist()} for i in range(40)],
+        ids=[f"c{i:02d}" for i in range(40)],
+    )
+    before = [r.chunk_id for r in src.search(lib, vecs[5].tolist(), k=5)]
+
+    snap = str(tmp_path / "snapshot")
+    manifest = src.export_library(lib, snap)
+    assert manifest["n_chunks"] == 40 and manifest["index"]["type"] == "ivfpq"
+
+    dst = VectorCatalog(spark, str(tmp_path / "dst"))
+    new_id = dst.import_library(snap)
+    assert new_id == lib  # restore preserves ids
+    assert dst.get_library(new_id)["metadata"] == {"k": "v"}
+    assert dst.library_stats(new_id)["num_chunks"] == 40
+
+    import vectordb_from_scratch_spark.catalog as catmod
+
+    def boom(*a, **k):
+        raise AssertionError("restored index must serve without retraining")
+
+    orig_tc, orig_cb = ivf_ops.train_centroids, pq_ops.train_codebooks
+    catmod.ivf_ops.train_centroids = boom
+    catmod.pq_ops.train_codebooks = boom
+    try:
+        after = [r.chunk_id for r in dst.search(new_id, vecs[5].tolist(), k=5)]
+    finally:
+        catmod.ivf_ops.train_centroids = orig_tc
+        catmod.pq_ops.train_codebooks = orig_cb
+    assert after == before and after[0] == ids[5]
+
+    # restore is resurrection, not cloning: same id again -> 409
+    with _pytest.raises(ConflictError):
+        dst.import_library(snap)
+
+
+def test_import_next_to_live_catalog_keeps_existing_rows(spark, tmp_path):
+    """Importing into a catalog that already holds OTHER libraries must
+    not disturb them (documents table is rewritten whole; chunks restore
+    partition-scoped)."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.catalog import VectorCatalog
+
+    rng = np.random.default_rng(12)
+    a = VectorCatalog(spark, str(tmp_path / "a"))
+    keep = a.create_library("keepme", 4)
+    kd = a.create_document(keep, "kd")
+    a.add_chunks(keep, kd, [{"text": "k", "embedding": [1.0, 0, 0, 0]}], ids=["k0"])
+
+    b = VectorCatalog(spark, str(tmp_path / "b"))
+    lib = b.create_library("moveme", 4)
+    bd = b.create_document(lib, "bd")
+    b.add_chunks(lib, bd, [{"text": "m", "embedding": [0, 1.0, 0, 0]}], ids=["m0"])
+    snap = str(tmp_path / "snap2")
+    b.export_library(lib, snap)
+
+    a.import_library(snap, name="moved")
+    assert {r["name"] for r in a.list_libraries()} == {"keepme", "moved"}
+    assert a.library_stats(keep)["num_chunks"] == 1
+    assert a.library_stats(lib)["num_chunks"] == 1
+    assert a.get_chunk(keep, "k0")["text"] == "k"
+    assert a.get_chunk(lib, "m0")["text"] == "m"

@@ -1280,3 +1280,91 @@ class VectorCatalog:
         if corpus.count() == 0:
             raise ValidationError("no vectors available to train on")
         self._build_ivf(lib_id, corpus)
+
+    # ------------------------------------------------------------------ export / import
+    #: snapshot format version — bump on layout changes so import can
+    #: reject snapshots it does not understand.
+    SNAPSHOT_FORMAT = 1
+
+    def export_library(self, lib_id: str, out_dir: str) -> dict:
+        """Self-contained portable snapshot of one library: manifest.json
+        (library row, row counts, format version), plain-parquet
+        documents/chunks (no version dirs or pointers — any engine can
+        read the snapshot directly), and the built index sidecars
+        verbatim. Ids are PRESERVED — backup/restore semantics — which is
+        what keeps the index sidecars valid without a rebuild: IVF
+        assignments, LSH buckets and PQ codes all reference chunk ids."""
+        lib = self.get_library(lib_id)
+        os.makedirs(out_dir, exist_ok=True)
+        docs = self.documents.read().filter(F.col("library_id") == lib_id)
+        chunks = self.chunks.read().filter(F.col("library_id") == lib_id)
+        docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents"))
+        chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
+        idx_meta = self._index_meta(lib_id)
+        if idx_meta is not None:
+            dst = os.path.join(out_dir, "index")
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(self._index_dir(lib_id), dst)
+        manifest = {
+            "format": self.SNAPSHOT_FORMAT,
+            "library": lib,
+            "n_documents": docs.count(),
+            "n_chunks": chunks.count(),
+            "index": idx_meta,
+        }
+        tmp = os.path.join(out_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+        return manifest
+
+    def import_library(self, in_dir: str, name: str | None = None) -> str:
+        """Restore a snapshot into this catalog. 409 if the library id (or
+        target name) already exists — restore is resurrection, not cloning;
+        ids stay stable so restored ANN indexes serve immediately with no
+        retrain (asserted in tests). ``name`` renames on the way in (for
+        restoring next to a live library of the same name)."""
+        with open(os.path.join(in_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest.get("format") != self.SNAPSHOT_FORMAT:
+            raise ValidationError(
+                f"unsupported snapshot format {manifest.get('format')!r}"
+            )
+        lib = manifest["library"]
+        libs = self.libraries.read()
+        if libs.filter(F.col("id") == lib["id"]).limit(1).count() > 0:
+            raise ConflictError(f"library id {lib['id']!r} already exists")
+        target_name = name or lib["name"]
+        if libs.filter(F.col("name") == target_name).limit(1).count() > 0:
+            raise ConflictError(f"library name {target_name!r} already exists")
+        row = self.spark.createDataFrame(
+            [
+                (
+                    lib["id"],
+                    target_name,
+                    lib["dims"],
+                    lib["index_type"],
+                    lib.get("metadata") or {},
+                )
+            ],
+            LIBRARY_SCHEMA,
+        )
+        self.libraries.write(libs.unionByName(row))
+        docs = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(
+            os.path.join(in_dir, "documents")
+        )
+        chunks = self.spark.read.schema(CHUNK_SCHEMA).parquet(
+            os.path.join(in_dir, "chunks")
+        )
+        if docs.count() != manifest["n_documents"] or chunks.count() != manifest["n_chunks"]:
+            raise ValidationError("snapshot row counts do not match manifest")
+        # documents table is unpartitioned (small): full union write;
+        # chunks are library_id-partitioned: only the restored library's
+        # partition is written, everything else hardlinks
+        self.documents.write(self.documents.read().unionByName(docs))
+        self.chunks.write_partition(chunks, "library_id", [lib["id"]])
+        src_idx = os.path.join(in_dir, "index")
+        if manifest.get("index") is not None and os.path.isdir(src_idx):
+            shutil.rmtree(self._index_dir(lib["id"]), ignore_errors=True)
+            shutil.copytree(src_idx, self._index_dir(lib["id"]))
+        return lib["id"]
