@@ -103,9 +103,13 @@ def test_incremental_rollup_rewrites_only_delta_day_partitions(spark, sf_small, 
 
     ev = load_table(spark, sf_small, "events")
     day = F.expr(layout._DAY_EXPR)
-    split = "2024-01-25"
+    # derive the split from the data so a regenerated fixture with a
+    # different date range still straddles it (max day = the delta)
+    days = sorted(r[0] for r in ev.select(day.alias("d")).distinct().collect())
+    assert len(days) >= 4, "fixture needs a multi-day span"
+    split = str(days[-1])
     base, delta = ev.filter(day < F.lit(split)), ev.filter(day >= F.lit(split))
-    assert base.count() > 0 and delta.count() > 0, "fixture must straddle the split"
+    assert base.count() > 0 and delta.count() > 0
 
     path = str(tmp_path / "rollup")
     layout.refresh_day_rollup(spark, path, base)
