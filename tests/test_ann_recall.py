@@ -319,3 +319,22 @@ def test_mmr_diversifies_and_stays_deterministic(spark, sf_small):
         for q, r in run1
         if (q, r) in plain and r > 1
     )
+
+
+def test_blocked_neardup_partitioning_invariant(spark, sf_small):
+    """The bucket-group design must produce IDENTICAL output under any
+    input partitioning: bucket contents are a pure function of the data,
+    per-bucket scoring uses the pinned tie order, and the shortlist/
+    rerank are globally ordered. A partitioning-dependent result would
+    mean a batch-boundary or chunk-boundary leak in the kernel."""
+    from vectordb_from_scratch_spark.operators.dedup import embedding_pairs_blocked
+    from vectordb_from_scratch_spark.session import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = sorted(
+        tuple(r) for r in embedding_pairs_blocked(emb.repartition(3), k=20).collect()
+    )
+    b = sorted(
+        tuple(r) for r in embedding_pairs_blocked(emb.repartition(17), k=20).collect()
+    )
+    assert a == b and len(a) == 20

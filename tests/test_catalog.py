@@ -364,3 +364,36 @@ def test_import_next_to_live_catalog_keeps_existing_rows(spark, tmp_path):
     assert a.library_stats(lib)["num_chunks"] == 1
     assert a.get_chunk(keep, "k0")["text"] == "k"
     assert a.get_chunk(lib, "m0")["text"] == "m"
+
+
+def test_search_batch_matches_singles_every_index_type(spark, tmp_path):
+    """search_batch must return, per query, exactly what N single-query
+    searches return — across every index type — while running one job."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.catalog import VectorCatalog
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((48, 8)).astype("float32")
+    cat = VectorCatalog(spark, str(tmp_path))
+    for itype in ("flat", "ivf", "lsh_simhash", "pq", "ivfpq"):
+        lib = cat.create_library(f"batch-{itype}", 8, index_type=itype)
+        doc = cat.create_document(lib, "d")
+        cat.add_chunks(
+            lib,
+            doc,
+            [{"text": f"c{i}", "embedding": vecs[i].tolist()} for i in range(48)],
+            ids=[f"{itype}-{i:02d}" for i in range(48)],
+        )
+        qs = [vecs[3].tolist(), vecs[17].tolist(), vecs[40].tolist()]
+        batch = cat.search_batch(lib, qs, k=4)
+        singles = [cat.search(lib, q, k=4) for q in qs]
+        assert len(batch) == 3
+        for got, want in zip(batch, singles):
+            assert [(r.chunk_id, round(r.similarity_score, 9)) for r in got] == [
+                (r.chunk_id, round(r.similarity_score, 9)) for r in want
+            ], itype
+        # self-match sanity: each query's own chunk at rank 1
+        assert batch[0][0].chunk_id == f"{itype}-03"
+        assert batch[1][0].chunk_id == f"{itype}-17"
+        assert batch[2][0].chunk_id == f"{itype}-40"

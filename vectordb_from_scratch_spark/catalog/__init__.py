@@ -635,14 +635,43 @@ class VectorCatalog:
         """C13 (vector_db.py:249-270): 404 on unknown library, 422 on dim
         mismatch, k capped at 100, lazy index ensure, optional hydration —
         hydration is a broadcast join folded into the SAME plan rather than
-        the reference's N point-reads."""
+        the reference's N point-reads. Thin delegate over the batch path
+        (one query = a batch of one)."""
+        return self.search_batch(
+            lib_id,
+            [embedding],
+            k=k,
+            metadata_filters=metadata_filters,
+            include_chunk=include_chunk,
+            metric=metric,
+        )[0]
+
+    def search_batch(
+        self,
+        lib_id: str,
+        embeddings: list,
+        k: int = 10,
+        metadata_filters: dict | None = None,
+        include_chunk: bool = False,
+        metric: str = "cosine",
+    ) -> list[list[SearchResult]]:
+        """Batch search: N query vectors through ONE Spark job per index
+        path (the reference's API forces a REST round-trip per query; a
+        retrieval pipeline re-embedding a corpus asks thousands at once).
+        Every index path here is already multi-query — flat/IVF/LSH take
+        a queries DataFrame, PQ/IVFPQ a query frame — so the batch costs
+        one plan, not N. Returns per-query result lists aligned to the
+        input order."""
         lib = self.get_library(lib_id)
         if not 1 <= k <= MAX_K:
             raise ValidationError(f"k must be in [1, {MAX_K}]")
-        if len(embedding) != lib["dims"]:
-            raise ValidationError(
-                f"query dim {len(embedding)} != library dims {lib['dims']}"
-            )
+        if not embeddings:
+            return []
+        for embedding in embeddings:
+            if len(embedding) != lib["dims"]:
+                raise ValidationError(
+                    f"query dim {len(embedding)} != library dims {lib['dims']}"
+                )
         corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
         if metadata_filters:
             for key, val in metadata_filters.items():
@@ -657,8 +686,9 @@ class VectorCatalog:
             # scan honors any metric, so route there instead.
             index_type = "flat"
 
+        qvecs = [[float(x) for x in e] for e in embeddings]
         queries = self.spark.createDataFrame(
-            [(0, [float(x) for x in embedding])],
+            list(enumerate(qvecs)),
             "query_id LONG, query_vec ARRAY<DOUBLE>",
         )
         if index_type == "ivf" and self._ensure_ivf(lib_id, corpus):
@@ -677,7 +707,7 @@ class VectorCatalog:
 
             books, codes = self._read_pq(lib_id)
             qpdf = pd.DataFrame(
-                {"query_id": [0], "query_vec": [[float(x) for x in embedding]]}
+                {"query_id": range(len(qvecs)), "query_vec": qvecs}
             )
             res = pq_ops.search(
                 corpus,
@@ -694,20 +724,22 @@ class VectorCatalog:
 
             centroids, books, codes_c = self._read_ivfpq(lib_id)
             qpdf = pd.DataFrame(
-                {"query_id": [0], "query_vec": [[float(x) for x in embedding]]}
+                {"query_id": range(len(qvecs)), "query_vec": qvecs}
             )
-            # single-query probe is a tiny driver-side matmul (same policy
-            # as the reference's centroid scoring) → the probed cluster
-            # ids land as a partition-pruning filter on the codes table
-            probed = [
-                cid
-                for _, cid in ivf_ops.probe_clusters(
-                    centroids, [(0, embedding)], ivf_ops.DEFAULT_N_PROBES
-                )
-            ]
-            cand = codes_c.filter(F.col("cluster_id").isin(probed)).withColumn(
-                "query_id", F.lit(0).cast("long")
+            # probe is a tiny driver-side matmul (same policy as the
+            # reference's centroid scoring): the UNION of probed clusters
+            # becomes a partition-pruning filter on the codes table, and
+            # the per-query (query_id, cluster_id) assignment rides a
+            # broadcast join
+            probes = ivf_ops.probe_clusters(
+                centroids, list(enumerate(qvecs)), ivf_ops.DEFAULT_N_PROBES
             )
+            probes_df = self.spark.createDataFrame(
+                probes, "query_id LONG, cluster_id INT"
+            )
+            cand = codes_c.filter(
+                F.col("cluster_id").isin(sorted({c for _, c in probes}))
+            ).join(F.broadcast(probes_df), "cluster_id")
             adc = pq_ops.adc_score_candidates(cand, qpdf, books, id_col="id")
             shortlist = max(pq_ops.DEFAULT_SHORTLIST, 4 * k)
             from pyspark.sql import Window
@@ -727,31 +759,31 @@ class VectorCatalog:
             res = knn.topk(
                 corpus, queries, k=k, metric=metric, id_col="id", vec_col="embedding"
             )
+        out: list[list[SearchResult]] = [[] for _ in embeddings]
         if include_chunk:
             hydrated = res.join(
                 F.broadcast(self.chunks.read()).withColumnRenamed("id", "chunk_id"),
                 res["id"] == F.col("chunk_id"),
             )
-            rows = hydrated.orderBy("rank").collect()
-            return [
-                SearchResult(
-                    r["id"],
-                    float(r["score"]),
-                    {
-                        "id": r["chunk_id"],
-                        "document_id": r["document_id"],
-                        "library_id": r["library_id"],
-                        "text": r["text"],
-                        "embedding": list(r["embedding"]),
-                        "metadata": dict(r["metadata"] or {}),
-                    },
+            for r in hydrated.orderBy("query_id", "rank").collect():
+                out[int(r["query_id"])].append(
+                    SearchResult(
+                        r["id"],
+                        float(r["score"]),
+                        {
+                            "id": r["chunk_id"],
+                            "document_id": r["document_id"],
+                            "library_id": r["library_id"],
+                            "text": r["text"],
+                            "embedding": list(r["embedding"]),
+                            "metadata": dict(r["metadata"] or {}),
+                        },
+                    )
                 )
-                for r in rows
-            ]
-        return [
-            SearchResult(r["id"], float(r["score"]))
-            for r in res.orderBy("rank").collect()
-        ]
+            return out
+        for r in res.orderBy("query_id", "rank").collect():
+            out[int(r["query_id"])].append(SearchResult(r["id"], float(r["score"])))
+        return out
 
     def search_text(
         self,
