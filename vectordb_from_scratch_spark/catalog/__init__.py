@@ -1031,16 +1031,7 @@ class VectorCatalog:
         codes = _with_id_part(
             pq_ops.encode(corpus, books, id_col="id", vec_col="embedding")
         )
-        # codebooks persist as (subspace, code, centroid) rows — the same
-        # sidecar-table discipline as IVF centroids
-        rows = [
-            (i, j, [float(x) for x in books[i][j]])
-            for i in range(books.shape[0])
-            for j in range(books.shape[1])
-        ]
-        self.spark.createDataFrame(
-            rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
-        ).write.mode("overwrite").parquet(self._index_path(lib_id, "codebooks"))
+        self._write_codebooks(lib_id, books)
         # partitioned by id-hash so per-chunk mutations are a
         # partition-scoped delta (_pq_delta), exactly like LSH buckets
         codes.write.mode("overwrite").partitionBy("id_part").parquet(
@@ -1050,6 +1041,20 @@ class VectorCatalog:
             lib_id, {"type": "pq", "n": n, "m": m, "k": int(books.shape[1])}
         )
         return True
+
+    def _write_codebooks(self, lib_id: str, books) -> None:
+        """Persist the (m, k, sub) codebook tensor as (subspace, code,
+        centroid) rows — the same sidecar-table discipline as IVF
+        centroids. The ONE serialization site `_read_codebooks` must stay
+        consistent with (shared by the pq and ivfpq builds)."""
+        rows = [
+            (i, j, [float(x) for x in books[i][j]])
+            for i in range(books.shape[0])
+            for j in range(books.shape[1])
+        ]
+        self.spark.createDataFrame(
+            rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+        ).write.mode("overwrite").parquet(self._index_path(lib_id, "codebooks"))
 
     def _read_codebooks(self, lib_id: str):
         """Rehydrate the (m, k, sub) codebook array from its sidecar
@@ -1143,14 +1148,7 @@ class VectorCatalog:
         codes = pq_ops.encode(corpus, books, id_col="id", vec_col="embedding")
         joined = codes.join(assignments, "id")
         centroids.write.mode("overwrite").parquet(self._index_path(lib_id, "centroids"))
-        rows = [
-            (i, j, [float(x) for x in books[i][j]])
-            for i in range(books.shape[0])
-            for j in range(books.shape[1])
-        ]
-        self.spark.createDataFrame(
-            rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
-        ).write.mode("overwrite").parquet(self._index_path(lib_id, "codebooks"))
+        self._write_codebooks(lib_id, books)
         joined.write.mode("overwrite").partitionBy("cluster_id").parquet(
             self._index_path(lib_id, "ivfpq_codes")
         )
@@ -1190,18 +1188,22 @@ class VectorCatalog:
             self._delta_df(upserts), books, id_col="id", vec_col="embedding"
         )
         new_rows = new_codes.join(new_assign, "id")
+        # affected clusters = upsert clusters (reuse new_assign — don't
+        # re-assign the same vectors) ∪ removed rows' clusters
         affected = {
             r["cluster_id"]
-            for r in ivf_ops.assign(
-                self._delta_df(upserts + removed),
-                centroids,
-                id_col="id",
-                vec_col="embedding",
-            )
-            .select("cluster_id")
-            .distinct()
-            .collect()
+            for r in new_assign.select("cluster_id").distinct().collect()
         }
+        if removed:
+            affected |= {
+                r["cluster_id"]
+                for r in ivf_ops.assign(
+                    self._delta_df(removed), centroids, id_col="id", vec_col="embedding"
+                )
+                .select("cluster_id")
+                .distinct()
+                .collect()
+            }
         path = self._index_path(lib_id, "ivfpq_codes")
         keep = (
             self.spark.read.parquet(path)
@@ -1254,53 +1256,33 @@ class VectorCatalog:
         index types (IVF k-means; PQ codebooks); error when there is
         nothing to train on."""
         lib = self.get_library(lib_id)
-        if lib["index_type"] not in ("ivf", "pq", "ivfpq"):
+        builders = {"pq": self._build_pq, "ivfpq": self._build_ivfpq}
+        if lib["index_type"] not in ("ivf", *builders):
             raise ValidationError(f"index type {lib['index_type']!r} is not trainable")
         corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
-        if lib["index_type"] == "ivfpq":
-            train_df = None
-            if sample_vectors:
-                dims = lib["dims"]
-                for v in sample_vectors:
-                    if len(v) != dims:
-                        raise ValidationError("sample vector dims mismatch")
-                train_df = self.spark.createDataFrame(
-                    [
-                        (str(i), "s", lib_id, "s", [float(x) for x in v], {})
-                        for i, v in enumerate(sample_vectors)
-                    ],
-                    CHUNK_SCHEMA,
-                )
-            if not self._build_ivfpq(lib_id, corpus, train_df=train_df):
-                raise ValidationError("no vectors available to train on")
-            return
-        if lib["index_type"] == "pq":
-            train_df = None
-            if sample_vectors:
-                dims = lib["dims"]
-                for v in sample_vectors:
-                    if len(v) != dims:
-                        raise ValidationError("sample vector dims mismatch")
-                train_df = self.spark.createDataFrame(
-                    [
-                        (str(i), "s", lib_id, "s", [float(x) for x in v], {})
-                        for i, v in enumerate(sample_vectors)
-                    ],
-                    CHUNK_SCHEMA,
-                )
-            if not self._build_pq(lib_id, corpus, train_df=train_df):
-                raise ValidationError("no vectors available to train on")
-            return
-        if sample_vectors:
+
+        def sample_df():
             dims = lib["dims"]
             for v in sample_vectors:
                 if len(v) != dims:
                     raise ValidationError("sample vector dims mismatch")
-            sample_df = self.spark.createDataFrame(
-                [(str(i), "s", lib_id, "s", [float(x) for x in v], {}) for i, v in enumerate(sample_vectors)],
+            return self.spark.createDataFrame(
+                [
+                    (str(i), "s", lib_id, "s", [float(x) for x in v], {})
+                    for i, v in enumerate(sample_vectors)
+                ],
                 CHUNK_SCHEMA,
             )
+
+        build = builders.get(lib["index_type"])
+        if build is not None:
+            train_df = sample_df() if sample_vectors else None
+            if not build(lib_id, corpus, train_df=train_df):
+                raise ValidationError("no vectors available to train on")
+            return
+        if sample_vectors:
             n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, len(sample_vectors)))
+            sample_df = sample_df()
             centroids = ivf_ops.train_centroids(sample_df, n_clusters=n_clusters)
             assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
             centroids.write.mode("overwrite").parquet(self._index_path(lib_id, "centroids"))
@@ -1369,6 +1351,17 @@ class VectorCatalog:
         target_name = name or lib["name"]
         if libs.filter(F.col("name") == target_name).limit(1).count() > 0:
             raise ConflictError(f"library name {target_name!r} already exists")
+        # VALIDATE the snapshot before any write: a corrupt snapshot must
+        # not commit a phantom library row that would then block retry
+        # with ConflictError (restore would be wedged until manual repair)
+        docs = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(
+            os.path.join(in_dir, "documents")
+        )
+        chunks = self.spark.read.schema(CHUNK_SCHEMA).parquet(
+            os.path.join(in_dir, "chunks")
+        )
+        if docs.count() != manifest["n_documents"] or chunks.count() != manifest["n_chunks"]:
+            raise ValidationError("snapshot row counts do not match manifest")
         row = self.spark.createDataFrame(
             [
                 (
@@ -1382,14 +1375,6 @@ class VectorCatalog:
             LIBRARY_SCHEMA,
         )
         self.libraries.write(libs.unionByName(row))
-        docs = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(
-            os.path.join(in_dir, "documents")
-        )
-        chunks = self.spark.read.schema(CHUNK_SCHEMA).parquet(
-            os.path.join(in_dir, "chunks")
-        )
-        if docs.count() != manifest["n_documents"] or chunks.count() != manifest["n_chunks"]:
-            raise ValidationError("snapshot row counts do not match manifest")
         # documents table is unpartitioned (small): full union write;
         # chunks are library_id-partitioned: only the restored library's
         # partition is written, everything else hardlinks

@@ -847,6 +847,52 @@ def _seg_pairs_topk(Bm, bid, bn2, k: int):
     return a[top], b[top], s[top]
 
 
+def _rect_pairs_topk(Bm, bid, bn2, P, pid, pn2, k: int):
+    """Top-k (base, probe) cosine pairs — the multiprobe rectangle,
+    scored in 512-column chunks with the same kth-value threshold
+    selection as :func:`_seg_pairs_topk`. Without chunking a hot bucket
+    capped at 4096×4096 would materialize ~16.7M pair indices and
+    lexsort them all — the exact pair-materialization blowup this
+    module's rewrite removed from the base-base path."""
+    import numpy as np
+
+    ca, cb, cs = [], [], []
+    zero_b = bn2 == 0
+    zero_p = pn2 == 0
+    for lo in range(0, len(pid), 512):
+        hi = min(lo + 512, len(pid))
+        denom = np.sqrt(np.outer(bn2, pn2[lo:hi]))
+        S = (Bm @ P[lo:hi].T) / np.where(denom == 0, 1.0, denom)
+        S[zero_b, :] = 0.0
+        S[:, zero_p[lo:hi]] = 0.0
+        S = np.where(pid[None, lo:hi] != bid[:, None], S, -np.inf)
+        s = S.ravel()
+        valid = s > -np.inf
+        kk = min(k, int(valid.sum()))
+        if kk == 0:
+            continue
+        thresh = np.partition(s, s.size - kk)[s.size - kk]
+        sel = np.flatnonzero((s >= thresh) & valid)
+        ncols = hi - lo
+        i_s = sel // ncols
+        j_s = lo + sel % ncols
+        a = np.minimum(bid[i_s], pid[j_s])
+        b = np.maximum(bid[i_s], pid[j_s])
+        sv = s[sel]
+        top = np.lexsort((b, a, -sv))[: min(k, len(a))]
+        ca.append(a[top])
+        cb.append(b[top])
+        cs.append(sv[top])
+    if not ca:
+        z = np.array([], dtype="int64")
+        return z, z, np.array([], dtype="float64")
+    a = np.concatenate(ca)
+    b = np.concatenate(cb)
+    s = np.concatenate(cs)
+    top = np.lexsort((b, a, -s))[: min(k, len(a))]
+    return a[top], b[top], s[top]
+
+
 #: Above this corpus size, 1-bit multiprobe (which duplicates each code
 #: row n_bits+1 times) costs more shuffle than it buys recall — switch to
 #: more independent tables instead (collision prob is 1-(1-p^bits)^tables:
@@ -1006,13 +1052,10 @@ def embedding_pairs_blocked(
                             np.argsort(sids[probe_ix], kind="stable")[:max_bucket]
                         ]
                     P, pid, pn2 = C[probe_ix], sids[probe_ix], sn2[probe_ix]
-                    Gp = Bm @ P.T  # (nb, np)
-                    denom = np.sqrt(np.outer(bn2, pn2))
-                    Sp = np.where(denom > 0, Gp / np.where(denom == 0, 1.0, denom), 0.0)
-                    bi, pi = np.nonzero(pid[None, :] != bid[:, None])
-                    pa.append(np.minimum(bid[bi], pid[pi]))
-                    pb.append(np.maximum(bid[bi], pid[pi]))
-                    ps.append(Sp[bi, pi])
+                    ra, rb, rs = _rect_pairs_topk(Bm, bid, bn2, P, pid, pn2, k)
+                    pa.append(ra)
+                    pb.append(rb)
+                    ps.append(rs)
                 if not pa:
                     continue
                 a = np.concatenate(pa)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -184,15 +185,24 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         from vectordb_from_scratch_spark.operators.bucketed import _gc_stale_layouts
 
         _gc_stale_layouts(f"events_rollup_inc_{srckey}_", f"events_rollup_inc_{digest}")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not os.path.isdir(path):
+            # _SUCCESS is written by the FIRST refresh, so it cannot serve
+            # as the build-complete marker for a 3-refresh build — a crash
+            # between refreshes would leave a partial rollup every later
+            # process trusts. Build under a scratch name and atomically
+            # rename when ALL refreshes are done; a crash leaves only the
+            # scratch dir, which the next build removes.
+            tmp = path + ".building"
+            shutil.rmtree(tmp, ignore_errors=True)
             ev = load_table(spark, sf_dir, "events")
             day = F.expr(_DAY_EXPR)
             s0, s1 = ROLLUP_SPLITS
-            refresh_day_rollup(spark, path, ev.filter(day < F.lit(s0)))
+            refresh_day_rollup(spark, tmp, ev.filter(day < F.lit(s0)))
             refresh_day_rollup(
-                spark, path, ev.filter((day >= F.lit(s0)) & (day < F.lit(s1)))
+                spark, tmp, ev.filter((day >= F.lit(s0)) & (day < F.lit(s1)))
             )
-            refresh_day_rollup(spark, path, ev.filter(day >= F.lit(s1)))
+            refresh_day_rollup(spark, tmp, ev.filter(day >= F.lit(s1)))
+            os.rename(tmp, path)
         _ROLLUP_CACHE[key] = path
     return spark.read.parquet(path).select(
         F.col("day").cast("date").alias("day"),

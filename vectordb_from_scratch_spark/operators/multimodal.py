@@ -714,7 +714,10 @@ def image_ahash(bmp_df: DataFrame) -> DataFrame:
                 )
                 assert bpp == 8 and comp == 0, "not uncompressed 8bpp"
                 if height == 0:
-                    rows.append((int(aid), 0, 0, 0))
+                    # zero-pixel image has no meaningful hash; DROP it —
+                    # the oracle's WHERE h > 0 does the same, and emitting
+                    # an all-zero hash would make every empty image a
+                    # "near-dup" of every other in the Hamming join
                     continue
                 stride = (width + 3) & ~3
                 arr = np.frombuffer(

@@ -237,30 +237,39 @@ HH_THRESHOLD_K = 30  # report tokens with freq > n/30 (~3.3% of all tokens;
 HH_STATE_K = 64  # MG counters per partition; > 2·threshold for margin
 
 
+def mg_update(state: dict, counts, k: int) -> dict:
+    """Merge one batch's (token → count) tallies into a Misra-Gries
+    summary of ≤ k counters — the ONE copy of the decrement rule, shared
+    by the per-partition batch pass and the streaming stateful twin (two
+    hand-maintained copies could silently diverge on the undercount
+    bound). Batch decrement: subtract the over-th smallest counter from
+    all — each round destroys d·|state| > d·k count units, so the total
+    undercount per surviving token is ≤ n/k, the standard MG bound."""
+    import numpy as np
+
+    for tok, c in counts.items():
+        state[tok] = state.get(tok, 0) + int(c)
+    over = len(state) - k
+    if over > 0:
+        vals = np.sort(np.fromiter(state.values(), dtype="int64"))
+        d = int(vals[over - 1])
+        state = {t: c - d for t, c in state.items() if c > d}
+    return state
+
+
 def misra_gries_partials(tokens: DataFrame, col: str = "w", state_k: int = HH_STATE_K):
     """Per-partition MG summaries: DataFrame(token, est, part_total).
-    est undercounts by ≤ part_total/(state_k+1); any token with local
+    est undercounts by ≤ part_total/state_k; any token with local
     count above that bound is guaranteed present."""
     import pandas as pd
 
     def mg_iter(batches):
-        import numpy as np
-
         state: dict = {}
         total = 0
         for pdf in batches:
             vc = pdf[col].value_counts()
             total += int(vc.sum())
-            for tok, c in vc.items():
-                state[tok] = state.get(tok, 0) + int(c)
-            over = len(state) - state_k
-            if over > 0:
-                # batch decrement: subtract the over-th smallest counter
-                # from all — destroys d·|state| > d·(k+1) arrivals per
-                # round, so Σd ≤ n_p/(k+1), the standard MG bound
-                vals = np.sort(np.fromiter(state.values(), dtype="int64"))
-                d = int(vals[over - 1])
-                state = {t: c - d for t, c in state.items() if c > d}
+            state = mg_update(state, vc, state_k)
         if total:
             yield pd.DataFrame(
                 {
@@ -344,6 +353,19 @@ HIST_BINS = 1024
 HIST_QS = ((50, "p50"), (90, "p90"), (99, "p99"))
 
 
+def hist_bin_expr(value, vmin, vmax, bins: int = HIST_BINS):
+    """bin = floor((v - vmin) / (vmax - vmin) · B), clamped — the ONE
+    definition of the histogram's bin arithmetic. The streaming twin's
+    register-identity contract holds exactly because it uses this same
+    Column builder (hand-maintained copies of IEEE float expressions
+    drift); the oracle SQL mirrors it literally."""
+    return (
+        F.when(vmax == vmin, F.lit(0))
+        .otherwise(F.least(F.lit(bins - 1), F.floor((value - vmin) / (vmax - vmin) * bins)))
+        .cast("long")
+    )
+
+
 def histogram_quantiles(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
     """(event_type, p50_est, p90_est, p99_est) from an equi-width
     histogram: estimates are each bin's LOWER edge — deterministic,
@@ -358,19 +380,7 @@ def histogram_quantiles(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
     binned = (
         events.join(F.broadcast(stats), "event_type")
         .withColumn(
-            "bin",
-            F.when(
-                F.col("vmax") == F.col("vmin"), F.lit(0)
-            ).otherwise(
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor(
-                        (F.col("value") - F.col("vmin"))
-                        / (F.col("vmax") - F.col("vmin"))
-                        * bins
-                    ),
-                )
-            ).cast("long"),
+            "bin", hist_bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), bins)
         )
         .groupBy("event_type", "vmin", "vmax", "n", "bin")
         .agg(F.count(F.lit(1)).alias("c"))

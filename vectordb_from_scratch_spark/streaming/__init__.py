@@ -312,19 +312,10 @@ def heavy_hitter_candidates_stream(
     k = sketches.HH_STATE_K if state_k is None else state_k
 
     def update(key, pdfs, state: GroupState):
-        import numpy as np
-
         toks, cnts, ver = state.get if state.exists else ([], [], 0)
         st = dict(zip(toks, [int(c) for c in cnts]))
         for pdf in pdfs:
-            vc = pdf["w"].value_counts()
-            for t, c in vc.items():
-                st[t] = st.get(t, 0) + int(c)
-            over = len(st) - k
-            if over > 0:
-                vals = np.sort(np.fromiter(st.values(), dtype="int64"))
-                d = int(vals[over - 1])
-                st = {t: c - d for t, c in st.items() if c > d}
+            st = sketches.mg_update(st, pdf["w"].value_counts(), k)
         ver += 1
         state.update((list(st.keys()), [int(v) for v in st.values()], ver))
         yield pd.DataFrame(
@@ -361,23 +352,11 @@ def histogram_bins_stream(
     edges from yesterday's profile, not today's stream. State is
     types × B rows total, watermark-free; register-identical to the
     batch histogram built with the same edges (asserted in tests)."""
-    from vectordb_from_scratch_spark.operators.sketches import HIST_BINS
+    from vectordb_from_scratch_spark.operators.sketches import HIST_BINS, hist_bin_expr
 
     b = HIST_BINS if bins is None else bins
     binned = stream.join(F.broadcast(edges), "event_type").withColumn(
-        "bin",
-        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(b - 1),
-                F.floor(
-                    (F.col("value") - F.col("vmin"))
-                    / (F.col("vmax") - F.col("vmin"))
-                    * b
-                ),
-            )
-        )
-        .cast("long"),
+        "bin", hist_bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), b)
     )
     return binned.groupBy("event_type", "bin").agg(
         F.count(F.lit(1)).alias("c")
