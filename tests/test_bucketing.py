@@ -139,3 +139,29 @@ def test_incremental_rollup_rewrites_only_delta_day_partitions(spark, sf_small, 
         .collect()
     )
     assert got == want
+
+
+def test_incremental_rollup_survives_stale_building_dir(spark, sf_small):
+    """A crashed prior build leaves only the scratch '.building' dir; a
+    fresh build must remove it and complete (the final layout appears
+    only via the atomic rename after ALL refreshes)."""
+    import os
+
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import layout
+
+    layout._ROLLUP_CACHE.clear()
+    st = os.stat(os.path.join(sf_small, "events.parquet"))
+    import hashlib
+
+    srckey = hashlib.md5(sf_small.encode()).hexdigest()[:6]
+    stamphash = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    path = os.path.join(layout._WAREHOUSE, f"events_rollup_inc_{srckey}_{stamphash}")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path + ".building/day=1999-01-01", exist_ok=True)  # fake crash debris
+    n = registry.QUERIES["events_rollup_incremental"](spark, sf_small).count()
+    assert n > 0 and os.path.isdir(path)
+    assert not os.path.exists(path + ".building")
+    assert not os.path.exists(os.path.join(path, "day=1999-01-01"))

@@ -397,3 +397,45 @@ def test_search_batch_matches_singles_every_index_type(spark, tmp_path):
         assert batch[0][0].chunk_id == f"{itype}-03"
         assert batch[1][0].chunk_id == f"{itype}-17"
         assert batch[2][0].chunk_id == f"{itype}-40"
+
+
+def test_import_corrupt_snapshot_leaves_catalog_clean(spark, tmp_path):
+    """A snapshot failing validation must not commit ANY catalog state:
+    the same snapshot, repaired, must then import cleanly (previously a
+    phantom library row wedged the retry with ConflictError)."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_from_scratch_spark.catalog import ValidationError, VectorCatalog
+
+    rng = np.random.default_rng(31)
+    src = VectorCatalog(spark, str(tmp_path / "src"))
+    lib = src.create_library("fragile", 4)
+    doc = src.create_document(lib, "d")
+    src.add_chunks(
+        lib,
+        doc,
+        [{"text": f"c{i}", "embedding": rng.standard_normal(4).tolist()} for i in range(6)],
+        ids=[f"f{i}" for i in range(6)],
+    )
+    snap = str(tmp_path / "snap")
+    src.export_library(lib, snap)
+
+    # corrupt: manifest claims more chunks than the data holds
+    mpath = os.path.join(snap, "manifest.json")
+    manifest = json.load(open(mpath))
+    manifest["n_chunks"] = 999
+    json.dump(manifest, open(mpath, "w"))
+
+    dst = VectorCatalog(spark, str(tmp_path / "dst"))
+    with _pytest.raises(ValidationError, match="row counts"):
+        dst.import_library(snap)
+    assert dst.list_libraries() == []  # nothing committed
+
+    manifest["n_chunks"] = 6
+    json.dump(manifest, open(mpath, "w"))
+    restored = dst.import_library(snap)  # retry succeeds — not wedged
+    assert dst.library_stats(restored)["num_chunks"] == 6
