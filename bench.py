@@ -85,6 +85,7 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "profile_orders",
     "events_value_outliers",
+    "events_salted_skew_join",
     "events_rollup_incremental",
     "sql_api_top_customers_window",
     "text_heavy_hitters",

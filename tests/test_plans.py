@@ -342,3 +342,12 @@ def test_outliers_broadcast_moments(spark, sf_oracle):
     df = registry.QUERIES["events_value_outliers"](spark, sf_oracle)
     p = plans.physical_plan(df)
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_salted_skew_join_is_shuffle_join_on_salted_key(q):
+    """The registered salted-join demo must actually run the salted
+    SHUFFLE shape (merge-hinted — Catalyst would broadcast the tiny dim
+    at fixture scale and hide the mechanism under test)."""
+    df = q("events_salted_skew_join")
+    p = plans.physical_plan(df)
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p

@@ -102,3 +102,35 @@ def events_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("_max"), 6).alias("max_value"),
         ],
     )
+
+
+_SALTED_JOIN_SQL = """
+WITH dim AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
+SELECT e.event_type,
+       count(*)::BIGINT AS n,
+       round(sum(e.value / d.type_avg), 2) AS rel_sum
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("events_salted_skew_join", _SALTED_JOIN_SQL)
+def events_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN demo: events (5-value key — maximal skew) joined to
+    a per-type dimension through ``salted_join``, merge-hinted so the
+    fixture actually exercises the salted SHUFFLE shape (Catalyst would
+    broadcast a 40-row side and hide it). A hot key's rows land on
+    n_salts reducers instead of one. The oracle is the plain join — the
+    salt must be invisible in the answer, which is the whole contract."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("type_avg"))
+        .hint("merge")
+    )
+    j = salted_join(e, dim, key="event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") / F.col("type_avg")), 2).alias("rel_sum"),
+    )
