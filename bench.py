@@ -91,6 +91,8 @@ HEADLINE = [
     "text_heavy_hitters",
     "multimodal_image_ahash",
     "multimodal_image_neardup",
+    "export_shard_manifest",
+    "events_zorder_box",
 ]
 
 

@@ -188,6 +188,22 @@ class TableStore:
         part_df.write.mode("append").partitionBy(partition_by).parquet(path)
         self._swap_and_gc(cur, nxt)
 
+    def partition_files(self, partition: str) -> list[str]:
+        """Data files currently live under one partition directory of the
+        latest version (compaction accounting)."""
+        v = self._latest()
+        if v is None:
+            return []
+        pdir = os.path.join(self.dir, v, partition)
+        try:
+            return sorted(
+                os.path.join(pdir, f)
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+        except FileNotFoundError:
+            return []
+
     def _swap_and_gc(self, cur: str | None, nxt: str) -> None:
         """Atomic pointer flip, then garbage-collect versions older than the
         PREVIOUS one. Keeping N-1 protects lazy readers: a DataFrame handle
@@ -471,6 +487,66 @@ class VectorCatalog:
         )
         return out_ids
 
+    def upsert_chunks(
+        self, lib_id: str, doc_id: str, items: list[dict], ids: list[str]
+    ) -> list[str]:
+        """Idempotent batch MERGE (C8-C11 in one op): new ids insert,
+        existing ids are REPLACED — the retry/replay-safe ingest
+        primitive the streaming sink needs: a re-delivered micro-batch
+        (failure recovery replays from the last checkpoint) must neither
+        duplicate nor conflict. Same all-or-nothing validation as
+        ``add_chunks``; replaced rows contribute their old embeddings to
+        the index delta so ANN sidecars stay exact."""
+        lib = self.get_library(lib_id)
+        self.get_document(lib_id, doc_id)
+        dims = lib["dims"]
+        if len(ids) != len(items):
+            raise ValidationError("ids must be provided one per item")
+        for i, item in enumerate(items):
+            emb = item.get("embedding")
+            if not item.get("text"):
+                raise ValidationError(f"chunk {i}: text must be non-empty")
+            if not emb:
+                raise ValidationError(f"chunk {i}: embedding required")
+            if len(emb) != dims:
+                raise ValidationError(
+                    f"chunk {i}: embedding dim {len(emb)} != library dims {dims}"
+                )
+        rows = [
+            (
+                cid,
+                doc_id,
+                lib_id,
+                item["text"],
+                [float(x) for x in item["embedding"]],
+                item.get("metadata") or {},
+            )
+            for cid, item in zip(ids, items)
+        ]
+        # old embeddings of replaced ids (collect bounded by the batch size)
+        replaced = (
+            self.chunks.read()
+            .filter((F.col("library_id") == lib_id) & F.col("id").isin(ids))
+            .select("id", "embedding")
+            .collect()
+        )
+        removed = [(r["id"], list(r["embedding"])) for r in replaced]
+        part = self.chunks.read().filter(
+            (F.col("library_id") == lib_id) & ~F.col("id").isin(ids)
+        )
+        self.chunks.write_partition(
+            part.unionByName(self.spark.createDataFrame(rows, CHUNK_SCHEMA)),
+            "library_id",
+            [lib_id],
+        )
+        self._index_delta(
+            lib_id,
+            upserts=[(r[0], r[4]) for r in rows],
+            removed=removed,
+            n_delta=len(rows) - len(removed),
+        )
+        return ids
+
     def ingest_document_text(
         self,
         lib_id: str,
@@ -621,6 +697,88 @@ class VectorCatalog:
             "num_chunks": n_chunks,
             "index_built": self._index_meta(lib_id) is not None,
         }
+
+    # ------------------------------------------------------------- compaction
+    #: index sidecar tables that accumulate small files under partition-scoped
+    #: delta maintenance: (artifact name, partition column) per index type.
+    _SIDECARS = {
+        "ivf": (("assignments", "cluster_id"),),
+        "lsh_simhash": (("buckets", "id_part"),),
+        "pq": (("codes", "id_part"),),
+        "ivfpq": (("ivfpq_codes", "cluster_id"),),
+    }
+
+    def compact_library(
+        self, lib_id: str, target_rows_per_file: int = 1_000_000
+    ) -> dict:
+        """OPTIMIZE for the incremental-write path (the Delta/Iceberg
+        ``OPTIMIZE`` analog, scoped to one library the way Mongo's
+        ``compact`` scopes to one collection). Every partition-scoped
+        delta — ``add_chunks``/``update_chunk``/``delete_chunks`` and the
+        per-index ``_index_delta`` paths — rewrites its partition as
+        however many task-files the delta plan happened to have, so a
+        hot library accumulates small files without bound; at scale the
+        scan cost of a search becomes file-open-bound, not byte-bound.
+
+        Compaction rewrites this library's chunk partition into
+        ``ceil(rows / target_rows_per_file)`` files (coalesce — no
+        shuffle) and each index sidecar into one file per partition
+        value, leaving CONTENT identical — search results do not change,
+        only the layout shrinks. Other libraries' chunk partitions are
+        hardlinked verbatim (``write_partition`` contract) and their
+        sidecars are untouched. Returns per-artifact before/after file
+        counts. The reference has no analog: its Mongo storage never
+        fragments because every index lives in RAM (vector_db.py:327-355);
+        fragmentation is the price of our durable incremental indexes,
+        and this is the repair."""
+        import math
+
+        self.get_library(lib_id)
+        report: dict[str, dict] = {}
+        part = f"library_id={lib_id}"
+        before = len(self.chunks.partition_files(part))
+        chunk_part = self.chunks.read().filter(F.col("library_id") == lib_id)
+        n = chunk_part.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        self.chunks.write_partition(
+            chunk_part.coalesce(n_files), "library_id", [lib_id]
+        )
+        report["chunks"] = {
+            "rows": n,
+            "files_before": before,
+            "files_after": len(self.chunks.partition_files(part)),
+        }
+        meta = self._index_meta(lib_id) or {}
+        for name, part_col in self._SIDECARS.get(meta.get("type"), ()):
+            path = self._index_path(lib_id, name)
+            if not os.path.isdir(path):
+                continue
+            report[name] = self._compact_sidecar(path, part_col)
+        return report
+
+    def _compact_sidecar(self, path: str, part_col: str) -> dict:
+        """Rewrite a partitioned sidecar table to one file per partition
+        value. ``repartition(n_values, part_col)`` hash-routes every row of
+        a value to exactly one task, so each partition directory lands as
+        a single file; content is checkpointed before the overwrite
+        (``_overwrite_partitions``), making the self-read-rewrite safe."""
+
+        def count_files() -> int:
+            return sum(
+                1
+                for base, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        before = count_files()
+        df = self.spark.read.parquet(path)
+        vals = [r[0] for r in df.select(part_col).distinct().collect()]
+        if vals:
+            self._overwrite_partitions(
+                df.repartition(len(vals), F.col(part_col)), path, part_col, set(vals)
+            )
+        return {"files_before": before, "files_after": count_files()}
 
     # ------------------------------------------------------------------ search
     def search(

@@ -116,6 +116,55 @@ def embed_ingest_stream(
     q.awaitTermination()
 
 
+def catalog_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    catalog,
+    lib_id: str,
+    doc_id: str,
+    checkpoint_dir: str,
+    dims: int = 8,
+) -> None:
+    """End-to-end streaming ingest INTO THE CATALOG: file-source stream of
+    (id, text) rows → executor-side embedding (V18 mapInPandas) → an
+    idempotent ``upsert_chunks`` MERGE per micro-batch — the reference's
+    REST-call-per-chunk ingest loop (app/api/routes/chunks.py:43-70) as a
+    continuous, replay-safe flow.
+
+    Exactly-once story: the file sink's checkpoint gives at-least-once
+    batch delivery on failure recovery; the sink being an UPSERT keyed on
+    chunk id makes redelivery idempotent, so the composition is
+    effectively-once — the standard foreachBatch discipline for
+    transactional stores. The per-batch collect is bounded by
+    maxFilesPerTrigger (this is the SERVING store's ingest path, sized
+    like the reference's request loop, not a bulk-load path — bulk loads
+    go through ``add_chunks`` straight from a DataFrame)."""
+    from vectordb_from_scratch_spark import sources
+    from vectordb_from_scratch_spark.functions.embedder import embed_texts
+
+    stream = sources.read_stream(spark, src_dir, schema=schema)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = embed_texts(batch_df, text_col="text", dims=dims).collect()
+        if not rows:
+            return
+        catalog.upsert_chunks(
+            lib_id,
+            doc_id,
+            [{"text": r["text"], "embedding": list(r["embedding"])} for r in rows],
+            ids=[r["id"] for r in rows],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     lifetime totals carried in explicit state across micro-batches —
