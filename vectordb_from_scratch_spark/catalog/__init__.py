@@ -204,6 +204,61 @@ class TableStore:
         except FileNotFoundError:
             return []
 
+    def changes(
+        self, id_col: str, v_from: str | None = None, v_to: str | None = None
+    ) -> DataFrame:
+        """Change data feed between two retained versions (defaults:
+        previous → latest): one full-outer join on ``id_col``, rows
+        classified ``insert`` / ``delete`` / ``update_postimage`` by
+        presence and a content hash over every non-key column. The
+        Delta CDF analog riding on the versioned store — downstream
+        consumers (index maintainers, replicas, audit) read the delta,
+        never re-diff the table. Retention is N-1, so the feed covers
+        exactly the window time travel does."""
+        versions = self.versions()
+        if v_to is None:
+            v_to = self._latest()
+        if v_from is None:
+            older = [v for v in versions if v < (v_to or "")]
+            if not older:
+                # no prior version: everything in v_to is an insert
+                new = self.read(v_to)
+                return new.withColumn("_change_type", F.lit("insert"))
+            v_from = older[-1]
+        cols = [c for c in [f.name for f in self.schema.fields] if c != id_col]
+
+        def canon(f: T.StructField):
+            # map entry order is an implementation detail, not content —
+            # fingerprint maps by their sorted entries or a reordered-but-
+            # equal metadata map would read as a spurious update
+            if isinstance(f.dataType, T.MapType):
+                return F.to_json(
+                    F.map_from_entries(F.array_sort(F.map_entries(F.col(f.name))))
+                )
+            return F.col(f.name).cast("string")
+
+        fields = {f.name: f for f in self.schema.fields}
+        fingerprint = F.xxhash64(*[canon(fields[c]) for c in cols])
+        old = self.read(v_from).withColumn("_fp", fingerprint)
+        new = self.read(v_to).withColumn("_fp", fingerprint)
+        joined = old.alias("o").join(
+            new.alias("n"), F.col(f"o.{id_col}") == F.col(f"n.{id_col}"), "full_outer"
+        )
+        change = (
+            F.when(F.col(f"o.{id_col}").isNull(), F.lit("insert"))
+            .when(F.col(f"n.{id_col}").isNull(), F.lit("delete"))
+            .when(F.col("o._fp") != F.col("n._fp"), F.lit("update_postimage"))
+        )
+        post = [
+            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+            for c in [id_col, *cols]
+        ]
+        return (
+            joined.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*post, "_change_type")
+        )
+
     def _swap_and_gc(self, cur: str | None, nxt: str) -> None:
         """Atomic pointer flip, then garbage-collect versions older than the
         PREVIOUS one. Keeping N-1 protects lazy readers: a DataFrame handle
@@ -697,6 +752,15 @@ class VectorCatalog:
             "num_chunks": n_chunks,
             "index_built": self._index_meta(lib_id) is not None,
         }
+
+    def chunk_changes(self, lib_id: str | None = None) -> DataFrame:
+        """Change data feed over the chunks table (previous → latest
+        version): what the last mutation inserted, deleted, or updated —
+        optionally scoped to one library. See ``TableStore.changes``."""
+        df = self.chunks.changes("id")
+        if lib_id is not None:
+            df = df.filter(F.col("library_id") == lib_id)
+        return df
 
     # ------------------------------------------------------------- compaction
     #: index sidecar tables that accumulate small files under partition-scoped
