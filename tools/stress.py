@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder
 """
 
 from __future__ import annotations
@@ -61,6 +61,82 @@ def run_neardup(spark, emb, n: int, d: int) -> None:
     print(f"blocked near-dup top-20: {t:6.2f}s ({cnt} rows) at {n} x {d}")
 
 
+def run_zorder(spark, n: int) -> None:
+    """Z-order vs size-split layout at scale: same rows, same file count,
+    same 2-D box — measure (a) how many files' footer stats can skip the
+    box and (b) the filter+agg wall time on each layout. The zorder
+    claim in SCALE.md is this measurement, not an asymptotic argument."""
+    import glob
+
+    import pyarrow.parquet as pa
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.layout import _morton_expr
+
+    n_files = 64
+    u_max, v_max = 1500, 560.0
+    ev = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.xxhash64("id"), F.lit(u_max)).alias("user_id"),
+            # skewed toward small values, like the fixture
+            (
+                F.pow(F.pmod(F.xxhash64(F.col("id") + 7), F.lit(100000)) / 100000.0, 2.0)
+                * v_max
+            ).alias("value"),
+        )
+    )
+    nat_path, z_path = f"/tmp/stress_nat_{n}", f"/tmp/stress_z_{n}"
+    t0 = time.perf_counter()
+    ev.repartition(n_files).write.mode("overwrite").parquet(nat_path)
+    t_nat = time.perf_counter() - t0
+    ub = f"least(255, CAST(user_id * 256 DIV {u_max} AS INT))"
+    vb = f"least(255, CAST(floor(value / {v_max} * 256) AS INT))"
+    t0 = time.perf_counter()
+    (
+        ev.withColumn("zub", F.expr(ub))
+        .withColumn("zvb", F.expr(vb))
+        .withColumn("zcode", F.expr(_morton_expr("zub", "zvb")))
+        .repartitionByRange(n_files, "zcode")
+        .sortWithinPartitions("zcode")
+        .drop("zub", "zvb", "zcode")
+        .write.mode("overwrite")
+        .parquet(z_path)
+    )
+    t_z = time.perf_counter() - t0
+    print(f"write: natural {t_nat:.1f}s, zorder {t_z:.1f}s (the clustering premium)")
+
+    box = dict(u0=100, u1=460, v0=50.0, v1=150.0)  # ~24% x ~18% of the space
+
+    def skippable(path: str) -> tuple[int, int]:
+        files = glob.glob(path + "/*.parquet")
+        skip = 0
+        for f in files:
+            md = pa.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo_u = min(md.row_group(g).column(idx["user_id"]).statistics.min for g in range(md.num_row_groups))
+            hi_u = max(md.row_group(g).column(idx["user_id"]).statistics.max for g in range(md.num_row_groups))
+            lo_v = min(md.row_group(g).column(idx["value"]).statistics.min for g in range(md.num_row_groups))
+            hi_v = max(md.row_group(g).column(idx["value"]).statistics.max for g in range(md.num_row_groups))
+            if hi_u < box["u0"] or lo_u > box["u1"] or hi_v < box["v0"] or lo_v > box["v1"]:
+                skip += 1
+        return skip, len(files)
+
+    for name, path in (("natural", nat_path), ("zorder", z_path)):
+        df = spark.read.parquet(path)
+        t0 = time.perf_counter()
+        cnt = (
+            df.filter(
+                (F.col("user_id").between(box["u0"], box["u1"]))
+                & (F.col("value").between(box["v0"], box["v1"]))
+            ).count()
+        )
+        dt = time.perf_counter() - t0
+        s, tot = skippable(path)
+        print(f"{name}: box-count {cnt} in {dt:.2f}s; skippable files {s}/{tot}")
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -68,6 +144,9 @@ def main() -> None:
     n_queries = 100
     spark = get_spark("stress")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "zorder":
+        return run_zorder(spark, n)
 
     rng = np.random.default_rng(42)
     # clustered data so IVF has structure to find
