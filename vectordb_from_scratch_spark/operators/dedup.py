@@ -35,6 +35,7 @@ marked with a trailing 'dup' token), which (2)-(4) recover organically.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1320,11 +1321,10 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    words = [0] * (BLOOM_BITS // 32)
+    words = np.zeros(BLOOM_BITS // 32, dtype=np.int64)
     for r in pos_df.collect():  # bounded: <= eval_shingles * J ints
         p = int(r["p"])
         words[p >> 5] |= 1 << (p & 31)
-    words_df = spark.createDataFrame([(words,)], "words array<long>")
     probe = batch.select("doc_id", F.explode(shingles).alias("s"))
     ph1, ph2 = _bloom_halves(F.col("s"))
     # materialize the halves ONCE — each probe position is then integer
@@ -1334,17 +1334,31 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe = probe.withColumn(
             f"_p{j}", F.pmod(F.col("_h1") + j * F.col("_h2"), F.lit(BLOOM_BITS))
         )
-    cond = None
-    for j in range(BLOOM_HASHES):
-        bit = F.expr(
-            f"(shiftright(element_at(words, cast(_p{j} div 32 as int) + 1), "
-            f"cast(_p{j} % 32 as int)) & 1) = 1"
-        )
-        cond = bit if cond is None else (cond & bit)
+    # The bit test runs in a vectorized Arrow pass against a
+    # once-per-executor numpy broadcast of the 512KB filter. The obvious
+    # pure-SQL alternative — crossJoin(broadcast(words_array)) + a
+    # codegen'd element_at bit probe — attaches the 1MB array VALUE to
+    # every probe row in Tungsten (measured: 6.5s for 230k rows at
+    # sf0.1, ~all of it row-copying); the kernel is 0.2s for the same
+    # rows. Positions stay SQL-side, so the cross-engine value oracle is
+    # untouched.
+    bc = spark.sparkContext.broadcast(words)
+    pcols = [f"_p{j}" for j in range(BLOOM_HASHES)]
+
+    def bit_test(batches):
+        W = bc.value
+        for pdf in batches:
+            keep = np.ones(len(pdf), dtype=bool)
+            for c in pcols:
+                p = pdf[c].to_numpy()
+                keep &= ((W[p >> 5] >> (p & 31)) & 1).astype(bool)
+            yield pdf.loc[keep, ["doc_id"]]
+
+    hits = probe.select("doc_id", *pcols).mapInPandas(
+        bit_test, schema="doc_id long"
+    )
     return (
-        probe.crossJoin(F.broadcast(words_df))
-        .filter(cond)
-        .groupBy("doc_id")
+        hits.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _DECON_T)
     )
