@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_image_ahash",
     "multimodal_image_neardup",
     "export_shard_manifest",
+    "dq_constraint_audit",
     "events_zorder_box",
 ]
 

@@ -37,16 +37,28 @@ def read(
     path: str,
     fmt: str = "parquet",
     schema: T.StructType | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Batch read. Parquet may infer (schema travels with the data);
     CSV/JSON require a declared schema — silent inference is how string
-    columns turn into doubles in one partition and longs in another."""
+    columns turn into doubles in one partition and longs in another.
+
+    ``merge_schema=True`` (parquet only) reconciles files written by
+    DIFFERENT schema generations: a dataset that gained a column keeps
+    its old files readable, the missing column surfacing as NULL. The
+    default reads the latest footer only — Spark's own default, which
+    silently DROPS a column that exists only in older files; evolution
+    must be asked for, never inferred."""
     _check_fmt(fmt)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt != "parquet":
         raise ValueError(f"{fmt} reads require an explicit schema")
+    if merge_schema:
+        if fmt != "parquet":
+            raise ValueError("merge_schema is a parquet-only option")
+        reader = reader.option("mergeSchema", "true")
     if fmt == "csv":
         return reader.option("header", "true").csv(path)
     if fmt == "json":
