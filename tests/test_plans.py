@@ -351,3 +351,24 @@ def test_salted_skew_join_is_shuffle_join_on_salted_key(q):
     df = q("events_salted_skew_join")
     p = plans.physical_plan(df)
     assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p
+
+
+def test_no_cartesian_or_row_python_udf_in_any_registered_query(spark, sf_oracle):
+    """Repo-wide plan-hygiene sweep: every registered query's physical plan
+    is built (not executed) and screened for the two anti-patterns the
+    engine bans outright — CartesianProduct (an unbroadcast cross join:
+    O(N·M) at scale) and BatchEvalPython (row-at-a-time Python UDF: the
+    10-100x-slower-than-Arrow path). Catching these at PLAN time means a
+    future operator can't reintroduce them and pass by being fast on
+    fixtures."""
+    from vectordb_from_scratch_spark import plans, registry
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in sorted(registry.QUERIES.items()):
+        p = plans.physical_plan(fn(spark, sf_oracle))
+        hits = [
+            pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"anti-pattern plans: {offenders}"
