@@ -83,6 +83,7 @@ HEADLINE = [
     "knn_mmr_diversified",
     "sketch_hll_estimate",
     "sketch_histogram_quantiles",
+    "sketch_countmin_estimate",
     "profile_orders",
     "events_value_outliers",
     "events_salted_skew_join",

@@ -70,3 +70,51 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_oracle):
     mean_sel = sel.agg(F.avg("n_chars")).first()[0]
     mean_all = load_table(spark, sf_oracle, "documents").agg(F.avg("n_chars")).first()[0]
     assert mean_sel > mean_all
+
+
+def test_domain_mixture_budget_within_one_doc(spark, sf_oracle):
+    """Each domain's achieved chars (sum of n_chars·copies) must land
+    within one document of its integer budget — the accuracy contract of
+    the whole-epochs + hash-prefix-partial fill rule."""
+    from vectordb_from_scratch_spark.operators.sampling import (
+        MIXTURE_BUDGET_DEN,
+        domain_mixture_copies,
+        _domain_weight,
+    )
+    from vectordb_from_scratch_spark.session import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = domain_mixture_copies(docs).collect()
+    assert out and any(r["copies"] != 1 for r in out)  # a real re-mix
+    per_dom = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("chars_d"),
+        F.max(F.col("n_chars").cast("long")).alias("max_chars"),
+    ).withColumn("w_d", _domain_weight(F.col("source"))).collect()
+    tot = sum(r["chars_d"] for r in per_dom)
+    W = sum(r["w_d"] for r in per_dom)
+    B = tot // MIXTURE_BUDGET_DEN
+    achieved: dict = {}
+    for r in out:
+        achieved[r["source"]] = achieved.get(r["source"], 0) + r["n_chars"] * r["copies"]
+    for r in per_dom:
+        budget = B * r["w_d"] // W
+        got = achieved.get(r["source"], 0)
+        assert budget - r["max_chars"] < got <= budget + r["max_chars"], (
+            r["source"], got, budget, r["max_chars"]
+        )
+
+
+def test_domain_mixture_partitioning_independent(spark, sf_oracle):
+    """The copies assignment depends only on content hashes: recomputing
+    over an adversarial repartitioning yields the identical mixture."""
+    from vectordb_from_scratch_spark.operators.sampling import domain_mixture_copies
+    from vectordb_from_scratch_spark.session import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    base = {(r["doc_id"], r["copies"]) for r in domain_mixture_copies(docs).collect()}
+    shuffled = docs.repartition(7, F.col("n_chars"))
+    again = {
+        (r["doc_id"], r["copies"])
+        for r in domain_mixture_copies(shuffled).collect()
+    }
+    assert base == again

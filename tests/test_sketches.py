@@ -150,3 +150,53 @@ def test_histogram_quantiles_within_one_bin(spark, sf_oracle):
             assert lo - 1e-9 <= stat <= lo + width + 1e-9, (
                 f"{et} {label}: est {lo}, order-stat {stat}, width {width}"
             )
+
+
+def test_countmin_never_undercounts_and_bounded(spark, sf_oracle):
+    """CM guarantees est >= exact always (every counter the key touches
+    holds its true count plus nonnegative collisions); the classical
+    overestimate bound is e*n/w per row with prob 1-e^-d — assert the
+    hard lower bound strictly and the soft bound with 3x margin."""
+    import math
+
+    from vectordb_from_scratch_spark.operators.sketches import (
+        CM_W,
+        countmin_estimates,
+    )
+    from vectordb_from_scratch_spark.session import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    keyed = ev.select(F.col("user_id").cast("string").alias("k"))
+    n = keyed.count()
+    rows = countmin_estimates(keyed).collect()
+    assert rows, "probe subset empty — fixture/probe-mod mismatch"
+    bound = 3 * math.e * n / CM_W
+    for r in rows:
+        assert r["cm_est"] >= r["exact_cnt"], r
+        assert r["cm_est"] - r["exact_cnt"] <= bound, (r, bound)
+
+
+def test_countmin_counters_merge_algebra(spark, sf_oracle):
+    """Counter tables from disjoint halves sum elementwise into exactly
+    the full-input sketch — the mergeability that makes CM a one-pass
+    distributed aggregate (and the streaming twin register-identical)."""
+    from vectordb_from_scratch_spark.operators.sketches import countmin_counters
+    from vectordb_from_scratch_spark.session import load_table
+
+    ev = load_table(spark, sf_oracle, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("k")
+    )
+
+    def counters(df):
+        return {
+            (r["row"], r["bucket"]): r["c"]
+            for r in countmin_counters(df.select("k")).collect()
+        }
+
+    lo = counters(ev.filter(F.col("event_id") % 2 == 0))
+    hi = counters(ev.filter(F.col("event_id") % 2 == 1))
+    merged: dict = {}
+    for part in (lo, hi):
+        for kb, c in part.items():
+            merged[kb] = merged.get(kb, 0) + c
+    assert merged == counters(ev)

@@ -104,3 +104,26 @@ def test_streaming_hll_registers_match_batch(spark, sf_oracle):
         for r in sketch_hll_registers(spark, sf_oracle).collect()
     }
     assert got == want
+
+
+def test_streaming_countmin_counters_match_batch(spark, sf_oracle):
+    """Count-Min counter state after draining the stream == the batch
+    sketch: CM merge is addition, so the streaming sum IS the sketch."""
+    from vectordb_from_scratch_spark import streaming
+    from vectordb_from_scratch_spark.operators.sketches import (
+        sketch_countmin_counters,
+    )
+
+    ev_stream = streaming.read_events_stream(spark, sf_oracle)
+    streaming.run_stream_to_memory(
+        streaming.countmin_counters_stream(ev_stream), "t_cm_stream"
+    )
+    got = {
+        (r["row"], r["bucket"], r["c"])
+        for r in spark.table("t_cm_stream").collect()
+    }
+    want = {
+        (r["row"], r["bucket"], r["c"])
+        for r in sketch_countmin_counters(spark, sf_oracle).collect()
+    }
+    assert got == want

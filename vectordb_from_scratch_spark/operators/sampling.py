@@ -241,3 +241,127 @@ def sampling_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         F.when(bucket < 10, "test").when(bucket < 20, "val").otherwise("train").alias("split"),
     )
+
+
+# --- domain-mixture materialization (token-budget sampling) ------------------
+#
+# The missing curation primitive between "split" and "sample": a training
+# mix is specified as per-domain WEIGHTS against a global token budget
+# (the LLaMA/DoReMi-style mixture table), and materialized as an integer
+# number of COPIES of each document — small high-weight domains repeat
+# (multi-epoch), low-weight domains subsample. The deterministic rule:
+#
+#   budget_d = floor(B · w_d / W)            (exact integer split of B)
+#   full_d   = floor(budget_d / chars_d)     (whole epochs of the domain)
+#   rem_d    = budget_d mod chars_d          (chars of the partial epoch)
+#   copies   = full_d + 1 if the doc's exclusive cumulative chars in
+#              md5-hash order < rem_d else full_d
+#
+# so each domain's achieved chars lands within one document of its
+# budget, and the selection depends only on content hashes — never on
+# partitioning, order, or engine. All-integer arithmetic ⇒ FULL oracle.
+#
+# Scale: the per-domain aggregate is tiny (broadcast); the only real cost
+# is the hash-ordered cumulative sum per domain — one sort keyed by
+# (source), i.e. a task per domain. For a corpus where ONE domain is
+# web-scale, swap the remainder-prefix rule for the scan-local
+# hash-threshold approximation (keep iff hash(doc) / 2^60 < rem_d /
+# chars_d — same expectation, no sort); the exact rule here is the
+# auditable contract the approximation is measured against.
+
+MIXTURE_BUDGET_DEN = 2  # B = total corpus chars // 2
+
+
+def _domain_weight(source) -> F.Column:
+    """Deterministic non-uniform domain weight 1..3 derived from the
+    source name via the cross-engine md5 — a stand-in for the curated
+    mixture table a real run would broadcast (weights must come from the
+    same hash family so the oracle reproduces them)."""
+    return (texthash.hash60(source) % 3 + 1).cast("long")
+
+
+def domain_mixture_copies(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    budget_den: int = MIXTURE_BUDGET_DEN,
+) -> DataFrame:
+    """(doc_id, source, n_chars, copies): the materialized mixture.
+    copies = 0 means the doc is dropped; ≥ 2 means multi-epoch repeats."""
+    from pyspark.sql import Window
+
+    src = F.col(source_col)
+    per_dom = docs.groupBy(source_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("chars_d"),
+    ).withColumn("w_d", _domain_weight(src))
+    # `div` is Spark's INTEGER division — the double-`/`-then-cast form
+    # can round across an integer boundary and disagree with the oracle's
+    # exact BIGINT `//`.
+    scalars = per_dom.agg(
+        F.sum("chars_d").alias("tot"), F.sum("w_d").alias("W")
+    ).select(F.expr(f"tot div {budget_den}").cast("long").alias("B"), "W")
+    dom = (
+        per_dom.crossJoin(F.broadcast(scalars))
+        .withColumn("budget_d", F.expr("(B * w_d) div W").cast("long"))
+        .withColumn("full_d", F.expr("budget_d div chars_d").cast("long"))
+        .withColumn("rem_d", F.col("budget_d") % F.col("chars_d"))
+        .select(source_col, "full_d", "rem_d")
+    )
+    order = texthash.hash60(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = docs.withColumn(
+        "cum_excl", F.coalesce(F.sum(F.col(size_col).cast("long")).over(w), F.lit(0))
+    )
+    return ranked.join(F.broadcast(dom), source_col).select(
+        id_col,
+        source_col,
+        F.col(size_col).cast("long").alias(size_col),
+        (
+            F.col("full_d")
+            + F.when(F.col("cum_excl") < F.col("rem_d"), 1).otherwise(0)
+        ).cast("long").alias("copies"),
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH per_dom AS (
+  SELECT source, sum(n_chars)::BIGINT AS chars_d,
+         ({texthash.hash60_sql("source")} % 3 + 1)::BIGINT AS w_d
+  FROM documents GROUP BY source),
+scalars AS (
+  SELECT (sum(chars_d) // {MIXTURE_BUDGET_DEN})::BIGINT AS B,
+         sum(w_d)::BIGINT AS W
+  FROM per_dom),
+dom AS (
+  SELECT source, (B * w_d // W)::BIGINT AS budget_d, chars_d
+  FROM per_dom CROSS JOIN scalars),
+dom2 AS (
+  SELECT source, (budget_d // chars_d)::BIGINT AS full_d,
+         (budget_d % chars_d)::BIGINT AS rem_d
+  FROM dom),
+ranked AS (
+  SELECT doc_id, source, n_chars::BIGINT AS n_chars,
+         coalesce(sum(n_chars::BIGINT) OVER (
+           PARTITION BY source
+           ORDER BY {texthash.hash60_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM documents)
+SELECT r.doc_id, r.source, r.n_chars,
+       (d.full_d + CASE WHEN r.cum_excl < d.rem_d THEN 1 ELSE 0 END)::BIGINT AS copies
+FROM ranked r JOIN dom2 d USING (source)
+"""
+
+
+@register("sampling_domain_mixture", _MIXTURE_SQL)
+def sampling_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a domain-weighted training mixture over ``documents``:
+    per-source char budgets from deterministic weights against half the
+    corpus, filled as whole epochs + a hash-prefix partial epoch. FULL
+    value oracle (all-integer); the within-one-doc budget accuracy and
+    partitioning-independence are asserted in tests/test_sampling.py."""
+    return domain_mixture_copies(load_table(spark, sf_dir, "documents"))

@@ -433,3 +433,157 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     error bound vs the exact percentile is asserted in
     tests/test_sketches.py."""
     return histogram_quantiles(load_table(spark, sf_dir, "events"))
+
+
+# --- Count-Min sketch (cross-engine value-checked) ---------------------------
+#
+# Completes the frequency side of the sketch family: HLL answers "how
+# many distinct", MG+recount answers "which keys are heavy", Count-Min
+# answers "how often does THIS key occur" for any key, from d·w integers
+# of state. Each of d hash rows maps the key to one of w counters; the
+# estimate is the MIN over rows — never an undercount (every counter the
+# key touches holds its true count plus collisions), over by ≤ e·n/w with
+# probability 1-e^-d (Cormode & Muthukrishnan 2005).
+#
+# Like the md5 HLL, the whole sketch is value-checkable: row hashes come
+# from the cross-engine md5 family (row j salts the key with a literal
+# "j:" prefix), counters are one groupBy, and the estimate is integer
+# min() — both engines reproduce sketch STATE and ESTIMATE bit-for-bit.
+# Scale shape: partial = per-partition counter tallies, merge = sum (the
+# sum algebra again — which is also why the streaming twin is register-
+# identical), state d·w ints regardless of rows.
+
+CM_D = 3  # hash rows
+CM_W = 1024  # counters per row
+#: probe every ~5th distinct user (deterministic md5 subset) so the
+#: estimate query's output is small and stable while still exercising
+#: the counter table — and non-empty even at the 15-user sf0.001 fixture.
+CM_PROBE_MOD = 5
+
+
+def _cm_pairs(keyed: DataFrame, key: str = "k") -> DataFrame:
+    """(row, bucket) per input row per hash row — one scan, the explode
+    is d tiny structs per row, no Python."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(
+                    texthash.hash60(F.concat(F.lit(f"{j}:"), F.col(key))), F.lit(CM_W)
+                ).alias("bucket"),
+            )
+            for j in range(CM_D)
+        ]
+    )
+    return keyed.select(F.explode(pairs).alias("p")).select("p.row", "p.bucket")
+
+
+def countmin_counters(keyed: DataFrame, key: str = "k") -> DataFrame:
+    """The sketch state: (row, bucket, c) with exactly d·w possible rows.
+    One shuffle on (row, bucket) whose input is already map-side
+    partially aggregated down to ≤ parts·d·w rows."""
+    return (
+        _cm_pairs(keyed, key)
+        .groupBy(F.col("row").cast("long").alias("row"), F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimates(keyed: DataFrame, key: str = "k") -> DataFrame:
+    """(key, exact_cnt, cm_est) for the deterministic probe subset:
+    cm_est = min over rows of that row's counter. The counter table is
+    ≤ d·w rows — broadcast to the probe side, so probing N keys costs d
+    broadcast-hash lookups per key and zero extra shuffles of the data."""
+    counters = countmin_counters(keyed, key)
+    probes = (
+        keyed.filter(F.pmod(texthash.hash60(F.col(key)), F.lit(CM_PROBE_MOD)) == 0)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    pb = (
+        probes.select(
+            key,
+            "exact_cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("long").alias("row"),
+                            F.pmod(
+                                texthash.hash60(
+                                    F.concat(F.lit(f"{j}:"), F.col(key))
+                                ),
+                                F.lit(CM_W),
+                            ).cast("long").alias("bucket"),
+                        )
+                        for j in range(CM_D)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(key, "exact_cnt", "p.row", "p.bucket")
+    )
+    return (
+        pb.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy(key, "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
+
+
+def _cm_bucket_sql(j: int) -> str:
+    """DuckDB rendering of row j's bucket for key column k — mirrors the
+    literal-prefix salt used Spark-side in :func:`_cm_pairs`."""
+    return f"{texthash.hash60_sql(repr(f'{j}:') + ' || k')} % {CM_W}"
+
+
+_CM_KEY = "CAST(user_id AS VARCHAR)"
+
+_CM_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT k, {j} AS row, {_cm_bucket_sql(j)} AS bucket FROM keyed"
+    for j in range(CM_D)
+)
+
+_CM_COUNTERS_SQL = f"""
+WITH keyed AS (SELECT {_CM_KEY} AS k FROM events),
+pairs AS ({_CM_ROWS_SQL})
+SELECT row::BIGINT AS row, bucket::BIGINT AS bucket, count(*)::BIGINT AS c
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("sketch_countmin_counters", _CM_COUNTERS_SQL)
+def sketch_countmin_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch ITSELF (d=3 rows × w=1024 counters) over
+    events.user_id, value-checked: both engines hash with the md5 family
+    and count, so the driver's hash compare confirms every counter."""
+    ev = load_table(spark, sf_dir, "events")
+    return countmin_counters(ev.select(F.col("user_id").cast("string").alias("k")))
+
+
+_CM_ESTIMATE_SQL = f"""
+WITH keyed AS (SELECT {_CM_KEY} AS k FROM events),
+pairs AS ({_CM_ROWS_SQL}),
+counters AS (
+  SELECT row, bucket, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+probes AS (
+  SELECT k, count(*)::BIGINT AS exact_cnt FROM keyed
+  WHERE {texthash.hash60_sql("k")} % {CM_PROBE_MOD} = 0 GROUP BY k),
+pb AS ({" UNION ALL ".join(
+    f"SELECT k, exact_cnt, {j} AS row, {_cm_bucket_sql(j)} AS bucket FROM probes"
+    for j in range(CM_D))})
+SELECT pb.k AS k, pb.exact_cnt, min(c)::BIGINT AS cm_est
+FROM pb JOIN counters USING (row, bucket)
+GROUP BY 1, 2
+"""
+
+
+@register("sketch_countmin_estimate", _CM_ESTIMATE_SQL)
+def sketch_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates next to exact counts for the
+    deterministic probe subset — integer-only output, FULL value oracle.
+    The never-undercounts guarantee (cm_est ≥ exact_cnt always) and the
+    e·n/w overestimate bound are asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return countmin_estimates(
+        ev.select(F.col("user_id").cast("string").alias("k"))
+    )

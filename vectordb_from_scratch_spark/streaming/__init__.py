@@ -410,3 +410,22 @@ def histogram_bins_stream(
     return binned.groupBy("event_type", "bin").agg(
         F.count(F.lit(1)).alias("c")
     )
+
+
+def countmin_counters_stream(events: DataFrame) -> DataFrame:
+    """Streaming Count-Min: the counter build is a plain streaming count
+    per (row, bucket) — CM merge IS addition, so micro-batches sum into
+    exactly the batch sketch (register-identity asserted in tests, same
+    contract as the HLL and histogram twins). State is d·w rows TOTAL
+    regardless of stream length or key cardinality; watermark-free."""
+    from vectordb_from_scratch_spark.operators.sketches import _cm_pairs
+
+    keyed = events.select(F.col("user_id").cast("string").alias("k"))
+    return (
+        _cm_pairs(keyed)
+        .groupBy(
+            F.col("row").cast("long").alias("row"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
