@@ -78,6 +78,8 @@ HEADLINE = [
     "pq_search_prebuilt",
     "ivfpq_search",
     "ivfpq_search_prebuilt",
+    "hnsw_search",
+    "hnsw_search_prebuilt",
     "knn_cascade",
     "knn_radius_search",
     "knn_mmr_diversified",

@@ -338,3 +338,51 @@ def test_blocked_neardup_partitioning_invariant(spark, sf_small):
         tuple(r) for r in embedding_pairs_blocked(emb.repartition(17), k=20).collect()
     )
     assert a == b and len(a) == 20
+
+
+# --- sharded graph (HNSW-family) ---------------------------------------------
+
+
+def test_hnsw_full_ef_is_exact(spark, sf_small, exact_topk):
+    """With ef >= shard size the beam cannot evict and the NSW insert
+    rule keeps each shard connected, so full-beam sharded search must
+    EQUAL the exact flat scan rank for rank — approximation comes only
+    from beam pruning, exactly the IVF full-probe discipline."""
+    from vectordb_from_scratch_spark.operators import hnsw, knn
+
+    qpdf, _ = knn.fixture_query_set(spark, sf_small, N_QUERIES)
+    g = hnsw.built_graph(spark, sf_small)
+    res = hnsw.search_graphs(g, qpdf, k=K, ef=10**6)
+    r = _recall(res.collect(), exact_topk)
+    assert r == 1.0, f"full-ef sharded graph recall = {r:.3f} != 1.0"
+
+
+def test_hnsw_recall_at_default_ef(spark, sf_small, exact_topk):
+    """Default ef=64 over the fixture shards: measured 1.0 (shards are
+    small); guard pinned at 0.9 so a graph-quality regression (degree
+    collapse, broken reverse edges) fails loudly."""
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    res = hnsw.build_and_search(spark, sf_small, k=K, n_queries=N_QUERIES)
+    r = _recall(res.collect(), exact_topk)
+    assert r >= 0.9, f"sharded graph recall@{K} = {r:.3f} < 0.9"
+
+
+def test_hnsw_build_deterministic(spark, sf_small):
+    """The graph is a pure function of the corpus: two independent builds
+    (cache bypassed) produce identical adjacency — insert order and all
+    tie-breaks are pinned, so partitioning and scheduling can't leak in."""
+    from vectordb_from_scratch_spark.operators import hnsw
+    from vectordb_from_scratch_spark.session import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+
+    def adjacency(df):
+        return {
+            r["vec_id"]: tuple(r["neighbors"])
+            for r in hnsw.build_graphs(df).collect()
+        }
+
+    a = adjacency(emb)
+    b = adjacency(emb.repartition(5, F.col("label")))
+    assert a == b

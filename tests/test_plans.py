@@ -372,3 +372,21 @@ def test_no_cartesian_or_row_python_udf_in_any_registered_query(spark, sf_oracle
         if hits:
             offenders[name] = hits
     assert not offenders, f"anti-pattern plans: {offenders}"
+
+
+def test_hnsw_serve_search_is_zero_shuffle_plus_merge(spark, sf_oracle):
+    """The sharded-graph SERVE path: the only Exchange in the plan is the
+    final per-query merge window (which must group-limit map-side); the
+    graph itself is read from the cached build, never reshuffled."""
+    from vectordb_from_scratch_spark.operators import hnsw, knn
+
+    qpdf, _ = knn.fixture_query_set(spark, sf_oracle, 5)
+    g = hnsw.built_graph(spark, sf_oracle)
+    df = hnsw.search_graphs(g, qpdf, k=5)
+    text = plans.physical_plan(df)
+    # the cached InMemoryRelation embeds the BUILD plan (with its shard
+    # shuffle) in the formatted text — only the serve tree above it counts
+    serve_tree = text.split("InMemoryRelation", 1)[0]
+    assert serve_tree.count("Exchange") == 1
+    assert serve_tree.count("WindowGroupLimit") == 2  # partial + final
+    assert "InMemoryTableScan" in serve_tree

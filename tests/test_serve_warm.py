@@ -8,13 +8,14 @@ driver's correctness harness may invoke a prebuilt query standalone."""
 import pytest
 
 from vectordb_from_scratch_spark import registry
-from vectordb_from_scratch_spark.operators import ivf, lsh, pq
+from vectordb_from_scratch_spark.operators import hnsw, ivf, lsh, pq
 
 CASES = [
     ("ivf_search_prebuilt", ivf, "_BUILD_CACHE"),
     ("lsh_search_prebuilt", lsh, "_BUILD_CACHE"),
     ("pq_search_prebuilt", pq, "_BUILD_CACHE"),
     ("ivfpq_search_prebuilt", pq, "_IVFPQ_CACHE"),
+    ("hnsw_search_prebuilt", hnsw, "_BUILD_CACHE"),
 ]
 
 

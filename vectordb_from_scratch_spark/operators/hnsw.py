@@ -1,0 +1,290 @@
+"""Sharded graph ANN (HNSW-family) — the graph-index tier the reference
+lacks (its registry stops at flat/ivf/lsh, ``app/core/vector_db.py:81-84``),
+built the way distributed vector stores actually deploy HNSW: one
+navigable-small-world graph PER SHARD, queries fan out to every shard and
+merge per-shard top-k (the Elasticsearch/OpenSearch/Vespa architecture —
+a single global graph cannot be built or traversed across executors).
+
+Spark design:
+- **shard**: deterministic ``md5(vec_id) % SHARDS`` — membership depends
+  only on the id, never on partitioning, so builds are reproducible.
+- **build**: one shuffle on shard, then each shard's graph is constructed
+  in a single grouped-map Arrow call (``applyInPandas``): nodes inserted
+  in vec_id order, each connected to its ``M`` nearest among the current
+  graph found by beam search (ef_construction), edges bidirectional,
+  adjacency pruned to ``M_MAX`` best-by-similarity. Insert order and all
+  tie-breaks are pinned (score DESC, id ASC) → the graph is a pure
+  function of the corpus.
+- **serve**: the graph table (vec_id, embedding, neighbors) is cached
+  with shards whole within partitions, so search is a ZERO-SHUFFLE
+  ``mapInPandas`` pass: each partition accumulates its complete shards,
+  beam-searches every query against each shard's adjacency, and emits
+  per-shard top-k; a global rank window (WindowGroupLimit) merges
+  O(shards·k) rows per query. At 100 TB the graph persists
+  ``partitionBy(shard)`` and the same kernel runs on the pruned scan.
+
+Correctness contract (tests/test_ann_recall.py): recall@10 pinned vs the
+exact flat scan, plus the strong invariant — with ``ef`` ≥ shard size the
+beam cannot evict, the NSW construction keeps every shard's graph
+connected (each insert links bidirectionally to an existing node), so
+full-beam search == exhaustive scan and the sharded result EQUALS the
+exact k-NN, rank for rank.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark import registry
+from vectordb_from_scratch_spark.functions import texthash
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+SHARDS = 8
+M = 16  # out-degree target at insert
+M_MAX = 24  # adjacency cap after reverse-edge additions
+EF_CONSTRUCTION = 64
+EF_SEARCH = 64
+DEFAULT_K = 10
+N_QUERIES = 10
+
+
+def _beam(adj: list, Xu: np.ndarray, q: np.ndarray, ef: int, entry: int = 0):
+    """Best-first NSW search over adjacency lists: returns [(sim, node)]
+    of up to ``ef`` best nodes. Ties pop deterministically (heap orders by
+    (score, node)); neighbor dots run as one gemv per expansion."""
+    d0 = float(Xu[entry] @ q)
+    visited = np.zeros(len(Xu), dtype=bool)
+    visited[entry] = True
+    cand = [(-d0, entry)]  # max-heap on similarity
+    res = [(d0, entry)]  # min-heap keeps the ef best
+    while cand:
+        nd, u = heapq.heappop(cand)
+        if len(res) >= ef and -nd < res[0][0]:
+            break
+        nbrs = [v for v in adj[u] if not visited[v]]
+        if not nbrs:
+            continue
+        visited[np.array(nbrs)] = True
+        sims = Xu[nbrs] @ q
+        for v, dv in zip(nbrs, sims):
+            dv = float(dv)
+            if len(res) < ef or dv > res[0][0]:
+                heapq.heappush(cand, (-dv, v))
+                heapq.heappush(res, (dv, v))
+                if len(res) > ef:
+                    heapq.heappop(res)
+    return res
+
+
+def _build_shard_graph(Xu: np.ndarray, m: int, m_max: int, efc: int) -> list:
+    """Insert nodes 0..n-1 (caller pre-sorts by vec_id): connect each to
+    its ``m`` beam-nearest among the current graph, bidirectional, prune
+    to ``m_max`` keeping highest similarity (tie: lower node id)."""
+    n = len(Xu)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found = _beam(adj[:i], Xu[:i], Xu[i], max(efc, m), entry=0)
+        # m best: similarity DESC, node ASC — pinned order
+        found.sort(key=lambda t: (-t[0], t[1]))
+        links = [v for _, v in found[:m]]
+        adj[i] = links
+        for v in links:
+            adj[v].append(i)
+            if len(adj[v]) > m_max:
+                sims = Xu[adj[v]] @ Xu[v]
+                order = np.lexsort((adj[v], -sims))[:m_max]
+                adj[v] = [adj[v][j] for j in order]
+    return adj
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.where(norms == 0, 1.0, norms)
+
+
+def build_graphs(
+    emb: DataFrame,
+    shards: int = SHARDS,
+    m: int = M,
+    m_max: int = M_MAX,
+    efc: int = EF_CONSTRUCTION,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(shard, vec_id, embedding, neighbors): one NSW graph per shard.
+    One shuffle (groupBy shard); each graph is built in a single
+    grouped-map call, deterministic for a given corpus."""
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.stack(pdf[vec_col].to_list()).astype("float64")
+        Xu = _normalize(X)
+        adj = _build_shard_graph(Xu, m, m_max, efc)
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].to_numpy(),
+                id_col: ids,
+                vec_col: pdf[vec_col],
+                "neighbors": [[int(ids[v]) for v in a] for a in adj],
+            }
+        )
+
+    sharded = emb.select(
+        (texthash.hash60(F.col(id_col).cast("string")) % shards)
+        .cast("int")
+        .alias("shard"),
+        id_col,
+        vec_col,
+    )
+    return sharded.groupBy("shard").applyInPandas(
+        build,
+        schema=f"shard int, {id_col} long, {vec_col} array<float>, neighbors array<long>",
+    )
+
+
+def search_graphs(
+    graph: DataFrame,
+    qpdf,
+    k: int = DEFAULT_K,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fan a query batch out to every shard graph and merge: zero-shuffle
+    mapInPandas (shards are whole within partitions after the build
+    shuffle — batches of one partition are accumulated, so a shard split
+    across Arrow batches is reassembled, never truncated), per-shard
+    top-k under the exact global tie order, then one rank window over
+    O(shards·k) rows per query."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import knn
+
+    Q = _normalize(np.stack(qpdf["query_vec"].to_list()).astype("float64"))
+    qids = qpdf["query_id"].to_numpy()
+
+    def search_iter(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        out_q, out_id, out_s = [], [], []
+        for _, g in pdf.groupby("shard", sort=True):
+            g = g.sort_values(id_col).reset_index(drop=True)
+            ids = g[id_col].to_numpy()
+            pos = {int(v): i for i, v in enumerate(ids)}
+            Xu = _normalize(np.stack(g[vec_col].to_list()).astype("float64"))
+            adj = [
+                [pos[int(v)] for v in nbrs] for nbrs in g["neighbors"].to_list()
+            ]
+            for qi, q in zip(qids, Q):
+                res = _beam(adj, Xu, q, ef)
+                sims = np.array([s for s, _ in res])
+                nodes = np.array([ids[v] for _, v in res])
+                sel = knn.local_topk_indices(sims, nodes, k)
+                out_q.extend([int(qi)] * len(sel))
+                out_id.extend(int(x) for x in nodes[sel])
+                out_s.extend(float(x) for x in sims[sel])
+        yield pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
+
+    per_shard = graph.mapInPandas(
+        search_iter, schema=f"query_id long, {id_col} long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+#: per-process graph cache, same regime as ivf._BUILD_CACHE: build once,
+#: search many; the catalog persists graphs as sidecar tables instead.
+_BUILD_CACHE: dict = {}
+
+
+def built_graph(spark: SparkSession, sf_dir: str, shards: int = SHARDS) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, shards)
+    if key not in _BUILD_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        g = build_graphs(emb, shards=shards).cache()
+        g.count()
+        _BUILD_CACHE[key] = g
+    return _BUILD_CACHE[key]
+
+
+def build_and_search(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    ef: int = EF_SEARCH,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    from vectordb_from_scratch_spark.operators import knn
+
+    qpdf, _ = knn.fixture_query_set(spark, sf_dir, n_queries)
+    g = built_graph(spark, sf_dir)
+    return search_graphs(g, qpdf, k=k, ef=ef)
+
+
+@register("hnsw_search")  # rows-only: graph construction is not SQL-expressible
+def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold build + sharded graph search. Correctness carried by
+    tests/test_ann_recall.py: pinned recall vs exact, full-ef == exact,
+    and construction determinism."""
+    res = build_and_search(spark, sf_dir)
+    return res.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def warm_hnsw(spark: SparkSession, sf_dir: str) -> None:
+    from vectordb_from_scratch_spark.operators import knn
+
+    built_graph(spark, sf_dir)
+    knn.fixture_query_set(spark, sf_dir, N_QUERIES)
+
+
+registry.WARMERS["hnsw_search_prebuilt"] = warm_hnsw
+
+
+@register("hnsw_search_prebuilt")  # rows-only: depends on graph build
+def hnsw_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query path against the process-cached graph — the serving regime.
+    Under registry.STRICT_SERVE a cold cache raises, keeping the
+    cold/serve bench split honest."""
+    registry.require_warm(
+        _BUILD_CACHE,
+        (spark.sparkContext.applicationId, sf_dir, SHARDS),
+        "hnsw",
+    )
+    return hnsw_search(spark, sf_dir)
+
+
+@register("hnsw_graph_degrees")  # rows-only: graph build not SQL-expressible
+def hnsw_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency-degree distribution per shard — the graph-health
+    diagnostic (degree collapse ⇒ recall collapse), the analog of
+    ivf_cluster_sizes for the graph tier."""
+    g = built_graph(spark, sf_dir)
+    return (
+        g.select("shard", F.size("neighbors").alias("degree"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.round(F.avg("degree"), 2).alias("avg_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
