@@ -376,7 +376,7 @@ def test_search_batch_matches_singles_every_index_type(spark, tmp_path):
     rng = np.random.default_rng(21)
     vecs = rng.standard_normal((48, 8)).astype("float32")
     cat = VectorCatalog(spark, str(tmp_path))
-    for itype in ("flat", "ivf", "lsh_simhash", "pq", "ivfpq"):
+    for itype in ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw"):
         lib = cat.create_library(f"batch-{itype}", 8, index_type=itype)
         doc = cat.create_document(lib, "d")
         cat.add_chunks(

@@ -387,3 +387,65 @@ def test_ivfpq_non_cosine_metric_falls_back_to_flat(cat):
     res = cat.search(lib_id, vecs[9].tolist(), k=1, metric="l2")
     assert res[0].chunk_id == ids[9]
     # l2 self-distance is 0 → knn.topk's l2 score convention applies
+
+
+def test_hnsw_search_finds_self_match(cat):
+    """HNSW-indexed library: the sharded graph search must return a
+    stored vector's own embedding at rank 1 (self-similarity is maximal
+    and the per-shard beam starts from a connected graph)."""
+    lib_id, _, ids = _populate(cat, "hnsw-lib", index_type="hnsw")
+    vecs = _vectors()
+    res = cat.search(lib_id, vecs[11].tolist(), k=3)
+    assert res[0].chunk_id == ids[11]
+    meta = cat._index_meta(lib_id)
+    assert meta["type"] == "hnsw" and meta["shards"] >= 2
+
+
+def test_hnsw_delta_rebuilds_only_affected_shards(cat):
+    """Graph-index delta: a per-chunk mutation rebuilds only the graphs
+    of the shards whose membership changed; untouched shard partitions
+    keep their files (inode-level), and search stays correct."""
+    lib_id, _, ids = _populate(cat, "hnsw-delta", index_type="hnsw")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)  # build the graph sidecar
+    gpath = cat._index_path(lib_id, "graph")
+    before = _partition_inodes(gpath)
+    assert len(before) >= 3
+
+    cat.update_chunk(lib_id, ids[7], embedding=(vecs[7] * -1.0).tolist())
+    assert not cat._index_meta(lib_id).get("stale")
+    after = _partition_inodes(gpath)
+    changed = {p for p in after if after.get(p) != before.get(p)}
+    unchanged = {p for p in after if after.get(p) == before.get(p)}
+    assert changed == {f"shard={_shard_of(ids[7])}"}
+    assert unchanged, "untouched shard partitions must keep their files"
+
+    res = cat.search(lib_id, (vecs[7] * -1.0).tolist(), k=3)
+    assert res[0].chunk_id == ids[7]
+
+
+def _shard_of(chunk_id: str) -> int:
+    import hashlib
+
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    return int(hashlib.md5(chunk_id.encode()).hexdigest()[:15], 16) % hnsw.SHARDS
+
+
+def test_hnsw_delete_removes_rows_without_rebuild(cat):
+    lib_id, _, ids = _populate(cat, "hnsw-del", index_type="hnsw")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=1)
+    g = cat.spark.read.parquet(cat._index_path(lib_id, "graph"))
+    n_before = g.count()
+    cat.delete_chunks(lib_id, [ids[3]])
+    assert not cat._index_meta(lib_id).get("stale")
+    g2 = cat.spark.read.parquet(cat._index_path(lib_id, "graph"))
+    assert g2.count() == n_before - 1
+    assert g2.filter(g2["id"] == ids[3]).count() == 0
+    # no dangling adjacency: every neighbor id must still be a node
+    node_ids = {r["id"] for r in g2.select("id").collect()}
+    for r in g2.select("neighbors").collect():
+        assert set(r["neighbors"]) <= node_ids
+    res = cat.search(lib_id, vecs[3].tolist(), k=1)
+    assert res[0].chunk_id != ids[3]

@@ -1,4 +1,4 @@
-"""Sources round-trips (parquet/CSV/JSON, typed at the boundary) and the
+"""Sources round-trips (parquet/CSV/JSON/ORC, typed at the boundary) and the
 custom stateful streaming operator (state carried across micro-batches)."""
 
 from __future__ import annotations
@@ -10,7 +10,7 @@ from vectordb_from_scratch_spark import sources, streaming
 from vectordb_from_scratch_spark.session import load_table
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_roundtrip_preserves_rows_and_types(spark, sf_small, tmp_path, fmt):
     orig = load_table(spark, sf_small, "nation")
     path = str(tmp_path / f"nation_{fmt}")
@@ -23,6 +23,15 @@ def test_roundtrip_preserves_rows_and_types(spark, sf_small, tmp_path, fmt):
 def test_csv_without_schema_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         sources.read(spark, str(tmp_path), fmt="csv")
+
+
+def test_orc_self_describing_read(spark, sf_small, tmp_path):
+    """ORC, like parquet, carries its schema — no declared schema needed."""
+    orig = load_table(spark, sf_small, "region")
+    path = str(tmp_path / "region_orc")
+    sources.write(orig, path, fmt="orc")
+    back = sources.read(spark, path, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
     with pytest.raises(ValueError, match="unknown format"):
         sources.read(spark, str(tmp_path), fmt="avro")
 

@@ -46,17 +46,20 @@ from vectordb_from_scratch_spark.functions import linalg
 from vectordb_from_scratch_spark.operators import ivf as ivf_ops
 from vectordb_from_scratch_spark.operators import knn
 from vectordb_from_scratch_spark.operators import lsh as lsh_ops
+from vectordb_from_scratch_spark.operators import hnsw as hnsw_ops
 from vectordb_from_scratch_spark.operators import pq as pq_ops
 
 MAX_K = 100  # reference caps k ∈ [1, 100] (app/api/dto.py:58)
 
-INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq", "ivfpq")  # the
+INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw")  # the
 # reference's three (it silently falls back to flat for unknown types,
 # vector_db.py:96-102, and never registers lsh, SURVEY.md §2.4.1; we
 # register them and REJECT unknown types instead of silent fallback) plus
 # "pq" and the composed "ivfpq" (FAISS 'IVFx,PQy') — the strongest
 # serve-path index: probe prunes candidates, ADC scores them from 8-byte
 # codes co-located with their cluster, a shortlist is exact-reranked.
+# "hnsw" is the sharded-NSW graph tier (operators/hnsw.py): one graph per
+# md5 shard persisted partitionBy(shard); search fans out per shard.
 
 
 class NotFoundError(KeyError):
@@ -770,6 +773,7 @@ class VectorCatalog:
         "lsh_simhash": (("buckets", "id_part"),),
         "pq": (("codes", "id_part"),),
         "ivfpq": (("ivfpq_codes", "cluster_id"),),
+        "hnsw": (("graph", "shard"),),
     }
 
     def compact_library(
@@ -977,6 +981,19 @@ class VectorCatalog:
             res = pq_ops.rerank_exact(
                 corpus, short, qpdf, k, id_col="id", vec_col="embedding"
             )
+        elif index_type == "hnsw" and self._ensure_hnsw(lib_id, corpus):
+            import pandas as pd
+
+            graph = self.spark.read.parquet(self._index_path(lib_id, "graph"))
+            qpdf = pd.DataFrame(
+                {"query_id": range(len(qvecs)), "query_vec": qvecs}
+            )
+            # grouped=True: a parquet scan may split a shard's file across
+            # tasks, so the search pays one groupBy(shard) shuffle of the
+            # graph table for unconditional adjacency completeness
+            res = hnsw_ops.search_graphs(
+                graph, qpdf, k=k, id_col="id", vec_col="embedding", grouped=True
+            )
         else:  # flat — scored scan + top-k (V5)
             res = knn.topk(
                 corpus, queries, k=k, metric=metric, id_col="id", vec_col="embedding"
@@ -1101,6 +1118,8 @@ class VectorCatalog:
             self._pq_delta(lib_id, upserts, removed, touched_ids)
         elif meta["type"] == "ivfpq":
             self._ivfpq_delta(lib_id, upserts, removed, touched_ids)
+        elif meta["type"] == "hnsw":
+            self._hnsw_delta(lib_id, upserts, removed, touched_ids)
         meta["stale"] = False
         meta["n"] = meta.get("n", 0) + n_delta
         self._write_index_meta(lib_id, meta)
@@ -1437,6 +1456,64 @@ class VectorCatalog:
             keep.unionByName(new_rows), path, "cluster_id", affected
         )
 
+    def _ensure_hnsw(self, lib_id: str, corpus: DataFrame) -> bool:
+        meta = self._index_meta(lib_id)
+        if meta and meta.get("type") == "hnsw" and not meta.get("stale"):
+            return True
+        return self._build_hnsw(lib_id, corpus)
+
+    def _build_hnsw(self, lib_id: str, corpus: DataFrame) -> bool:
+        """Sharded NSW graphs as a sidecar table (id, embedding, neighbors)
+        partitioned by shard — per-chunk mutations become a shard-scoped
+        rebuild (_hnsw_delta), never a full-index rewrite."""
+        n = corpus.count()
+        if n == 0:
+            return False
+        graph = hnsw_ops.build_graphs(corpus, id_col="id", vec_col="embedding")
+        graph.write.mode("overwrite").partitionBy("shard").parquet(
+            self._index_path(lib_id, "graph")
+        )
+        self._write_index_meta(
+            lib_id, {"type": "hnsw", "n": n, "shards": hnsw_ops.SHARDS}
+        )
+        return True
+
+    def _hnsw_delta(
+        self, lib_id: str, upserts: list, removed: list, touched_ids: list
+    ) -> None:
+        """Graph-index delta: a NSW graph has no per-row incremental form
+        under deletion (adjacency quality decays; real systems tombstone
+        then rebuild), so the delta unit is the SHARD — rebuild only the
+        graphs whose membership changed, from the surviving members (the
+        graph rows themselves carry the embeddings) plus the upserts.
+        Untouched shard partitions are never rewritten (inode-asserted in
+        tests, same contract as the ivf/lsh/pq deltas)."""
+        from vectordb_from_scratch_spark.functions import texthash
+
+        path = self._index_path(lib_id, "graph")
+        shard_expr = (
+            texthash.hash60(F.col("id").cast("string")) % hnsw_ops.SHARDS
+        ).cast("int")
+        parts = {
+            r["shard"]
+            for r in self.spark.createDataFrame(
+                [(c,) for c in touched_ids], "id STRING"
+            )
+            .select(shard_expr.alias("shard"))
+            .distinct()
+            .collect()
+        }
+        keep = (
+            self.spark.read.parquet(path)
+            .filter(F.col("shard").isin(list(parts)))
+            .filter(~F.col("id").isin(touched_ids))
+            .select("id", "embedding")
+            .localCheckpoint(eager=True)
+        )
+        members = keep.unionByName(self._delta_df(upserts))
+        rebuilt = hnsw_ops.build_graphs(members, id_col="id", vec_col="embedding")
+        self._overwrite_partitions(rebuilt, path, "shard", parts)
+
     def _ensure_lsh(self, lib_id: str, corpus: DataFrame) -> bool:
         meta = self._index_meta(lib_id)
         if meta and meta.get("type") == "lsh_simhash" and not meta.get("stale"):
@@ -1471,6 +1548,8 @@ class VectorCatalog:
             self._build_pq(lib_id, corpus)
         elif lib["index_type"] == "ivfpq":
             self._build_ivfpq(lib_id, corpus)
+        elif lib["index_type"] == "hnsw":
+            self._build_hnsw(lib_id, corpus)
         # flat needs no sidecar (V6): the chunks table IS the index
 
     def train_index(self, lib_id: str, sample_vectors: list | None = None) -> None:

@@ -121,18 +121,21 @@ def build_graphs(
     grouped-map call, deterministic for a given corpus."""
     import pandas as pd
 
+    id_type = emb.schema[id_col].dataType.simpleString()
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         X = np.stack(pdf[vec_col].to_list()).astype("float64")
         Xu = _normalize(X)
         adj = _build_shard_graph(Xu, m, m_max, efc)
-        ids = pdf[id_col].to_numpy()
+        ids = pdf[id_col].to_list()
         return pd.DataFrame(
             {
                 "shard": pdf["shard"].to_numpy(),
                 id_col: ids,
                 vec_col: pdf[vec_col],
-                "neighbors": [[int(ids[v]) for v in a] for a in adj],
+                "neighbors": [[ids[v] for v in a] for a in adj],
             }
         )
 
@@ -145,7 +148,10 @@ def build_graphs(
     )
     return sharded.groupBy("shard").applyInPandas(
         build,
-        schema=f"shard int, {id_col} long, {vec_col} array<float>, neighbors array<long>",
+        schema=(
+            f"shard int, {id_col} {id_type}, {vec_col} {vec_type}, "
+            f"neighbors array<{id_type}>"
+        ),
     )
 
 
@@ -156,19 +162,45 @@ def search_graphs(
     ef: int = EF_SEARCH,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grouped: bool = False,
 ) -> DataFrame:
-    """Fan a query batch out to every shard graph and merge: zero-shuffle
-    mapInPandas (shards are whole within partitions after the build
-    shuffle — batches of one partition are accumulated, so a shard split
-    across Arrow batches is reassembled, never truncated), per-shard
+    """Fan a query batch out to every shard graph and merge: per-shard
     top-k under the exact global tie order, then one rank window over
-    O(shards·k) rows per query."""
+    O(shards·k) rows per query.
+
+    ``grouped=False`` (serve path): zero-shuffle mapInPandas — valid ONLY
+    when shards are whole within partitions (the cached build output
+    guarantees this; batches of one partition are accumulated, so a shard
+    split across Arrow batches is reassembled). A shard split across
+    PARTITIONS fails loudly (adjacency references a missing node).
+    ``grouped=True`` (catalog path over a parquet-read graph, where the
+    scanner may split a shard's file): pays one groupBy(shard) shuffle of
+    the graph table for unconditional correctness."""
     import pandas as pd
 
     from vectordb_from_scratch_spark.operators import knn
 
     Q = _normalize(np.stack(qpdf["query_vec"].to_list()).astype("float64"))
     qids = qpdf["query_id"].to_numpy()
+
+    def search_shard(g: pd.DataFrame):
+        g = g.sort_values(id_col).reset_index(drop=True)
+        ids = g[id_col].to_list()
+        pos = {v: i for i, v in enumerate(ids)}
+        Xu = _normalize(np.stack(g[vec_col].to_list()).astype("float64"))
+        adj = [[pos[v] for v in nbrs] for nbrs in g["neighbors"].to_list()]
+        out_q, out_id, out_s = [], [], []
+        for qi, q in zip(qids, Q):
+            res = _beam(adj, Xu, q, ef)
+            sims = np.array([s for s, _ in res])
+            nodes = np.array([v for _, v in res])
+            # rank by (score desc, positional id asc) — positions are in
+            # id-sorted order, so this matches the global (score, id) tie
+            sel = knn.local_topk_indices(sims, nodes, k)
+            out_q.extend([int(qi)] * len(sel))
+            out_id.extend(ids[v] for v in nodes[sel])
+            out_s.extend(float(x) for x in sims[sel])
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
 
     def search_iter(batches):
         chunks = list(batches)
@@ -177,28 +209,17 @@ def search_graphs(
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
-        out_q, out_id, out_s = [], [], []
         for _, g in pdf.groupby("shard", sort=True):
-            g = g.sort_values(id_col).reset_index(drop=True)
-            ids = g[id_col].to_numpy()
-            pos = {int(v): i for i, v in enumerate(ids)}
-            Xu = _normalize(np.stack(g[vec_col].to_list()).astype("float64"))
-            adj = [
-                [pos[int(v)] for v in nbrs] for nbrs in g["neighbors"].to_list()
-            ]
-            for qi, q in zip(qids, Q):
-                res = _beam(adj, Xu, q, ef)
-                sims = np.array([s for s, _ in res])
-                nodes = np.array([ids[v] for _, v in res])
-                sel = knn.local_topk_indices(sims, nodes, k)
-                out_q.extend([int(qi)] * len(sel))
-                out_id.extend(int(x) for x in nodes[sel])
-                out_s.extend(float(x) for x in sims[sel])
-        yield pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
+            yield search_shard(g)
 
-    per_shard = graph.mapInPandas(
-        search_iter, schema=f"query_id long, {id_col} long, score double"
-    )
+    id_type = graph.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id long, {id_col} {id_type}, score double"
+    if grouped:
+        per_shard = graph.groupBy("shard").applyInPandas(
+            lambda pdf: search_shard(pdf), schema=out_schema
+        )
+    else:
+        per_shard = graph.mapInPandas(search_iter, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def _check_fmt(fmt: str) -> None:
@@ -53,7 +53,8 @@ def read(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt != "parquet":
+    elif fmt not in ("parquet", "orc"):
+        # parquet/ORC are self-describing (schema travels in the footer)
         raise ValueError(f"{fmt} reads require an explicit schema")
     if merge_schema:
         if fmt != "parquet":
@@ -63,6 +64,8 @@ def read(
         return reader.option("header", "true").csv(path)
     if fmt == "json":
         return reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)
 
 
@@ -82,6 +85,8 @@ def write(
         writer.option("header", "true").csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)
 
@@ -104,6 +109,8 @@ def read_stream(
         return reader.option("header", "true").csv(path)
     if fmt == "json":
         return reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)
 
 
