@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw
 """
 
 from __future__ import annotations
@@ -137,6 +137,37 @@ def run_zorder(spark, n: int) -> None:
         print(f"{name}: box-count {cnt} in {dt:.2f}s; skippable files {s}/{tot}")
 
 
+def run_hnsw(spark, emb, n: int, d: int, qpdf) -> None:
+    """Sharded NSW at scale: build rate per shard (the Python insert loop
+    is the cost), serve latency over the cached graph, and measured
+    recall vs the exact scan — plus the shard-count scaling rule (shards
+    grow with N so per-shard build time stays bounded; build parallelism
+    = shards, so wall time is the per-shard rate, not N)."""
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    shards = max(hnsw.SHARDS, n // 25_000)  # bound ~25k nodes/shard
+    t0 = time.perf_counter()
+    g = hnsw.build_graphs(emb, shards=shards).cache()
+    g.count()
+    t_build = time.perf_counter() - t0
+    print(
+        f"hnsw build: {t_build:6.2f}s at {shards} shards "
+        f"(~{n // shards} nodes/shard, {n / t_build:.0f} inserts/s wall)"
+    )
+    qp = qpdf.iloc[:20]
+    t0 = time.perf_counter()
+    res = hnsw.search_graphs(g, qp, k=10).collect()
+    t_serve = time.perf_counter() - t0
+    got = {(r["query_id"], r["vec_id"]) for r in res}
+    exact = knn.topk_pandas(emb, qp, k=10).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    print(
+        f"hnsw serve Q=20: {t_serve:6.2f}s; recall@10 = "
+        f"{len(got & want) / len(want):.3f} vs exact "
+        f"(merge input <= shards*Q*k = {shards * 20 * 10} rows)"
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -174,6 +205,8 @@ def main() -> None:
         return run_cascade(spark, emb, n, d, n_queries, qpdf)
     if mode == "neardup":
         return run_neardup(spark, emb, n, d)
+    if mode == "hnsw":
+        return run_hnsw(spark, emb, n, d, qpdf)
 
     t0 = time.perf_counter()
     cnt = knn.topk_pandas(emb, qpdf, k=10).count()
