@@ -63,6 +63,9 @@ HEADLINE = [
     "text_quality_scores",
     "text_bm25_search",
     "text_unigram_surprisal",
+    "text_bigram_perplexity",
+    "dedup_semantic_prune",
+    "sampling_domain_mixture",
     "chunk_documents",
     "events_trailing_hour_window",
     "embed_documents",

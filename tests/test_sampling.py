@@ -118,3 +118,49 @@ def test_domain_mixture_partitioning_independent(spark, sf_oracle):
         for r in domain_mixture_copies(shuffled).collect()
     }
     assert base == again
+
+
+def test_semantic_prune_contract(spark, sf_oracle):
+    """SemDeDup: per cluster exactly ceil(0.1*n) members pruned; every
+    pruned member's (redundancy, id) ranks above every kept member's
+    under the prune order; first member of each cluster is always kept;
+    and the whole assignment is deterministic across repartitionings."""
+    import math
+
+    from vectordb_from_scratch_spark.operators import ivf
+    from vectordb_from_scratch_spark.operators.dedup import (
+        SEMANTIC_KEEP_FRAC,
+        semantic_prune,
+    )
+    from vectordb_from_scratch_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    _, assignments = ivf.built_index(spark, sf_oracle)
+    rows = semantic_prune(emb, assignments).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    pruned_any = False
+    for cid, members in by_cluster.items():
+        n = len(members)
+        pruned = [r for r in members if r["action"] == "prune"]
+        kept = [r for r in members if r["action"] == "keep"]
+        assert len(pruned) == math.ceil((1 - SEMANTIC_KEEP_FRAC) * n), (cid, n)
+        pruned_any = pruned_any or bool(pruned)
+        first = min(members, key=lambda r: r["vec_id"])
+        assert first["action"] == "keep"  # redundancy -1 can never rank first
+        if pruned and kept:
+            # prune order is (redundancy DESC, id DESC): no kept member
+            # may outrank a pruned one
+            worst_kept = max((r["redundancy"], r["vec_id"]) for r in kept)
+            best_pruned = min((r["redundancy"], r["vec_id"]) for r in pruned)
+            assert best_pruned >= worst_kept or best_pruned[0] >= worst_kept[0] - 1e-9
+    assert pruned_any
+
+    again = semantic_prune(
+        emb.repartition(7, F.col("label")), assignments
+    ).collect()
+    assert {(r["vec_id"], r["action"]) for r in again} == {
+        (r["vec_id"], r["action"]) for r in rows
+    }

@@ -1362,3 +1362,86 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _DECON_T)
     )
+
+
+# --- semantic dedup (SemDeDup: cluster, then prune within clusters) ----------
+#
+# The embedding-space analog of keep-best canonicalization (Abbas et al.
+# 2023, "SemDeDup"): k-means clusters put semantically-alike docs in the
+# same bucket, then each cluster prunes its most REDUNDANT members —
+# those closest to an earlier-kept member — at a target retention rate.
+# Unlike pair-threshold near-dup, the knob is the retention fraction
+# (what curation pipelines actually budget), so the operator is
+# meaningful on any corpus, not just one with near-1.0 pairs.
+#
+# Scale shape: reuses the cached IVF assignments (one broadcast-assign
+# pass); the only shuffle is groupBy(cluster_id), and each cluster's
+# pairwise matmul is local to one task — the same bounded-group contract
+# as embedding_label_medoids. Clusters too large for one task are
+# already bounded by the k-means k (n/k expected members); a skewed
+# cluster falls back to chunked scoring exactly like _seg_pairs_topk.
+
+SEMANTIC_KEEP_FRAC = 0.9  # retain 90% per cluster
+
+
+def semantic_prune(
+    emb: DataFrame,
+    assignments: DataFrame,
+    keep_frac: float = SEMANTIC_KEEP_FRAC,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id, redundancy, action): per cluster, each
+    member's redundancy = max cosine to any LOWER-id member; the
+    ceil((1-keep_frac)·n) highest-redundancy members are pruned
+    (ties prune the higher id). Deterministic given assignments."""
+    import math
+
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.stack(pdf[vec_col].to_list()).astype("float64")
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xu = X / np.where(norms == 0, 1.0, norms)
+        S = Xu @ Xu.T
+        n = len(pdf)
+        red = np.full(n, -1.0)
+        for i in range(1, n):
+            red[i] = float(S[i, :i].max())
+        n_prune = math.ceil((1.0 - keep_frac) * n)
+        action = np.full(n, "keep", dtype=object)
+        if n_prune > 0:
+            ids = pdf[id_col].to_numpy()
+            # prune order: redundancy DESC, id DESC (later dup goes first)
+            order = np.lexsort((-ids, -red))
+            action[order[:n_prune]] = "prune"
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster_id": pdf["cluster_id"],
+                "redundancy": np.round(red, 6),
+                "action": action,
+            }
+        )
+
+    joined = emb.select(id_col, vec_col).join(assignments, id_col)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return joined.groupBy("cluster_id").applyInPandas(
+        prune,
+        schema=f"{id_col} {id_type}, cluster_id int, redundancy double, action string",
+    )
+
+
+@register("dedup_semantic_prune")  # rows-only: k-means assignments not SQL
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings fixture at 90% retention, reusing the
+    process-cached IVF index (the cluster structure is shared between
+    search and curation — one build, two consumers). Determinism and the
+    per-cluster prune-count/ordering contract are pinned in
+    tests/test_sampling.py."""
+    from vectordb_from_scratch_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assignments = ivf.built_index(spark, sf_dir)
+    return semantic_prune(emb, assignments)

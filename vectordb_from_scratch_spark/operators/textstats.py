@@ -691,3 +691,93 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(-F.avg("logp"), 6).alias("surprisal"),
     )
+
+
+# --- bigram perplexity (LM-based quality filtering) --------------------------
+#
+# The CCNet-style corpus filter: score each document's perplexity under a
+# language model trained on the corpus itself — boilerplate and gibberish
+# sit in the perplexity tails. The model here is the simplest one whose
+# arithmetic BOTH engines can reproduce exactly: an add-one-smoothed
+# bigram LM over corpus counts. p(w2|w1) = (c12 + 1) / (c1 + V), so every
+# probability is a ratio of integers and the only float ops are ln of an
+# exact rational, one average, and one exp — value-checkable at 6dp/3dp,
+# unlike a neural or KenLM scorer (external-artifact boundary).
+#
+# Scale shape: bigram extraction is ARRAY arithmetic inside the scan
+# (slice + zip + explode — no per-doc window shuffle); the count tables
+# shuffle once on their keys; joining counts back onto the bigram stream
+# rides the measured vocab_join auto-route (broadcast small corpora,
+# term-keyed shuffle join at web scale — same as BM25/tf-idf/surprisal);
+# the vocab-size scalar is a broadcast crossJoin frame.
+
+BIGRAM_PPL_ROUND = 3
+
+
+def bigram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, w2) per adjacent token pair — scan-local (slice+zip),
+    docs with < 2 tokens contribute nothing."""
+    ws = texthash.words("text")
+    n = F.size(ws)
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, n - 1).alias("w"), F.slice(ws, 2, n - 1).alias("w2")
+    )
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w").alias("w"), F.col("p.w2").alias("w2"))
+    )
+
+
+def bigram_perplexity(docs: DataFrame, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, ppl) under the corpus bigram LM."""
+    toks = docs.select("doc_id", F.explode(texthash.words("text")).alias("w"))
+    bi = bigram_stream(docs)
+    c12 = bi.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = toks.agg(F.countDistinct("w").alias("V"))
+    scored = (
+        vocab_join(vocab_join(bi, c12, ["w", "w2"], sf_dir), c1, "w", sf_dir)
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "nll",
+            F.log((F.col("c1") + F.col("V")) / (F.col("c12") + F.lit(1))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), BIGRAM_PPL_ROUND).alias("ppl"),
+    )
+
+
+_BIGRAM_SQL = """
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents),
+toks AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS w FROM ws),
+bi AS (
+  SELECT doc_id, w, w2 FROM (
+    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks)
+  WHERE w2 IS NOT NULL),
+c12 AS (SELECT w, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM toks GROUP BY 1),
+vs AS (SELECT count(DISTINCT w)::BIGINT AS V FROM toks),
+scored AS (
+  SELECT bi.doc_id, ln((c1 + V) * 1.0 / (c12 + 1)) AS nll
+  FROM bi JOIN c12 USING (w, w2) JOIN c1 USING (w) CROSS JOIN vs)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll,
+       round(exp(avg(nll)), 3) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_perplexity", _BIGRAM_SQL)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus-trained add-one bigram LM
+    — FULL value oracle (integer-ratio probabilities). Completes the
+    quality-filter family: length/punct ratios, unigram surprisal, and
+    now the sequence-model scorer the tails-based filters approximate."""
+    return bigram_perplexity(load_table(spark, sf_dir, "documents"), sf_dir)
