@@ -180,11 +180,11 @@ def test_vocab_join_auto_routes_by_corpus_size(spark, sf_oracle, monkeypatch):
     multi-GB broadcast). Both routes must exist in the same code path."""
     from vectordb_from_scratch_spark.operators import textstats
 
-    for name in ("text_tfidf_topterms", "text_unigram_surprisal"):
+    for name in ("text_tfidf_topterms", "text_unigram_surprisal", "text_bigram_perplexity"):
         p = plans.physical_plan(registry.QUERIES[name](spark, sf_oracle))
         assert "BroadcastHashJoin" in p, f"{name}: fixture vocab must broadcast"
     monkeypatch.setattr(textstats, "VOCAB_BROADCAST_MAX_CORPUS_BYTES", 0)
-    for name in ("text_tfidf_topterms", "text_unigram_surprisal"):
+    for name in ("text_tfidf_topterms", "text_unigram_surprisal", "text_bigram_perplexity"):
         df = registry.QUERIES[name](spark, sf_oracle)
         p = plans.physical_plan(df)
         # past the threshold the vocab join must NOT be planned as an
