@@ -70,6 +70,7 @@ HEADLINE = [
     "events_trailing_hour_window",
     "embed_documents",
     "text_search_e2e",
+    "text_maxsim_search",
     "embedding_label_medoids",
     "ivf_search",
     "ivf_search_prebuilt",

@@ -61,7 +61,7 @@ def test_library_crud_and_conflicts(cat):
     with pytest.raises(ValidationError):
         cat.create_library("beta", 0)
     with pytest.raises(ValidationError):
-        cat.create_library("beta", DIMS, index_type="hnsw")  # strict, no silent flat fallback
+        cat.create_library("beta", DIMS, index_type="annoy")  # strict, no silent flat fallback
 
     cat.create_library("Beta", DIMS)
     names = [r["name"] for r in cat.list_libraries()]

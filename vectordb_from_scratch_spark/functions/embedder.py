@@ -213,3 +213,127 @@ def text_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_TS_K)
     rnk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
     return top.withColumn("rnk", rnk).select("doc_id", "score", "rnk")
+
+
+# --- late-interaction (ColBERT-style maxsim) retrieval -----------------------
+#
+# Single-vector retrieval compresses a document to one embedding; late
+# interaction keeps MANY vectors per document (one per chunk here) and
+# scores score(q, d) = sum over query tokens of the MAX similarity any
+# document vector achieves — the ColBERT maxsim operator. It is the
+# standard quality upgrade over pooled embeddings, and in Spark it is
+# pure composition: the declarative chunker → the Arrow embed pass → a
+# per-(doc, qtok) max aggregate → one sum — no new kernel.
+#
+# FULLY value-oracled: chunk windows, hashed-bucket vectors, cosines,
+# maxes and the final sum are all integer-exact or 6dp-rounded-before-
+# aggregation on both engines (the same exactness argument as
+# text_search_e2e, extended through the max/sum).
+#
+# Scale shape: chunk+embed is one scan-local pass; each query token's
+# similarity is a map-side expression; the ONLY shuffle is the final
+# groupBy(doc) — shuffle rows = chunks, payload = q tiny doubles; top-10
+# is TakeOrderedAndProject.
+
+MAXSIM_QUERY = TEXT_SEARCH_QUERY  # same query text as the e2e search
+_MS_K = 10
+
+
+def _qtoken_vecs() -> list:
+    """One UNnormalized hashed vector per query token (driver-side — the
+    probe-policy discipline: a 4x16 matrix never needs a Spark job)."""
+    embed = hashed_embedder(dims=DEFAULT_DIMS, normalize=False)
+    toks = [t for t in MAXSIM_QUERY.split(" ") if t]
+    return [embed([t])[0] for t in toks]
+
+
+def _maxsim_sql() -> str:
+    toks = [t for t in MAXSIM_QUERY.split(" ") if t]
+    qtok_rows = ", ".join(f"({qid}, '{t}')" for qid, t in enumerate(toks))
+    from vectordb_from_scratch_spark.operators.textstats import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, len(words) - 1, {_CHUNK_STRIDE})) AS start
+  FROM w WHERE len(words) > 0),
+chunks AS (
+  SELECT doc_id, CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_seq,
+         words[start + 1 : start + {_CHUNK_SIZE}] AS cw
+  FROM s),
+ctok AS (
+  SELECT doc_id, chunk_seq, unnest(cw) AS t FROM chunks),
+ch AS (SELECT doc_id, chunk_seq, {texthash.hash60_sql('t')} AS h FROM ctok),
+cv AS (SELECT doc_id, chunk_seq, h % {DEFAULT_DIMS} AS bucket,
+              sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS val
+       FROM ch GROUP BY 1, 2, 3),
+cnorm AS (SELECT doc_id, chunk_seq, sqrt(sum(val * val)) AS nd
+          FROM cv GROUP BY 1, 2),
+qt AS (SELECT * FROM (VALUES {qtok_rows}) AS q(qid, t)),
+qh AS (SELECT qid, {texthash.hash60_sql('t')} AS h FROM qt),
+qv AS (SELECT qid, h % {DEFAULT_DIMS} AS bucket,
+              CASE WHEN (h >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END AS val
+       FROM qh),
+dt AS (SELECT cv.doc_id, cv.chunk_seq, qv.qid, sum(cv.val * qv.val) AS d
+       FROM cv JOIN qv USING (bucket) GROUP BY 1, 2, 3),
+per_chunk AS (
+  SELECT cn.doc_id, cn.qid,
+         round(CASE WHEN cn.nd = 0 THEN 0.0
+                    ELSE coalesce(dt.d, 0.0) / cn.nd END, 6) AS sim
+  FROM (SELECT cnorm.*, q.qid FROM cnorm CROSS JOIN (SELECT DISTINCT qid FROM qt) q) cn
+  LEFT JOIN dt ON dt.doc_id = cn.doc_id AND dt.chunk_seq = cn.chunk_seq
+              AND dt.qid = cn.qid),
+per_qtok AS (
+  SELECT doc_id, qid, max(sim) AS best FROM per_chunk GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, round(sum(best), 6) AS maxsim FROM per_qtok GROUP BY 1)
+SELECT doc_id, maxsim, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY maxsim DESC, doc_id ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {_MS_K}
+"""
+
+
+@register("text_maxsim_search", None)
+def text_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval end-to-end: sliding-window chunks →
+    hashed chunk vectors → per-query-token max similarity → summed
+    maxsim → top-10 docs. Query-token norms are 1 (single-token hashed
+    vectors), so sim = dot/chunk_norm — exact on both engines; each sim
+    rounds to 6dp BEFORE the max/sum so aggregation order can't drift
+    the oracle comparison."""
+    from pyspark.sql import Window
+
+    from vectordb_from_scratch_spark.functions import linalg
+    from vectordb_from_scratch_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(spark, sf_dir).select("doc_id", "chunk_text")
+    emb = embed_texts(chunks, text_col="chunk_text", normalize=False)
+    qvecs = _qtoken_vecs()
+    sims = []
+    for qid, qv in enumerate(qvecs):
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        sims.append(
+            F.round(linalg.cosine(qcol, F.col("embedding")), 6).alias(f"s{qid}")
+        )
+    per_chunk = emb.select("doc_id", *sims)
+    maxes = [F.max(f"s{qid}").alias(f"m{qid}") for qid in range(len(qvecs))]
+    per_doc = per_chunk.groupBy("doc_id").agg(*maxes)
+    total = F.round(
+        sum(F.col(f"m{qid}") for qid in range(len(qvecs))), 6
+    ).alias("maxsim")
+    scored = per_doc.select("doc_id", total)
+    top = scored.orderBy(F.desc("maxsim"), F.asc("doc_id")).limit(_MS_K)
+    rnk = F.row_number().over(Window.orderBy(F.desc("maxsim"), F.asc("doc_id")))
+    return top.withColumn("rnk", rnk).select("doc_id", "maxsim", "rnk")
+
+
+from vectordb_from_scratch_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLE_SQL["text_maxsim_search"] = _maxsim_sql()
