@@ -90,6 +90,7 @@ HEADLINE = [
     "sketch_hll_estimate",
     "sketch_histogram_quantiles",
     "sketch_countmin_estimate",
+    "eval_ann_ndcg",
     "profile_orders",
     "events_value_outliers",
     "events_salted_skew_join",

@@ -386,3 +386,18 @@ def test_hnsw_build_deterministic(spark, sf_small):
     a = adjacency(emb)
     b = adjacency(emb.repartition(5, F.col("label")))
     assert a == b
+
+
+def test_eval_ann_ndcg_consistent_with_pinned_recall(spark, sf_small):
+    """The eval operator's numbers must agree with the BASELINE.md pinned
+    SQ8 contract: mean recall@10 >= 0.9, nDCG in [0, 1] and >= recall's
+    floor (binary-relevance nDCG can't be 0 when recall is positive)."""
+    from vectordb_from_scratch_spark.operators.evalmetrics import eval_ann_ndcg
+
+    rows = eval_ann_ndcg(spark, sf_small).collect()
+    assert rows
+    mean_rec = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean_rec >= 0.9, mean_rec
+    for r in rows:
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+        assert (r["ndcg_at_k"] > 0) == (r["recall_at_k"] > 0)

@@ -1,0 +1,127 @@
+"""Retrieval-quality evaluation as a first-class operator — the harness
+every ANN rollout runs before flipping traffic: rank an approximate
+index's results against exact ground truth and report recall@k and
+nDCG@k per query.
+
+The evaluated pair here is the SQ8 compressed-domain ranking vs the
+exact float cosine scan, because BOTH are SQL-expressible — so unlike
+the recall numbers in tests/test_ann_recall.py (Python-side
+assertions), this eval is itself a value-oracled QUERY: DuckDB
+recomputes the two rankings and the metrics bit-for-bit. The same
+DataFrame shape evaluates any (approx, truth) ranking pair; the
+k-means/graph indexes plug into the identical join (their rows-only
+status comes from the index, not the metric).
+
+Scale shape: truth and approx are both WindowGroupLimit top-k plans
+(O(parts·k) shuffles); the metric join is per-(query, k) rows —
+thousands, never the corpus — and the final aggregate is one tiny
+groupBy(query_id).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+EVAL_K = 10
+EVAL_Q = 10
+#: IDCG@k for binary relevance with all k relevant — a shared literal so
+#: both engines divide by the identical constant.
+IDCG_AT_K = sum(1.0 / math.log2(i + 1) for i in range(1, EVAL_K + 1))
+
+
+def ranking_metrics(
+    approx: DataFrame,
+    truth: DataFrame,
+    k: int = EVAL_K,
+    id_col: str = "vec_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """(query_id, recall_at_k, ndcg_at_k) for an approximate ranking
+    (query_id, id, rank ≤ k) against a truth set (query_id, id). Binary
+    relevance: rel = 1 iff the returned id is in the exact top-k."""
+    t = truth.select("query_id", F.col(id_col).alias("_tid")).withColumn(
+        "_rel", F.lit(1.0)
+    )
+    j = approx.join(
+        t,
+        (approx["query_id"] == t["query_id"]) & (approx[id_col] == t["_tid"]),
+        "left",
+    ).select(approx["query_id"], approx[rank_col], F.coalesce("_rel", F.lit(0.0)).alias("rel"))
+    gain = F.col("rel") / F.log2(F.col(rank_col) + 1)
+    return j.groupBy("query_id").agg(
+        F.round(F.sum("rel") / k, 6).alias("recall_at_k"),
+        F.round(F.sum(gain) / F.lit(IDCG_AT_K), 6).alias("ndcg_at_k"),
+    )
+
+
+_EVAL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {EVAL_Q}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s_ex AS (SELECT q.query_id, c.vec_id,
+                CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+                     THEN 0.0
+                     ELSE list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                END AS score
+         FROM q CROSS JOIN c),
+truth AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id ASC) AS rnk
+            FROM s_ex) WHERE rnk <= {EVAL_K}),
+enc AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+              THEN list_transform(embedding::DOUBLE[], x -> 0::BIGINT)
+              ELSE list_transform(embedding::DOUBLE[],
+                     x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+                                * 127 + 0.5)::BIGINT)
+         END AS codes
+  FROM embeddings),
+n AS (SELECT vec_id, codes,
+             list_dot_product(codes::DOUBLE[], codes::DOUBLE[]) AS norm2
+      FROM enc),
+qs AS (SELECT vec_id AS query_id, codes AS qc, norm2 AS qn FROM n
+       WHERE vec_id < {EVAL_Q}),
+s_sq AS (SELECT qs.query_id, n.vec_id,
+                CASE WHEN qs.qn * n.norm2 = 0 THEN 0.0
+                     ELSE list_dot_product(qs.qc::DOUBLE[], n.codes::DOUBLE[])
+                          / sqrt(qs.qn * n.norm2)
+                END AS score
+         FROM qs CROSS JOIN n),
+approx AS (SELECT query_id, vec_id, rnk FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id ASC) AS rnk
+             FROM s_sq) WHERE rnk <= {EVAL_K}),
+j AS (SELECT a.query_id, a.rnk,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS rel
+      FROM approx a LEFT JOIN truth t
+        ON t.query_id = a.query_id AND t.vec_id = a.vec_id)
+SELECT query_id,
+       round(sum(rel) / {EVAL_K}, 6)                 AS recall_at_k,
+       round(sum(rel / log2(rnk + 1)) / {IDCG_AT_K!r}, 6) AS ndcg_at_k
+FROM j GROUP BY query_id
+"""
+
+
+@register("eval_ann_ndcg", _EVAL_SQL)
+def eval_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 and nDCG@10 of the SQ8 compressed ranking vs the exact
+    cosine scan, per query — the eval harness AS a value-oracled query
+    (both rankings and both metrics recomputed identically in DuckDB)."""
+    from vectordb_from_scratch_spark.operators import knn
+    from vectordb_from_scratch_spark.operators.quantization import knn_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, queries = knn.fixture_query_set(spark, sf_dir, EVAL_Q)
+    truth = knn.topk(emb, queries, k=EVAL_K).select("query_id", "vec_id")
+    approx = knn_sq8_topk(spark, sf_dir).select("query_id", "vec_id", "rnk")
+    return ranking_metrics(approx, truth)

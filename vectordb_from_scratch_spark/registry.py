@@ -283,3 +283,4 @@ from vectordb_from_scratch_spark.operators import sqlapi  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import export_shards  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import dq  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import hnsw  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import evalmetrics  # noqa: E402,F401
