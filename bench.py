@@ -64,6 +64,7 @@ HEADLINE = [
     "text_bm25_search",
     "text_unigram_surprisal",
     "text_bigram_perplexity",
+    "text_pii_scrub",
     "dedup_semantic_prune",
     "sampling_domain_mixture",
     "chunk_documents",

@@ -781,3 +781,96 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-filter family: length/punct ratios, unigram surprisal, and
     now the sequence-model scorer the tails-based filters approximate."""
     return bigram_perplexity(load_table(spark, sf_dir, "documents"), sf_dir)
+
+
+# --- PII scrubbing -----------------------------------------------------------
+#
+# The compliance pass every training corpus runs before the tokenizer:
+# redact emails / phone numbers / IPv4s. Pure regexp_replace — stays in
+# codegen, scan-local, zero shuffles. The fixture text is synthetic word
+# soup with no natural PII, so the registered query first APPENDS a
+# deterministic payload derived from doc_id (identically in both
+# engines) — the scrub then has real work to do and the oracle check is
+# non-vacuous: counts match AND the md5 of every scrubbed text matches,
+# proving the replacement byte-for-byte.
+#
+# Pattern discipline: character classes and bounded repetition only — the
+# subset where Java regex (Spark) and RE2 (DuckDB) agree exactly; no
+# backreferences, no lookaround.
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_REPL = {"email": "<EMAIL>", "phone": "<PHONE>", "ip": "<IP>"}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, scrub_fp): redaction counts
+    plus the md5 fingerprint of the scrubbed text."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, _PII_REPL["email"]),
+            PII_PHONE_RE,
+            _PII_REPL["phone"],
+        ),
+        PII_IPV4_RE,
+        _PII_REPL["ip"],
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_fp"),
+    )
+
+
+_PII_PAYLOAD = (
+    " contact u{id}@example.com or 555-010-{id4} from 10.0.{id255}.7"
+)
+
+_PII_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@example.com or 555-010-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR) || '.7' AS text
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g') AS clean,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+         len(regexp_extract_all(text, '{PII_IPV4_RE}'))::BIGINT  AS n_ips
+  FROM seeded)
+SELECT doc_id, n_emails, n_phones, n_ips, md5(clean) AS scrub_fp
+FROM scrubbed
+"""
+
+
+@register("text_pii_scrub", _PII_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus with a deterministic injected
+    payload (the fixture has no natural PII): per-doc match counts and
+    the md5 of the scrubbed text, both value-checked — the fingerprint
+    proves the replacement output byte-for-byte, not just the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded)
