@@ -85,6 +85,7 @@ HEADLINE = [
     "ivfpq_search_prebuilt",
     "hnsw_search",
     "hnsw_search_prebuilt",
+    "hnsw_search_routed",
     "knn_cascade",
     "knn_radius_search",
     "knn_mmr_diversified",

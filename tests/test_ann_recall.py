@@ -401,3 +401,35 @@ def test_eval_ann_ndcg_consistent_with_pinned_recall(spark, sf_small):
     for r in rows:
         assert 0.0 <= r["ndcg_at_k"] <= 1.0
         assert (r["ndcg_at_k"] > 0) == (r["recall_at_k"] > 0)
+
+
+def test_hnsw_routed_all_probes_full_ef_is_exact(spark, sf_small, exact_topk):
+    """IVF-routed graph search: probing EVERY cluster at full ef must
+    equal the exact scan — the approximation decomposes into exactly two
+    knobs (probe count, beam width), each with its own exactness limit."""
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    res = hnsw.routed_build_and_search(
+        spark, sf_small, k=K, ef=10**6, n_probes=10**6, n_queries=N_QUERIES
+    )
+    r = _recall(res.collect(), exact_topk)
+    assert r == 1.0, f"all-probes full-ef routed recall = {r:.3f} != 1.0"
+
+
+def test_hnsw_routed_matches_ivf_at_same_probes(spark, sf_small, exact_topk):
+    """Default 8/64 probes: the routed graph searches exactly the
+    clusters IVF probes, and at fixture cluster sizes (~8 members,
+    ef=64) the beam is exhaustive — so the routed result must EQUAL the
+    IVF result pair-for-pair. The probe ceiling (0.615 measured on this
+    near-random fixture at a 12.5% scan fraction) belongs to IVF's
+    contract, not the graph's; the graph's own knob is covered by the
+    full-ef invariant above."""
+    from vectordb_from_scratch_spark.operators import hnsw, ivf
+
+    routed = hnsw.routed_build_and_search(spark, sf_small, k=K, n_queries=N_QUERIES)
+    via_ivf = ivf.build_and_search(spark, sf_small, k=K, n_queries=N_QUERIES)
+    got = {(r["query_id"], r["rank"], r["vec_id"]) for r in routed.collect()}
+    want = {(r["query_id"], r["rank"], r["vec_id"]) for r in via_ivf.collect()}
+    assert got == want
+    r = _recall(routed.collect(), exact_topk)
+    assert r >= 0.5, f"probe-ceiling sanity: routed recall@{K} = {r:.3f}"

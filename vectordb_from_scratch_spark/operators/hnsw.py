@@ -309,3 +309,182 @@ def hnsw_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("degree").alias("max_degree"),
         )
     )
+
+
+# --- IVF-routed graph search (cluster-partitioned graphs + probe pruning) ----
+#
+# The md5-sharded index above fans every query to every shard — random
+# shards all look like the global distribution, so nothing can be
+# pruned. Partitioning the graphs by IVF CLUSTER instead makes the
+# shards semantic: a query probes the top-n closest centroids (the same
+# driver-side policy as ivf.search) and beams only those clusters'
+# graphs. This is the IVF×HNSW composition real systems run at extreme
+# scale (SCALE.md "Round 4b" remedy): probe pruning bounds the fan-out,
+# the graph bounds the within-cluster scan, and with the graph table
+# persisted partitionBy(cluster) the probe filter is partition pruning.
+#
+# Exactness invariant (tests): probing EVERY cluster at full ef must
+# equal the exact scan — approximation decomposes into exactly two
+# knobs, probe count (IVF's) and beam width (the graph's).
+
+
+def build_graphs_by(
+    emb: DataFrame,
+    shard_col: str,
+    m: int = M,
+    m_max: int = M_MAX,
+    efc: int = EF_CONSTRUCTION,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """build_graphs over a caller-supplied partition column (e.g. the IVF
+    cluster assignment) instead of the md5 shard."""
+    import pandas as pd
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.stack(pdf[vec_col].to_list()).astype("float64")
+        adj = _build_shard_graph(_normalize(X), m, m_max, efc)
+        ids = pdf[id_col].to_list()
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].to_numpy(),
+                id_col: ids,
+                vec_col: pdf[vec_col],
+                "neighbors": [[ids[v] for v in a] for a in adj],
+            }
+        )
+
+    sharded = emb.select(F.col(shard_col).cast("int").alias("shard"), id_col, vec_col)
+    return sharded.groupBy("shard").applyInPandas(
+        build,
+        schema=(
+            f"shard int, {id_col} {id_type}, {vec_col} {vec_type}, "
+            f"neighbors array<{id_type}>"
+        ),
+    )
+
+
+def routed_search(
+    graph: DataFrame,
+    qpdf,
+    probes: list[tuple],
+    k: int = DEFAULT_K,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search only the probed (query, cluster) pairs: ``probes`` is the
+    driver-computed [(query_id, shard)] routing table. The graph scan is
+    filtered to the probed clusters (partition pruning on a persisted
+    layout); inside the kernel each cluster beams ONLY the queries routed
+    to it."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import knn
+
+    Q = _normalize(np.stack(qpdf["query_vec"].to_list()).astype("float64"))
+    qids = qpdf["query_id"].to_numpy()
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    by_shard: dict[int, list[int]] = {}
+    for qid, shard in probes:
+        by_shard.setdefault(int(shard), []).append(qpos[int(qid)])
+
+    def search_iter(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        for shard, g in pdf.groupby("shard", sort=True):
+            routed = by_shard.get(int(shard), [])
+            if not routed:
+                continue
+            g = g.sort_values(id_col).reset_index(drop=True)
+            ids = g[id_col].to_list()
+            pos = {v: i for i, v in enumerate(ids)}
+            Xu = _normalize(np.stack(g[vec_col].to_list()).astype("float64"))
+            adj = [[pos[v] for v in nbrs] for nbrs in g["neighbors"].to_list()]
+            out_q, out_id, out_s = [], [], []
+            for qi in routed:
+                res = _beam(adj, Xu, Q[qi], ef)
+                sims = np.array([s for s, _ in res])
+                nodes = np.array([v for _, v in res])
+                sel = knn.local_topk_indices(sims, nodes, k)
+                out_q.extend([int(qids[qi])] * len(sel))
+                out_id.extend(ids[v] for v in nodes[sel])
+                out_s.extend(float(x) for x in sims[sel])
+            yield pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
+
+    pruned = graph.filter(F.col("shard").isin(sorted(by_shard)))
+    id_type = graph.schema[id_col].dataType.simpleString()
+    per_shard = pruned.mapInPandas(
+        search_iter, schema=f"query_id long, {id_col} {id_type}, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+_ROUTED_CACHE: dict = {}
+
+
+def routed_built_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-partitioned graphs over the fixture, sharing the cached
+    IVF assignments (one k-means, three consumers: ivf search, SemDeDup,
+    routed graphs)."""
+    from vectordb_from_scratch_spark.operators import ivf
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ROUTED_CACHE:
+        _, assignments = ivf.built_index(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        joined = emb.join(assignments, "vec_id").withColumnRenamed(
+            "cluster_id", "shard"
+        )
+        g = build_graphs_by(joined, "shard").cache()
+        g.count()
+        _ROUTED_CACHE[key] = g
+    return _ROUTED_CACHE[key]
+
+
+def routed_build_and_search(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    ef: int = EF_SEARCH,
+    n_probes: int = None,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    from vectordb_from_scratch_spark.operators import ivf, knn
+
+    centroids, _ = ivf.built_index(spark, sf_dir)
+    qpdf, _ = knn.fixture_query_set(spark, sf_dir, n_queries)
+    g = routed_built_graph(spark, sf_dir)
+    probes = ivf.probe_clusters(
+        centroids,
+        list(zip(qpdf["query_id"], qpdf["query_vec"])),
+        ivf.DEFAULT_N_PROBES if n_probes is None else n_probes,
+    )
+    return routed_search(g, qpdf, probes, k=k, ef=ef)
+
+
+@register("hnsw_search_routed")  # rows-only: k-means + graph build not SQL
+def hnsw_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed graph search: probe the top clusters, beam only their
+    graphs — the bounded-fan-out composition for extreme scale. Recall
+    and the all-probes+full-ef == exact invariant are pinned in
+    tests/test_ann_recall.py."""
+    res = routed_build_and_search(spark, sf_dir)
+    return res.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
