@@ -72,6 +72,7 @@ HEADLINE = [
     "embed_documents",
     "text_search_e2e",
     "text_maxsim_search",
+    "search_hybrid_rrf",
     "embedding_label_medoids",
     "ivf_search",
     "ivf_search_prebuilt",

@@ -337,3 +337,131 @@ def text_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 from vectordb_from_scratch_spark import registry as _registry  # noqa: E402
 
 _registry.ORACLE_SQL["text_maxsim_search"] = _maxsim_sql()
+
+
+# --- hybrid retrieval (BM25 + vector, reciprocal-rank fusion) ----------------
+#
+# The production default for text search: lexical BM25 catches exact
+# terms, the embedding catches paraphrase, and reciprocal-rank fusion
+# (Cormack et al. 2009) merges them WITHOUT score calibration — each
+# list contributes 1/(60 + rank), so only ranks matter and the two
+# scoring scales never meet. Both input rankings are already
+# value-oracled queries here, and RRF arithmetic is exact rationals in
+# doubles, so the FUSED ranking carries a full oracle too — a hybrid
+# search whose every stage is cross-engine value-checked.
+#
+# Scale shape: the BM25 side touches only docs containing a query term;
+# the vector side is the embed scan + TakeOrderedAndProject; the fusion
+# is a full-outer join of two ≤RRF_POOL-row lists — driver-trivial,
+# expressed distributed.
+
+RRF_K = 60
+RRF_POOL = 20  # depth of each input ranking fed to the fusion
+_RRF_TOP = 10
+
+
+def _rrf_sql() -> str:
+    from vectordb_from_scratch_spark.operators.textstats import (
+        _BM25_B,
+        _BM25_K1,
+    )
+
+    terms = tuple(t for t in MAXSIM_QUERY.split(" ") if t)
+    return f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w != ''))::DOUBLE AS dl
+  FROM documents),
+stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w != '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN {repr(terms)}
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * ({_BM25_K1} + 1)
+                   / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))),
+               6) AS bm25
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+lex AS (SELECT doc_id, rnk AS rnk_lex FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+          FROM bm) WHERE rnk <= {RRF_POOL}),
+hb AS (SELECT doc_id, h % {DEFAULT_DIMS} AS bucket,
+              CASE WHEN (h >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sign
+       FROM (SELECT doc_id, {texthash.hash60_sql('term')} AS h FROM tok)),
+v AS (SELECT doc_id, bucket, sum(sign) AS val FROM hb GROUP BY 1, 2),
+dnorm AS (SELECT doc_id, sqrt(sum(val * val)) AS nd FROM v GROUP BY doc_id),
+qtok AS (SELECT unnest(string_split('{MAXSIM_QUERY}', ' ')) AS t),
+qb AS (SELECT {texthash.hash60_sql('t')} % {DEFAULT_DIMS} AS bucket,
+              CASE WHEN ({texthash.hash60_sql('t')} >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sign
+       FROM qtok),
+qv AS (SELECT bucket, sum(sign) AS val FROM qb GROUP BY bucket),
+qnorm AS (SELECT sqrt(sum(val * val)) AS nq FROM qv),
+dt AS (SELECT v.doc_id, sum(v.val * qv.val) AS d
+       FROM v JOIN qv USING (bucket) GROUP BY v.doc_id),
+cos AS (
+  SELECT dnorm.doc_id,
+         round(CASE WHEN nd * nq = 0 THEN 0.0
+                    ELSE coalesce(d, 0.0) / (nd * nq) END, 6) AS score
+  FROM dnorm CROSS JOIN qnorm LEFT JOIN dt USING (doc_id)),
+vec AS (SELECT doc_id, rnk AS rnk_vec FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM cos) WHERE rnk <= {RRF_POOL}),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + rnk_lex), 0.0)
+               + coalesce(1.0 / ({RRF_K} + rnk_vec), 0.0), 6) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT doc_id, rrf, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk
+  FROM fused)
+WHERE rnk <= {_RRF_TOP}
+"""
+
+
+@register("search_hybrid_rrf", None)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-20 ⊕ embedding-cosine top-20 fused by
+    reciprocal rank — every stage (both rankings, the fusion) carries a
+    DuckDB value oracle. Docs in only one list score with the other
+    contribution absent (coalesce 0), the standard RRF convention."""
+    from pyspark.sql import Window
+
+    from vectordb_from_scratch_spark.functions import linalg
+    from vectordb_from_scratch_spark.operators.textstats import bm25_ranking
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = tuple(t for t in MAXSIM_QUERY.split(" ") if t)
+    lex = bm25_ranking(docs, terms, RRF_POOL).select(
+        "doc_id", F.col("rnk").alias("rnk_lex")
+    )
+    emb = embed_texts(docs, dims=DEFAULT_DIMS, normalize=False)
+    q = hashed_embedder(dims=DEFAULT_DIMS, normalize=False)([MAXSIM_QUERY])[0]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = emb.select(
+        "doc_id", F.round(linalg.cosine(qcol, F.col("embedding")), 6).alias("score")
+    )
+    vtop = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(RRF_POOL)
+    vrnk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    vec = vtop.withColumn("rnk_vec", vrnk).select("doc_id", "rnk_vec")
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("rnk_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rnk_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_TOP)
+    rnk = F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+    return top.withColumn("rnk", rnk).select("doc_id", "rrf", "rnk")
+
+
+_registry.ORACLE_SQL["search_hybrid_rrf"] = _rrf_sql()

@@ -375,6 +375,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window over the full candidate set); the rank column
     is a window over only the 10 survivors."""
     d = load_table(spark, sf_dir, "documents")
+    return bm25_ranking(d, _BM25_TERMS, _BM25_K)
+
+
+def bm25_ranking(d: DataFrame, terms: tuple, k: int) -> DataFrame:
+    """(doc_id, bm25, rnk ≤ k) for the given query terms — the scoring
+    body shared by text_bm25_search and the RRF hybrid fusion."""
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     dl = d.select("doc_id", F.size(words).cast("double").alias("dl"))
     stats = dl.agg(
@@ -382,7 +388,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = (
         d.select("doc_id", F.explode(words).alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
+        .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
@@ -398,9 +404,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
     )
-    from pyspark.sql import Window
-
-    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_K)
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
     rnk = F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
     return top.withColumn("rnk", rnk).select("doc_id", "bm25", "rnk")
 
