@@ -94,6 +94,7 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "sketch_countmin_estimate",
     "eval_ann_ndcg",
+    "embedding_drift",
     "profile_orders",
     "events_value_outliers",
     "events_salted_skew_join",

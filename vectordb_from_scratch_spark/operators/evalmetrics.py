@@ -125,3 +125,93 @@ def eval_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = knn.topk(emb, queries, k=EVAL_K).select("query_id", "vec_id")
     approx = knn_sq8_topk(spark, sf_dir).select("query_id", "vec_id", "rnk")
     return ranking_metrics(approx, truth)
+
+
+# --- embedding distribution drift --------------------------------------------
+#
+# The monitoring query a production vector pipeline runs on every ingest
+# batch: has the embedding distribution moved? (A provider model bump,
+# a preprocessing change, or upstream corpus shift all show up here
+# before recall degrades.) Statistic: per-dimension mean/std of the new
+# slice vs the reference slice, plus the standardized mean difference
+# |Δmean|/pooled_std — the univariate drift score whose max over
+# dimensions is the page-the-oncall number.
+#
+# Fully SQL-expressible (posexplode + two-level aggregate), so unlike
+# most embedding ops it carries a complete value oracle. Scale shape:
+# one scan, explode fans dims× then combines map-side to (slice, dim)
+# partials — shuffle volume is 2·dims rows per map task, independent of
+# corpus size (the same partial/merge argument as the sketches).
+
+DRIFT_SPLIT_LABEL = 5  # slice A: label < 5 (reference), B: label >= 5 (new)
+
+
+def embedding_drift(emb: DataFrame) -> DataFrame:
+    """(dim, mean_a, mean_b, std_a, std_b, smd): per-dimension drift
+    between the two label slices; smd = |mean_a-mean_b| / pooled std."""
+    sliced = emb.select(
+        F.when(F.col("label") < DRIFT_SPLIT_LABEL, "a").otherwise("b").alias("slice"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    stats = sliced.groupBy("slice", "dim").agg(
+        F.avg("x").alias("mean"),
+        # population variance (var_pop): deterministic single-pass form,
+        # matches DuckDB var_pop exactly at 6dp
+        (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias("var"),
+    )
+    a = stats.filter(F.col("slice") == "a").select(
+        "dim", F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = stats.filter(F.col("slice") == "b").select(
+        "dim", F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    pooled = F.sqrt((F.col("var_a") + F.col("var_b")) / 2)
+    return (
+        a.join(b, "dim")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round(F.sqrt("var_a"), 6).alias("std_a"),
+            F.round(F.sqrt("var_b"), 6).alias("std_b"),
+            F.round(
+                F.when(pooled == 0, F.lit(0.0)).otherwise(
+                    F.abs(F.col("mean_a") - F.col("mean_b")) / pooled
+                ),
+                6,
+            ).alias("smd"),
+        )
+    )
+
+
+_DRIFT_SQL = f"""
+WITH x AS (
+  SELECT CASE WHEN label < {DRIFT_SPLIT_LABEL} THEN 'a' ELSE 'b' END AS slice,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings),
+stats AS (
+  SELECT slice, dim, avg(x) AS mean,
+         avg(x * x) - avg(x) * avg(x) AS var
+  FROM x GROUP BY 1, 2),
+a AS (SELECT dim, mean AS mean_a, var AS var_a FROM stats WHERE slice = 'a'),
+b AS (SELECT dim, mean AS mean_b, var AS var_b FROM stats WHERE slice = 'b')
+SELECT dim::BIGINT AS dim,
+       round(mean_a, 6) AS mean_a,
+       round(mean_b, 6) AS mean_b,
+       round(sqrt(var_a), 6) AS std_a,
+       round(sqrt(var_b), 6) AS std_b,
+       round(CASE WHEN sqrt((var_a + var_b) / 2) = 0 THEN 0.0
+                  ELSE abs(mean_a - mean_b) / sqrt((var_a + var_b) / 2)
+             END, 6) AS smd
+FROM a JOIN b USING (dim)
+"""
+
+
+@register("embedding_drift", _DRIFT_SQL)
+def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between two corpus slices (split on
+    label) — the vector-pipeline monitoring query, fully value-oracled.
+    The standardized mean difference per dimension is the alarm
+    statistic; its max over dims is what a threshold alert watches."""
+    return embedding_drift(load_table(spark, sf_dir, "embeddings"))
