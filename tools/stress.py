@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted
 """
 
 from __future__ import annotations
@@ -168,6 +168,38 @@ def run_hnsw(spark, emb, n: int, d: int, qpdf) -> None:
     )
 
 
+def run_hnsw_routed(spark, emb, n: int, d: int, qpdf) -> None:
+    """Routed (IVF-cluster-partitioned) graphs vs full fan-out at scale:
+    the measurement behind SCALE.md's 'routed composition' claim — probe
+    pruning should cut serve cost at a bounded recall price (the IVF
+    probe ceiling), with build cost comparable (same total inserts)."""
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    cents = ivf.train_centroids(emb)  # 64 clusters, sampled driver-side
+    assigns = ivf.assign(emb, cents)
+    joined = emb.join(assigns, "vec_id").withColumnRenamed("cluster_id", "shard")
+    t0 = time.perf_counter()
+    g = hnsw.build_graphs_by(joined, "shard").cache()
+    g.count()
+    t_build = time.perf_counter() - t0
+    print(f"routed build: {t_build:6.2f}s over 64 cluster graphs")
+    qp = qpdf.iloc[:20]
+    exact = knn.topk_pandas(emb, qp, k=10).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    for probes in (8, 16, 32):
+        pr = ivf.probe_clusters(
+            cents, list(zip(qp["query_id"], qp["query_vec"])), probes
+        )
+        t0 = time.perf_counter()
+        res = hnsw.routed_search(g, qp, pr, k=10).collect()
+        t = time.perf_counter() - t0
+        got = {(r["query_id"], r["vec_id"]) for r in res}
+        print(
+            f"routed serve Q=20 probes={probes}/64: {t:5.2f}s "
+            f"recall={len(got & want) / len(want):.3f}"
+        )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -207,6 +239,8 @@ def main() -> None:
         return run_neardup(spark, emb, n, d)
     if mode == "hnsw":
         return run_hnsw(spark, emb, n, d, qpdf)
+    if mode == "hnswrouted":
+        return run_hnsw_routed(spark, emb, n, d, qpdf)
 
     t0 = time.perf_counter()
     cnt = knn.topk_pandas(emb, qpdf, k=10).count()
