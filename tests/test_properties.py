@@ -152,3 +152,57 @@ def test_bloom_decontaminate_plan_no_corpus_shuffle(spark, sf_oracle):
     assert "MapInPandas" in p
     # exactly one exchange: the partial/final count aggregate
     assert p.count("Exchange") <= 2  # agg exchange (+ AQE read marker)
+
+
+# --- pure-kernel property tests (no Spark session in the loop) ---------------
+
+
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    d=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_nsw_full_beam_reaches_every_node(n, d, seed):
+    """The NSW construction invariant behind the full-ef == exact
+    contract: for ANY corpus, a beam with ef >= n starting at node 0
+    visits all n nodes (each insert links bidirectionally to an existing
+    node, so the graph is connected and the unevictable beam exhausts
+    it)."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d))
+    Xu = hnsw._normalize(X)
+    adj = hnsw._build_shard_graph(Xu, m=4, m_max=6, efc=8)
+    res = hnsw._beam(adj, Xu, Xu[rng.integers(0, n)], ef=n + 10)
+    assert {v for _, v in res} == set(range(n))
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=1, max_value=50)),
+        min_size=1,
+        max_size=200,
+    ),
+    k=st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_undercount_bound(counts, k):
+    """MG's contract for ANY stream: every counter undercounts its true
+    frequency by at most n/k (the documented bound of the batch
+    decrement rule in sketches.mg_update), and no counter overcounts."""
+    from vectordb_from_scratch_spark.operators.sketches import mg_update
+
+    state: dict = {}
+    true: dict = {}
+    n = 0
+    for tok, c in counts:
+        state = mg_update(state, {str(tok): c}, k)
+        true[str(tok)] = true.get(str(tok), 0) + c
+        n += c
+    for tok, est in state.items():
+        assert est <= true[tok], (tok, est, true[tok])
+        assert true[tok] - est <= n / k + 1e-9, (tok, est, true[tok], n, k)
