@@ -390,3 +390,22 @@ def test_hnsw_serve_search_is_zero_shuffle_plus_merge(spark, sf_oracle):
     assert serve_tree.count("Exchange") == 1
     assert serve_tree.count("WindowGroupLimit") == 2  # partial + final
     assert "InMemoryTableScan" in serve_tree
+
+
+def test_maxsim_single_shuffle_scan_local_chunks(q):
+    """text_maxsim_search: chunking + embedding are scan-local (explode +
+    MapInPandas, no per-doc window), so the only Exchange is the final
+    per-doc aggregate; top-10 must be TakeOrderedAndProject."""
+    df = q("text_maxsim_search")
+    p = plans.physical_plan(df)
+    assert "MapInPandas" in p
+    assert "TakeOrderedAndProject" in p
+    assert plans.n_shuffles(df) <= 2  # doc aggregate (+ AQE coalesce)
+
+
+def test_hybrid_rrf_pool_join_is_broadcastable(q):
+    """search_hybrid_rrf: the fusion joins two <=20-row rank lists — it
+    must never plan a sort-merge join of corpus-sized inputs."""
+    df = q("search_hybrid_rrf")
+    p = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in p  # both pools and the final top-10

@@ -84,9 +84,19 @@ def _beam(adj: list, Xu: np.ndarray, q: np.ndarray, ef: int, entry: int = 0):
 def _build_shard_graph(Xu: np.ndarray, m: int, m_max: int, efc: int) -> list:
     """Insert nodes 0..n-1 (caller pre-sorts by vec_id): connect each to
     its ``m`` beam-nearest among the current graph, bidirectional, prune
-    to ``m_max`` keeping highest similarity (tie: lower node id)."""
+    to ``m_max`` keeping highest similarity (tie: lower node id) — EXCEPT
+    that a node's LAST incoming edge from a lower-index node is never
+    pruned (the "lifeline" rule). Bare similarity pruning can disconnect
+    the graph (found by the hypothesis property test: n=13, d=3 —
+    unreachable nodes mean silent recall loss that only grows with
+    corpus size, since larger shards prune more). With every node
+    keeping ≥1 incoming edge from below, reachability from the entry
+    node follows by induction, which is exactly the invariant the
+    full-ef == exact contract stands on; the degree cap is soft by at
+    most the handful of lifelines."""
     n = len(Xu)
     adj: list[list[int]] = [[] for _ in range(n)]
+    in_lower = [0] * n  # incoming edges from lower-index nodes, per node
     for i in range(1, n):
         found = _beam(adj[:i], Xu[:i], Xu[i], max(efc, m), entry=0)
         # m best: similarity DESC, node ASC — pinned order
@@ -95,10 +105,18 @@ def _build_shard_graph(Xu: np.ndarray, m: int, m_max: int, efc: int) -> list:
         adj[i] = links
         for v in links:
             adj[v].append(i)
+            in_lower[i] += 1
             if len(adj[v]) > m_max:
                 sims = Xu[adj[v]] @ Xu[v]
-                order = np.lexsort((adj[v], -sims))[:m_max]
-                adj[v] = [adj[v][j] for j in order]
+                order = np.lexsort((adj[v], -sims))
+                keep = [adj[v][j] for j in order[:m_max]]
+                for j in order[m_max:]:
+                    u = adj[v][j]
+                    if u > v and in_lower[u] == 1:
+                        keep.append(u)  # lifeline: u's only path from below
+                    elif u > v:
+                        in_lower[u] -= 1
+                adj[v] = keep
     return adj
 
 
