@@ -439,3 +439,44 @@ def test_import_corrupt_snapshot_leaves_catalog_clean(spark, tmp_path):
     json.dump(manifest, open(mpath, "w"))
     restored = dst.import_library(snap)  # retry succeeds — not wedged
     assert dst.library_stats(restored)["num_chunks"] == 6
+
+
+def test_export_import_hnsw_serves_without_rebuild(spark, tmp_path):
+    """Snapshot a graph-indexed library and restore it: search results
+    identical and the restored graphs serve with no rebuild (the build
+    entry point is poisoned during the restored search to prove it)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_from_scratch_spark.catalog import VectorCatalog
+    from vectordb_from_scratch_spark.operators import hnsw as hnsw_ops
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    src = VectorCatalog(spark, str(tmp_path / "src"))
+    lib = src.create_library("graphport", 8, index_type="hnsw")
+    doc = src.create_document(lib, "d1")
+    src.add_chunks(
+        lib,
+        doc,
+        [{"text": f"c{i}", "embedding": vecs[i].tolist()} for i in range(40)],
+        ids=[f"c{i:02d}" for i in range(40)],
+    )
+    before = [r.chunk_id for r in src.search(lib, vecs[5].tolist(), k=5)]
+    snap = str(tmp_path / "snap")
+    manifest = src.export_library(lib, snap)
+    assert manifest["index"]["type"] == "hnsw"
+
+    dst = VectorCatalog(spark, str(tmp_path / "dst"))
+    new_id = dst.import_library(snap)
+
+    def poisoned(*a, **k):
+        raise AssertionError("restored hnsw index must serve without rebuild")
+
+    orig = hnsw_ops.build_graphs
+    hnsw_ops.build_graphs = poisoned
+    try:
+        after = [r.chunk_id for r in dst.search(new_id, vecs[5].tolist(), k=5)]
+    finally:
+        hnsw_ops.build_graphs = orig
+    assert after == before

@@ -51,7 +51,7 @@ def _search_ids(cat, lib_id, q, k=10):
     return [(r.chunk_id, round(r.similarity_score, 6)) for r in cat.search(lib_id, q, k=k)]
 
 
-@pytest.mark.parametrize("index_type", ["flat", "ivf"])
+@pytest.mark.parametrize("index_type", ["flat", "ivf", "hnsw"])
 def test_compaction_shrinks_files_preserves_search(cat, index_type):
     lib = cat.create_library(f"hot-{index_type}", DIMS, index_type=index_type)
     doc = cat.create_document(lib, "d1")
