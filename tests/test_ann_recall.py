@@ -433,3 +433,37 @@ def test_hnsw_routed_matches_ivf_at_same_probes(spark, sf_small, exact_topk):
     assert got == want
     r = _recall(routed.collect(), exact_topk)
     assert r >= 0.5, f"probe-ceiling sanity: routed recall@{K} = {r:.3f}"
+
+
+def test_hnsw_bounded_subshards_preserve_probe_semantics(spark, sf_small, exact_topk):
+    """The shard-sizing rule as code: forcing a tiny max_members splits
+    clusters into sub-graphs whose sizes respect the bound (within hash
+    slack), and because a cluster's sub-graphs union to the cluster, the
+    expanded-probe full-ef search still EQUALS the exact scan when every
+    cluster is probed — sub-sharding changes wall-clock shape only,
+    never candidates."""
+    from pyspark.sql import functions as F2
+
+    from vectordb_from_scratch_spark.operators import hnsw, ivf, knn
+    from vectordb_from_scratch_spark.session import load_table
+
+    centroids, assignments = ivf.built_index(spark, sf_small)
+    emb = load_table(spark, sf_small, "embeddings")
+    joined = emb.join(assignments, "vec_id").withColumnRenamed("cluster_id", "shard")
+    g, nsub = hnsw.build_graphs_bounded(joined, "shard", max_members=10)
+    g = g.cache()
+    sizes = {r["shard"]: r["c"] for r in g.groupBy("shard").agg(F2.count(F2.lit(1)).alias("c")).collect()}
+    assert any(n > 1 for n in nsub.values()), "bound must actually split"
+    assert max(sizes.values()) <= 3 * 10, sizes  # md5 slack on tiny groups
+
+    qpdf, _ = knn.fixture_query_set(spark, sf_small, N_QUERIES)
+    all_probes = [
+        (int(q), int(c))
+        for q in qpdf["query_id"]
+        for c in {r["cluster_id"] for r in centroids.select("cluster_id").collect()}
+    ]
+    res = hnsw.routed_search(
+        g, qpdf, hnsw.expand_probes(all_probes, nsub), k=K, ef=10**6
+    )
+    r = _recall(res.collect(), exact_topk)
+    assert r == 1.0, f"bounded all-probes full-ef recall = {r:.3f} != 1.0"

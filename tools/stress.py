@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded
 """
 
 from __future__ import annotations
@@ -200,6 +200,43 @@ def run_hnsw_routed(spark, emb, n: int, d: int, qpdf) -> None:
         )
 
 
+def run_hnsw_bounded(spark, emb, n: int, d: int, qpdf) -> None:
+    """The shard-sizing rule enforced: same clusters as hnswrouted, but
+    members-per-graph bounded at 25k (oversized clusters split into md5
+    sub-shards; probes expand to all sub-shards of a probed cluster).
+    Compare against hnswrouted's unbounded numbers at the same N."""
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    cents = ivf.train_centroids(emb)
+    assigns = ivf.assign(emb, cents)
+    joined = emb.join(assigns, "vec_id").withColumnRenamed("cluster_id", "shard")
+    t0 = time.perf_counter()
+    g, nsub = hnsw.build_graphs_bounded(joined, "shard")
+    g = g.cache()
+    n_graphs = g.select("shard").distinct().count()
+    t_build = time.perf_counter() - t0
+    print(
+        f"bounded build: {t_build:6.2f}s over {n_graphs} graphs "
+        f"(max members {hnsw.GRAPH_MAX_MEMBERS}; split clusters: "
+        f"{sum(1 for v in nsub.values() if v > 1)}/{len(nsub)})"
+    )
+    qp = qpdf.iloc[:20]
+    exact = knn.topk_pandas(emb, qp, k=10).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    for probes in (8, 16):
+        pr = ivf.probe_clusters(
+            cents, list(zip(qp["query_id"], qp["query_vec"])), probes
+        )
+        t0 = time.perf_counter()
+        res = hnsw.routed_search(g, qp, hnsw.expand_probes(pr, nsub), k=10).collect()
+        t = time.perf_counter() - t0
+        got = {(r["query_id"], r["vec_id"]) for r in res}
+        print(
+            f"bounded serve Q=20 probes={probes}/64: {t:5.2f}s "
+            f"recall={len(got & want) / len(want):.3f}"
+        )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -241,6 +278,8 @@ def main() -> None:
         return run_hnsw(spark, emb, n, d, qpdf)
     if mode == "hnswrouted":
         return run_hnsw_routed(spark, emb, n, d, qpdf)
+    if mode == "hnswbounded":
+        return run_hnsw_bounded(spark, emb, n, d, qpdf)
 
     t0 = time.perf_counter()
     cnt = knn.topk_pandas(emb, qpdf, k=10).count()

@@ -509,3 +509,67 @@ def hnsw_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rnk")
     )
+
+
+# --- bounded sub-sharding (the shard-sizing rule, enforced) ------------------
+#
+# The 2M measurement (SCALE.md) showed what happens when per-graph
+# membership grows with N: build wall grows superlinearly and beam
+# recall inside oversized graphs sags. The production rule — hold
+# members-per-graph bounded by growing the graph count — as code:
+# clusters larger than ``max_members`` split into md5 sub-shards, the
+# probe router expands a probed cluster to all its sub-shards, and
+# nothing else changes (the union of a cluster's sub-graphs IS the
+# cluster, so candidate membership per probe is identical; asserted).
+
+GRAPH_MAX_MEMBERS = 25_000
+_SUB_STRIDE = 1 << 20  # composite shard id = cluster * stride + sub
+
+
+def build_graphs_bounded(
+    emb: DataFrame,
+    shard_col: str,
+    max_members: int = GRAPH_MAX_MEMBERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+):
+    """(graph, nsub): like build_graphs_by but any shard larger than
+    ``max_members`` splits into ceil(count/max_members) md5 sub-shards.
+    ``nsub`` maps original shard → sub-shard count (what the probe
+    router needs). The per-shard counts are one tiny aggregate."""
+    import math
+
+    counts = {
+        r["s"]: r["c"]
+        for r in emb.groupBy(F.col(shard_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    nsub = {int(s): max(1, math.ceil(c / max_members)) for s, c in counts.items()}
+    mapping = emb.sparkSession.createDataFrame(
+        [(s, n) for s, n in nsub.items()], "s int, nsub int"
+    )
+    sub = F.pmod(texthash.hash60(F.col(id_col).cast("string")), F.col("nsub"))
+    composite = (
+        emb.join(F.broadcast(mapping), emb[shard_col] == F.col("s"))
+        .select(
+            (F.col(shard_col).cast("long") * _SUB_STRIDE + sub)
+            .cast("int")
+            .alias("shard"),
+            id_col,
+            vec_col,
+        )
+    )
+    return build_graphs_by(composite, "shard", id_col=id_col, vec_col=vec_col, **kw), nsub
+
+
+def expand_probes(probes: list[tuple], nsub: dict) -> list[tuple]:
+    """Expand (query_id, cluster) routing to every sub-shard of the
+    probed cluster — the union of a cluster's sub-graphs is the cluster,
+    so probe semantics are unchanged."""
+    out = []
+    for qid, shard in probes:
+        for j in range(nsub.get(int(shard), 1)):
+            out.append((int(qid), int(shard) * _SUB_STRIDE + j))
+    return out
