@@ -65,6 +65,8 @@ HEADLINE = [
     "text_unigram_surprisal",
     "text_bigram_perplexity",
     "text_pii_scrub",
+    "text_ngram_novelty",
+    "text_winnow_fingerprints",
     "dedup_semantic_prune",
     "sampling_domain_mixture",
     "chunk_documents",

@@ -206,3 +206,32 @@ def test_misra_gries_undercount_bound(counts, k):
     for tok, est in state.items():
         assert est <= true[tok], (tok, est, true[tok])
         assert true[tok] - est <= n / k + 1e-9, (tok, est, true[tok], n, k)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al.'s theorem, asserted on constructed docs: two
+    documents sharing a word run of length >= w + k - 1 must share at
+    least one winnowed fingerprint (same hash — position may differ)."""
+    from vectordb_from_scratch_spark.operators.textstats import (
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words >= w+k-1 = 6
+    docs = spark.createDataFrame(
+        [
+            ("a", f"one two {shared} three four"),
+            ("b", f"nine eight seven {shared} six five"),
+            ("c", "totally different words entirely here now okay"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc["a"] & by_doc["b"], "shared run must share a fingerprint"
+    assert not (by_doc["a"] & by_doc["c"])
+    # density: winnowing keeps a fraction ~2/(w+1) — far fewer than all
+    n_sh = 8 + 3 - 1  # doc a: 10 words -> 8 shingles
+    assert len(by_doc["a"]) < n_sh

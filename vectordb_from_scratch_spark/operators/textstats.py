@@ -878,3 +878,163 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scrub(seeded)
+
+
+# --- n-gram novelty scoring --------------------------------------------------
+#
+# The uniqueness complement to decontamination and dedup: what fraction
+# of a document's 3-shingles appears NOWHERE else in the corpus?
+# Boilerplate-heavy docs (headers, templates, licenses) score low;
+# novel text scores high — curation pipelines weight toward novelty
+# after dedup has removed the outright copies. Distinct-shingle
+# semantics (a shingle repeated within one doc counts once), so a
+# self-repetitive doc can't inflate its own novelty.
+#
+# Scale shape: shingle → df is one (shingle)-keyed aggregate; joining
+# df back onto per-doc distinct shingles rides the measured vocab_join
+# auto-route, exactly like tf-idf/surprisal/perplexity.
+
+def ngram_novelty(docs: DataFrame, sf_dir: str) -> DataFrame:
+    sh = (
+        docs.select("doc_id", F.explode(texthash.word_shingles("text")).alias("s"))
+        .distinct()
+    )
+    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    joined = vocab_join(sh, df_, "s", sf_dir)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+        F.round(
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({texthash.word_shingles_sql("text")}) AS s
+  FROM documents),
+df AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s)
+SELECT doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+FROM sh JOIN df USING (s)
+GROUP BY doc_id
+"""
+
+
+@register("text_ngram_novelty", _NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-shingles
+    found nowhere else in the corpus — the curation weight applied after
+    dedup. FULL value oracle (integer counts + one 6dp ratio)."""
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), sf_dir)
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) --------------------------
+#
+# The fingerprint SELECTION algorithm behind MOSS: from each document's
+# rolling k-gram hash stream, keep the MINIMUM hash of every
+# w-hash window (ties → rightmost position). Guarantees: any shared
+# substring of length ≥ w + k - 1 yields at least one shared
+# fingerprint, and the density of kept prints is ~2/(w+1) — robust
+# partial-overlap detection at a fraction of the shingle volume.
+#
+# Both the rolling hashes (md5 family) and the window-min rule are
+# cross-engine expressible: Spark uses a RANGE-free ROWS window over
+# shingle positions; DuckDB mirrors with the identical window frame.
+# FULL value oracle on the selected (doc, position, hash) prints.
+#
+# Scale shape: scan-local shingling + one per-doc window (the shuffle
+# key is doc_id — bounded rows per doc); the prints table is ~2/(w+1)
+# of the shingles, which is what makes downstream overlap joins cheap.
+
+WINNOW_W = 4  # window of consecutive shingle hashes
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, fp): CANONICAL winnowing — every complete window of
+    w consecutive shingle hashes records its minimum (rightmost position
+    on ties), deduplicated. Two passes because the argmin-of-a-window
+    can't nest inside another window function: (1) per window START, the
+    window min over the w FOLLOWING rows (full windows only); (2) a
+    w-offset expansion equi-joins each window back to its member
+    positions to pick the rightmost one achieving the min. Docs shorter
+    than w shingles emit nothing (the algorithm's own noise threshold:
+    only runs of >= w + k - 1 words are guaranteed detectable).
+
+    A simpler one-pass "trailing-window min" variant was REJECTED by the
+    property test (test_winnowing_shared_run_guarantee): its window
+    could reach outside the shared region and miss the guaranteed
+    shared fingerprint — canonical winnowing's theorem needs the
+    per-window emission exactly."""
+    sh = docs.select(
+        "doc_id", F.posexplode(texthash.word_shingles("text")).alias("pos", "s")
+    ).withColumn("h", texthash.hash60(F.col("s")))
+    wfwd = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    starts = (
+        sh.withColumn("wmin", F.min("h").over(wfwd))
+        .withColumn("wcnt", F.count(F.lit(1)).over(wfwd))
+        .filter(F.col("wcnt") == WINNOW_W)  # full windows only
+        .select("doc_id", F.col("pos").alias("start"), "wmin")
+    )
+    expanded = starts.select(
+        "doc_id",
+        "start",
+        "wmin",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (WINNOW_W - 1))
+        ).alias("mpos"),
+    )
+    sel = (
+        expanded.join(
+            sh.select("doc_id", F.col("pos").alias("mpos"), "h"),
+            ["doc_id", "mpos"],
+        )
+        .filter(F.col("h") == F.col("wmin"))
+        .groupBy("doc_id", "start", "wmin")
+        .agg(F.max("mpos").alias("pos"))  # rightmost minimum of the window
+    )
+    return sel.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), F.col("wmin").alias("fp")
+    ).distinct()
+
+
+_WINNOW_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS s
+  FROM (SELECT doc_id, {texthash.word_shingles_sql("text")} AS arr FROM documents)),
+h AS (SELECT doc_id, pos, {texthash.hash60_sql('s')} AS h FROM sh),
+starts AS (
+  SELECT doc_id, pos AS start,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wcnt
+  FROM h),
+full_w AS (SELECT doc_id, start, wmin FROM starts WHERE wcnt = {WINNOW_W}),
+expanded AS (
+  SELECT f.doc_id, f.start, f.wmin, f.start + o.j AS mpos
+  FROM full_w f CROSS JOIN (SELECT unnest(range({WINNOW_W})) AS j) o),
+sel AS (
+  SELECT e.doc_id, e.start, e.wmin, max(h.pos) AS pos
+  FROM expanded e JOIN h ON h.doc_id = e.doc_id AND h.pos = e.mpos
+  WHERE h.h = e.wmin
+  GROUP BY 1, 2, 3)
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, wmin AS fp FROM sel
+"""
+
+
+@register("text_winnow_fingerprints", _WINNOW_SQL)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): rightmost window-minimum selection over the rolling
+    shingle-hash stream — any shared run of ≥ w+k-1 words between two
+    docs shares a fingerprint, at ~2/(w+1) the volume of full shingling.
+    FULL value oracle on the exact selected (doc, pos, hash) set."""
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
