@@ -235,3 +235,49 @@ def test_winnowing_shared_run_guarantee(spark):
     # density: winnowing keeps a fraction ~2/(w+1) — far fewer than all
     n_sh = 8 + 3 - 1  # doc a: 10 words -> 8 shingles
     assert len(by_doc["a"]) < n_sh
+
+
+def _py_winnow(hashes: list, w: int) -> set:
+    """Pure-Python canonical winnowing: per complete window, record the
+    rightmost-minimum (pos, hash); dedup."""
+    out = set()
+    n = len(hashes)
+    for p in range(0, n - w + 1):
+        win = hashes[p : p + w]
+        mn = min(win)
+        q = max(j for j in range(w) if win[j] == mn)
+        out.add((p + q, mn))
+    return out
+
+
+@given(
+    words=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+)
+@settings(max_examples=40, deadline=None)
+def test_winnow_one_pass_equals_canonical(spark, words):
+    """The O(1)-per-row run-length formulation must select EXACTLY the
+    canonical per-window rightmost-min set for any document — the
+    equivalence the 5.1s→sub-second optimization rests on."""
+    import hashlib
+
+    from vectordb_from_scratch_spark.operators.textstats import (
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    got = {
+        (r["pos"], r["fp"]) for r in winnow_fingerprints(docs).collect()
+    }
+    # reference: shingle exactly like texthash.word_shingles (n=3)
+    k = 3
+    if len(words) >= k:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    else:
+        shingles = [" ".join(words)]
+    hashes = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles
+    ]
+    want = _py_winnow(hashes, WINNOW_W)
+    assert got == want

@@ -958,51 +958,58 @@ WINNOW_W = 4  # window of consecutive shingle hashes
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, fp): CANONICAL winnowing — every complete window of
     w consecutive shingle hashes records its minimum (rightmost position
-    on ties), deduplicated. Two passes because the argmin-of-a-window
-    can't nest inside another window function: (1) per window START, the
-    window min over the w FOLLOWING rows (full windows only); (2) a
-    w-offset expansion equi-joins each window back to its member
-    positions to pick the rightmost one achieving the min. Docs shorter
-    than w shingles emit nothing (the algorithm's own noise threshold:
-    only runs of >= w + k - 1 words are guaranteed detectable).
+    on ties), deduplicated.
 
-    A simpler one-pass "trailing-window min" variant was REJECTED by the
-    property test (test_winnowing_shared_run_guarantee): its window
-    could reach outside the shared region and miss the guaranteed
-    shared fingerprint — canonical winnowing's theorem needs the
-    per-window emission exactly."""
+    One-pass formulation: position q is some window's rightmost minimum
+    iff min(L, q) + min(R, n-1-q) >= w-1, where L = consecutive
+    predecessors with h >= h[q] and R = consecutive successors with
+    h > h[q] (both capped at w-1, so they reduce to w-1 lags/leads).
+    Derivation: a window [p, p+w-1] selects q iff its a = q-p earlier
+    members are all >= h[q] (a <= L, a <= q) and its b = w-1-a later
+    members are all > h[q] (b <= R, b <= n-1-q); such a split exists iff
+    the capped run lengths sum to >= w-1. This replaces the naive
+    per-window expansion join (w x shingle-count shuffle rows — measured
+    5.1s at sf0.1) with ONE doc-keyed window pass; the ORACLE deliberately
+    keeps the two-pass per-window formulation, so the cross-engine match
+    doubles as an equivalence proof, alongside the hypothesis test
+    against a pure-Python reference winnower.
+
+    A simpler "trailing-window min" variant was REJECTED by the property
+    test (test_winnowing_shared_run_guarantee): its window could reach
+    outside a shared region and miss the guaranteed shared fingerprint.
+    Docs shorter than w shingles emit nothing (the algorithm's own
+    noise threshold)."""
     sh = docs.select(
         "doc_id", F.posexplode(texthash.word_shingles("text")).alias("pos", "s")
     ).withColumn("h", texthash.hash60(F.col("s")))
-    wfwd = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    )
-    starts = (
-        sh.withColumn("wmin", F.min("h").over(wfwd))
-        .withColumn("wcnt", F.count(F.lit(1)).over(wfwd))
-        .filter(F.col("wcnt") == WINNOW_W)  # full windows only
-        .select("doc_id", F.col("pos").alias("start"), "wmin")
-    )
-    expanded = starts.select(
-        "doc_id",
-        "start",
-        "wmin",
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + (WINNOW_W - 1))
-        ).alias("mpos"),
-    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = F.lit(1 << 62)
+    # L: consecutive predecessors with h >= current (capped at w-1)
+    lcond = [F.coalesce(F.lag("h", j).over(wdoc), F.lit(-1)) for j in range(1, WINNOW_W)]
+    L = F.lit(WINNOW_W - 1)
+    for j in range(WINNOW_W - 1, 0, -1):
+        L = F.when(lcond[j - 1] < F.col("h"), F.lit(j - 1)).otherwise(L)
+    # R: consecutive successors with h > current (capped at w-1);
+    # missing leads (doc end) break the run via the n-1-q cap instead
+    rcond = [F.coalesce(F.lead("h", j).over(wdoc), big) for j in range(1, WINNOW_W)]
+    R = F.lit(WINNOW_W - 1)
+    for j in range(WINNOW_W - 1, 0, -1):
+        R = F.when(rcond[j - 1] <= F.col("h"), F.lit(j - 1)).otherwise(R)
+    n = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     sel = (
-        expanded.join(
-            sh.select("doc_id", F.col("pos").alias("mpos"), "h"),
-            ["doc_id", "mpos"],
+        sh.withColumn("_L", L)
+        .withColumn("_R", R)
+        .withColumn("_n", n)
+        .filter(
+            F.least(F.col("_L"), F.col("pos"))
+            + F.least(F.col("_R"), F.col("_n") - 1 - F.col("pos"))
+            >= WINNOW_W - 1
         )
-        .filter(F.col("h") == F.col("wmin"))
-        .groupBy("doc_id", "start", "wmin")
-        .agg(F.max("mpos").alias("pos"))  # rightmost minimum of the window
+        .filter(F.col("_n") >= WINNOW_W)  # no complete window in shorter docs
     )
     return sel.select(
-        "doc_id", F.col("pos").cast("long").alias("pos"), F.col("wmin").alias("fp")
-    ).distinct()
+        "doc_id", F.col("pos").cast("long").alias("pos"), F.col("h").alias("fp")
+    )
 
 
 _WINNOW_SQL = f"""
