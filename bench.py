@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_embedding_neardup",
     "dedup_embedding_neardup_blocked",
     "dedup_canonical_keep_best",
+    "dedup_winnow_overlaps",
     "pipeline_training_prep",
     "pipeline_sequence_packing",
     "sampling_component_split",

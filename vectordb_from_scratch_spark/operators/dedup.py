@@ -1445,3 +1445,71 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     _, assignments = ivf.built_index(spark, sf_dir)
     return semantic_prune(emb, assignments)
+
+
+# --- winnow-fingerprint partial-overlap pairs --------------------------------
+#
+# The MOSS use of winnowing: whole-doc MinHash scores GLOBAL similarity
+# and misses a copied paragraph inside an otherwise-different document;
+# winnowed fingerprints guarantee any shared run of >= w+k-1 words
+# leaves a shared print, so pairs with >= t shared prints are partial-
+# overlap candidates regardless of how dissimilar the rest is. Same
+# inverted-index + hot-posting-cap shape as dedup_jaccard_pairs — the
+# prints table is already ~2/(w+1) the shingle volume, which is the
+# point of winnowing at scale.
+
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_POSTING = 5  # same cap discipline as JACCARD_MAX_POSTING
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordb_from_scratch_spark.operators.textstats import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > WINNOW_MAX_POSTING)
+        .select("fp")
+    )
+    fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_prints"))
+        .filter(F.col("shared_prints") >= WINNOW_MIN_SHARED)
+    )
+
+
+def _winnow_pairs_sql() -> str:
+    from vectordb_from_scratch_spark.operators.textstats import _WINNOW_SQL
+
+    return f"""
+WITH prints AS ({_WINNOW_SQL}),
+fp AS (SELECT DISTINCT doc_id, fp FROM prints),
+hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > {WINNOW_MAX_POSTING}),
+cold AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_prints
+      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared_prints FROM p
+WHERE shared_prints >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register("dedup_winnow_overlaps", _winnow_pairs_sql())
+def dedup_winnow_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing >= 2 winnowed
+    fingerprints (after the hot-posting cap) — catches a copied run of
+    >= w+k-1 words inside otherwise-dissimilar docs, which whole-doc
+    MinHash structurally misses. FULL value oracle; the guarantee behind
+    the candidate rule is property-tested in test_properties.py."""
+    return winnow_overlap_pairs(spark, sf_dir)
