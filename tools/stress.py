@@ -237,6 +237,39 @@ def run_hnsw_bounded(spark, emb, n: int, d: int, qpdf) -> None:
         )
 
 
+def run_semprune(spark, emb, n: int, d: int) -> None:
+    """SemDeDup at scale: with the member cap, total compute is
+    N·cap·d/2 (linear in N) and per-task memory is O(chunk·cap) —
+    measure wall time and the shard layout so the linearity claim in
+    SCALE.md is a number, not an asymptote. k is held at the fixture's
+    64 clusters precisely to FORCE skewed oversized clusters (2M/64 =
+    31k members ≫ cap), the failure mode this bound exists for."""
+    from vectordb_from_scratch_spark.operators import dedup
+
+    cents = ivf.train_centroids(emb)
+    asg = ivf.assign(emb, cents).persist()
+    k_clusters = asg.select("cluster_id").distinct().count()
+    t0 = time.perf_counter()
+    res = dedup.semantic_prune(emb, asg)
+    n_pruned = res.filter(F.col("action") == "prune").count()
+    t = time.perf_counter() - t0
+    import math
+
+    n_shards = sum(
+        math.ceil(r["c"] / dedup.SEMANTIC_MAX_MEMBERS)
+        for r in asg.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    print(
+        f"semprune n={n}: {t:6.2f}s ({n_pruned} pruned of {n}; "
+        f"{k_clusters} clusters -> {n_shards} bounded shards of "
+        f"<=~{dedup.SEMANTIC_MAX_MEMBERS}; per-task mem <= "
+        f"{dedup._SEM_CHUNK * dedup.SEMANTIC_MAX_MEMBERS * 8 / 1e6:.0f}MB)"
+    )
+    asg.unpersist()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -274,6 +307,8 @@ def main() -> None:
         return run_cascade(spark, emb, n, d, n_queries, qpdf)
     if mode == "neardup":
         return run_neardup(spark, emb, n, d)
+    if mode == "semprune":
+        return run_semprune(spark, emb, n, d)
     if mode == "hnsw":
         return run_hnsw(spark, emb, n, d, qpdf)
     if mode == "hnswrouted":

@@ -1375,13 +1375,25 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # meaningful on any corpus, not just one with near-1.0 pairs.
 #
 # Scale shape: reuses the cached IVF assignments (one broadcast-assign
-# pass); the only shuffle is groupBy(cluster_id), and each cluster's
-# pairwise matmul is local to one task — the same bounded-group contract
-# as embedding_label_medoids. Clusters too large for one task are
-# already bounded by the k-means k (n/k expected members); a skewed
-# cluster falls back to chunked scoring exactly like _seg_pairs_topk.
+# pass); the only shuffle is a group-by on the task key. Per-task work
+# is bounded TWO ways: (a) clusters larger than SEMANTIC_MAX_MEMBERS
+# split into md5 sub-shards (the same rule as hnsw.GRAPH_MAX_MEMBERS —
+# a skewed k-means cluster must never become one task's full pairwise
+# matrix), with redundancy scored WITHIN the sub-shard — SemDeDup is a
+# retention-budget heuristic, so within-shard scoring is an accepted
+# approximation (each sub-shard is an unbiased md5 sample of the
+# cluster and still prunes its ceil((1-keep_frac)·n) most redundant
+# members); and (b) inside a task the similarity scan runs in row
+# chunks against the lower-id prefix (like _seg_pairs_topk), so memory
+# is O(chunk · members), never O(members²). Total compute with the cap
+# is N·cap·d/2 — linear in N (measured in SCALE.md round 5).
 
 SEMANTIC_KEEP_FRAC = 0.9  # retain 90% per cluster
+#: Max members scored together. 8192²/2 cosines ≈ 34M flops·d per task —
+#: seconds of one core; per-task memory ≤ chunk·cap·8B ≈ 34 MB.
+SEMANTIC_MAX_MEMBERS = 8192
+_SEM_CHUNK = 512
+_SEM_STRIDE = 1 << 20  # composite task id = cluster * stride + sub
 
 
 def semantic_prune(
@@ -1390,11 +1402,15 @@ def semantic_prune(
     keep_frac: float = SEMANTIC_KEEP_FRAC,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_members: int = SEMANTIC_MAX_MEMBERS,
 ) -> DataFrame:
-    """(vec_id, cluster_id, redundancy, action): per cluster, each
-    member's redundancy = max cosine to any LOWER-id member; the
+    """(vec_id, cluster_id, redundancy, action): per cluster (or md5
+    sub-shard of an oversized cluster), each member's redundancy = max
+    cosine to any LOWER-id member of the same scoring group; the
     ceil((1-keep_frac)·n) highest-redundancy members are pruned
-    (ties prune the higher id). Deterministic given assignments."""
+    (ties prune the higher id). Deterministic given assignments; for
+    clusters within ``max_members`` (the fixture case, and the design
+    point — k should scale with N) this is exact SemDeDup."""
     import math
 
     import pandas as pd
@@ -1404,11 +1420,15 @@ def semantic_prune(
         X = np.stack(pdf[vec_col].to_list()).astype("float64")
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         Xu = X / np.where(norms == 0, 1.0, norms)
-        S = Xu @ Xu.T
         n = len(pdf)
         red = np.full(n, -1.0)
-        for i in range(1, n):
-            red[i] = float(S[i, :i].max())
+        # chunked upper-bound scan: rows [lo,hi) against the full lower-id
+        # prefix in one gemm; memory is O(chunk·n), never O(n²)
+        for lo in range(1, n, _SEM_CHUNK):
+            hi = min(lo + _SEM_CHUNK, n)
+            S = Xu[lo:hi] @ Xu[:hi].T  # (chunk, hi)
+            mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            red[lo:hi] = np.where(mask, S, -np.inf).max(axis=1)
         n_prune = math.ceil((1.0 - keep_frac) * n)
         action = np.full(n, "keep", dtype=object)
         if n_prune > 0:
@@ -1425,11 +1445,32 @@ def semantic_prune(
             }
         )
 
+    # member-cap enforcement: one tiny per-cluster count (rows = k-means
+    # k, broadcast back), then oversized clusters sub-shard on md5(id)
+    counts = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_c"))
+    nsub_rows = [
+        (int(r["cluster_id"]), max(1, math.ceil(r["_c"] / max_members)))
+        for r in counts.collect()
+    ]
     joined = emb.select(id_col, vec_col).join(assignments, id_col)
+    if all(n == 1 for _, n in nsub_rows):
+        task = F.col("cluster_id").cast("long")
+    else:
+        mapping = emb.sparkSession.createDataFrame(
+            nsub_rows, "cluster_id int, _nsub int"
+        )
+        joined = joined.join(F.broadcast(mapping), "cluster_id")
+        task = F.col("cluster_id").cast("long") * _SEM_STRIDE + F.pmod(
+            texthash.hash60(F.col(id_col).cast("string")), F.col("_nsub")
+        )
     id_type = emb.schema[id_col].dataType.simpleString()
-    return joined.groupBy("cluster_id").applyInPandas(
-        prune,
-        schema=f"{id_col} {id_type}, cluster_id int, redundancy double, action string",
+    return (
+        joined.withColumn("_task", task)
+        .groupBy("_task")
+        .applyInPandas(
+            prune,
+            schema=f"{id_col} {id_type}, cluster_id int, redundancy double, action string",
+        )
     )
 
 
