@@ -270,6 +270,49 @@ def run_semprune(spark, emb, n: int, d: int) -> None:
     asg.unpersist()
 
 
+def run_winnow(spark, n: int) -> None:
+    """Winnow partial-overlap pairs at corpus scale, with the DERIVED
+    hot-posting cap (max(5, ceil(log2 n_docs))): synthesize n docs of
+    unique words, inject a 12-word boilerplate sentence into EVERY doc
+    (its inner prints have df = n — the cap must drop them or the
+    inverted-index self-join is n²/2), and copy a 20-word run from the
+    previous doc into 1% of docs (true partial overlaps the cap must
+    keep: 20 >= w+k-1 guarantees >= WINNOW_MIN_SHARED shared prints).
+    Print wall + emitted pair volume so 'bounded as N grows' is a
+    number: pairs <= cap · postings, i.e. O(N log N), never N²."""
+    import math
+
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import dedup
+
+    boiler = " ".join(f"commonboiler{i}" for i in range(12))
+    rows = []
+    for i in range(n):
+        words = [f"w{i}x{j}" for j in range(48)]
+        if i % 100 == 1:  # copy a 20-word run from the previous doc
+            words[14:34] = [f"w{i - 1}x{j}" for j in range(10, 30)]
+        rows.append((i, " ".join(words[:24]) + " " + boiler + " " + " ".join(words[24:])))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = f"/tmp/stress_docs_{n}"
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    docs.count()
+
+    cap = max(dedup.WINNOW_MIN_POSTING_CAP, math.ceil(math.log2(n)))
+    t0 = time.perf_counter()
+    pairs = dedup.winnow_overlap_pairs_from(docs)
+    n_pairs = pairs.count()
+    t = time.perf_counter() - t0
+    n_true = pairs.filter(F.col("doc_b") - F.col("doc_a") == 1).count()
+    expected = sum(1 for i in range(n) if i % 100 == 1)
+    print(
+        f"winnow n={n}: {t:6.2f}s  derived cap={cap}; {n_pairs} pairs emitted "
+        f"({n_true}/{expected} planted adjacent overlaps found; boilerplate "
+        f"df={n} prints capped — pair volume O(N log N), not N²)"
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -280,6 +323,8 @@ def main() -> None:
 
     if mode == "zorder":
         return run_zorder(spark, n)
+    if mode == "winnow":
+        return run_winnow(spark, n)
 
     rng = np.random.default_rng(42)
     # clustered data so IVF has structure to find

@@ -1500,18 +1500,46 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # point of winnowing at scale.
 
 WINNOW_MIN_SHARED = 2
-WINNOW_MAX_POSTING = 5  # same cap discipline as JACCARD_MAX_POSTING
+#: Floor of the hot-posting cap. The cap itself is DERIVED from corpus
+#: size as max(floor, ceil(log2(n_docs))) — a fixed 5 is right at
+#: fixture scale but wrong on a web corpus, where df>5 prints are the
+#: norm, not boilerplate (r4 verdict #3). Growing the cap ~log N keeps
+#: real partial-overlap pairs while pair volume stays bounded: pairs
+#: emitted <= cap · total_postings, i.e. O(N · prints_per_doc · log N),
+#: never quadratic. Same corpus-stat discipline as blocked_n_bits; the
+#: oracle computes the identical cap in SQL (scalar subquery), so the
+#: derivation itself is value-checked cross-engine.
+WINNOW_MIN_POSTING_CAP = 5
+
+
+def winnow_posting_cap(fp: DataFrame) -> DataFrame:
+    """One-row (_cap bigint) frame: the df threshold above which a
+    fingerprint is 'hot' (boilerplate) and leaves the inverted index.
+    Computed in-plan (broadcast scalar), no driver collect."""
+    return fp.agg(
+        F.greatest(
+            F.lit(WINNOW_MIN_POSTING_CAP),
+            F.ceil(F.log2(F.countDistinct("doc_id"))),
+        )
+        .cast("long")
+        .alias("_cap")
+    )
 
 
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs_from(docs)
+
+
+def winnow_overlap_pairs_from(docs: DataFrame) -> DataFrame:
     from vectordb_from_scratch_spark.operators.textstats import winnow_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
     fp = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
     hot = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > WINNOW_MAX_POSTING)
+        .crossJoin(F.broadcast(winnow_posting_cap(fp)))
+        .filter(F.col("df") > F.col("_cap"))
         .select("fp")
     )
     fp = fp.join(F.broadcast(hot), "fp", "left_anti")
@@ -1536,7 +1564,9 @@ def _winnow_pairs_sql() -> str:
     return f"""
 WITH prints AS ({_WINNOW_SQL}),
 fp AS (SELECT DISTINCT doc_id, fp FROM prints),
-hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > {WINNOW_MAX_POSTING}),
+cap AS (SELECT greatest({WINNOW_MIN_POSTING_CAP},
+                        ceil(log2(count(DISTINCT doc_id))))::BIGINT AS c FROM fp),
+hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > (SELECT c FROM cap)),
 cold AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_prints
       FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
