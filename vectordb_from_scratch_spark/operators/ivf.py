@@ -230,6 +230,36 @@ def search(
     )
 
 
+def search_distributed(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = DEFAULT_N_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """V9 for UNBOUNDED query batches: probes were already in-plan
+    (``probe_clusters_df``); this closes the last driver dependency — the
+    rerank joins query vectors in (``knn.score_pairs_joined``) instead of
+    closing over a driver-side Q matrix, so no ``collect``/``toPandas``
+    anywhere (plan-asserted in tests/test_plans.py). Identical results to
+    ``search`` — same probes, same normalize-then-einsum scores."""
+    probes = probe_clusters_df(centroids, queries, n_probes)
+    from vectordb_from_scratch_spark.operators import knn
+
+    cand = assignments.join(probes, "cluster_id").select("query_id", id_col)
+    cand_vec = cand.join(corpus.select(id_col, vec_col), id_col)
+    rerank = knn.score_pairs_joined(cand_vec, queries, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 #: per-process index cache: (app_id, sf_dir, n_clusters) → (centroids,
 #: cached assignments). The Spark analog of the reference's in-RAM index
 #: per library (vector_db.py:76): train once, search many. On a real
@@ -317,6 +347,31 @@ def ivf_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf",
     )
     return ivf_search(spark, sf_dir)
+
+
+registry.WARMERS["ivf_search_bigq"] = warm_ivf
+
+
+@register("ivf_search_bigq")  # rows-only: depends on k-means
+def ivf_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-batch exit (r4 verdict #4): same probes, same scores as
+    ``ivf_search``, but every stage is in-plan — no driver collect of
+    queries or probe keys, so the batch size is unbounded (the fixture's
+    10 queries here are the correctness anchor; equality with the driver
+    path and the no-collect plan contract are asserted in
+    tests/test_plans.py)."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, queries = knn.fixture_query_set(spark, sf_dir, 10)
+    centroids, assignments = built_index(spark, sf_dir)
+    res = search_distributed(emb, centroids, assignments, queries)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
 
 
 @register("ivf_cluster_sizes")  # rows-only: depends on k-means

@@ -235,6 +235,47 @@ def fixture_query_set(spark, sf_dir: str, n_queries: int = 10):
     return qpdf, queries_df
 
 
+def score_pairs_joined(
+    cand_with_vec: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed rerank for LARGE query batches: join each candidate
+    row to its query vector (shuffle on query_id — co-locatable at
+    scale), then cosine-score row-wise in one Arrow pass. Unlike
+    ``score_pairs_pandas`` no Q×d matrix rides in the closure, so the
+    batch size is unbounded; arithmetic is the identical
+    normalize-then-einsum, so results match the driver path bit for bit.
+    The driver path stays the right call for serving-sized Q (one tiny
+    broadcast beats a shuffle join)."""
+    import numpy as np
+
+    id_type = cand_with_vec.schema[id_col].dataType.simpleString()
+    joined = cand_with_vec.select("query_id", id_col, vec_col).join(
+        queries.select("query_id", "query_vec"), "query_id"
+    )
+
+    def score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_list()).astype("float64")
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            Xu = X / np.where(xn == 0, 1.0, xn)
+            Q = np.stack(pdf["query_vec"].to_list()).astype("float64")
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            Qu = Q / np.where(qn == 0, 1.0, qn)
+            s = np.einsum("ij,ij->i", Xu, Qu)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "score": s}
+            )
+
+    return joined.mapInPandas(
+        score_iter, schema=f"query_id long, {id_col} {id_type}, score double"
+    )
+
+
 def score_pairs_pandas(
     cand_with_vec: DataFrame,
     queries_pdf: pd.DataFrame,

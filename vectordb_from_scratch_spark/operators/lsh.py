@@ -147,6 +147,81 @@ def search(
     )
 
 
+#: Above this many queries the driver-side key loop + broadcast probe
+#: table stop being the right shape; ``search_distributed`` takes over
+#: (SCALE.md "Known single-node shortcuts" — now an implemented exit,
+#: not a described one).
+MAX_DRIVER_QUERIES = 10_000
+
+
+def search_distributed(
+    corpus: DataFrame,
+    buckets: DataFrame,
+    queries: DataFrame,
+    H: np.ndarray,
+    k: int = 10,
+    n_flips: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """V13 for UNBOUNDED query batches: every stage is a DataFrame op —
+    query keys come from the SAME hyperplane-broadcast Arrow kernel as
+    corpus keys (``compute_buckets``), multiprobe flips are an exploded
+    literal array XORed in-plan, the probe⋈buckets join shuffles on
+    (table_id, key) (co-located when buckets are bucketed by key), and
+    the rerank is ``knn.score_pairs_joined`` (query vectors joined in,
+    not closed over). No ``collect``/``toPandas`` anywhere — plan-asserted
+    in tests/test_plans.py. Results are identical to ``search`` (same
+    keys, same candidates, same normalize-then-einsum scores)."""
+    n_bits = H.shape[1]
+    qkeys = compute_buckets(queries, H, id_col="query_id", vec_col="query_vec")
+    if n_flips >= 1:
+        flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(n_bits)])
+        qkeys = qkeys.select(
+            "query_id", "table_id", "key", F.explode(flips).alias("_f")
+        ).select(
+            "query_id", "table_id", F.col("key").bitwiseXOR(F.col("_f")).alias("key")
+        )
+    probes = qkeys.dropDuplicates(["query_id", "table_id", "key"])
+    cand = (
+        buckets.join(probes, ["table_id", "key"])
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    from vectordb_from_scratch_spark.operators import knn
+
+    cand_vec = cand.join(corpus.select(id_col, vec_col), id_col)
+    rerank = knn.score_pairs_joined(cand_vec, queries, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def search_auto(
+    corpus: DataFrame,
+    buckets: DataFrame,
+    queries: DataFrame,
+    H: np.ndarray,
+    k: int = 10,
+    n_flips: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int | None = None,
+) -> DataFrame:
+    """Route on batch size: the driver path's probe table is
+    (n_bits+1)·n_tables rows per query and must stay broadcast-small;
+    past ``MAX_DRIVER_QUERIES`` the distributed path wins. Pass
+    ``n_queries`` when known (serving layer always knows); otherwise one
+    metadata-cheap count decides."""
+    q = n_queries if n_queries is not None else queries.count()
+    if q <= MAX_DRIVER_QUERIES:
+        return search(corpus, buckets, queries, H, k, n_flips, id_col, vec_col)
+    return search_distributed(corpus, buckets, queries, H, k, n_flips, id_col, vec_col)
+
+
 #: per-process bucket-table cache, same regime as ivf._BUILD_CACHE: the
 #: reference holds LSH tables in RAM per library (lsh_simhash.py:44) and
 #: searches them many times; the Spark analog is a persisted buckets table
@@ -229,6 +304,31 @@ def lsh_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BUILD_CACHE, (spark.sparkContext.applicationId, sf_dir, 16, 8), "lsh"
     )
     return lsh_search(spark, sf_dir)
+
+
+registry.WARMERS["lsh_search_bigq"] = warm_lsh
+
+
+@register("lsh_search_bigq")  # rows-only: seeded-hyperplane keys
+def lsh_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-batch exit (r4 verdict #4): query keys computed by the
+    SAME hyperplane-broadcast Arrow kernel as corpus keys, multiprobe
+    flips XORed in-plan, rerank via joined query vectors — no driver
+    collect anywhere, so the batch size is unbounded. Identical results
+    to ``lsh_search`` (equality + no-collect plan contract asserted in
+    tests/test_plans.py)."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, queries = knn.fixture_query_set(spark, sf_dir, 10)
+    H, buckets = built_buckets(spark, sf_dir, 16, 8)
+    res = search_distributed(emb, buckets, queries, H, n_flips=1)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
 
 
 @register("lsh_bucket_stats")  # rows-only
