@@ -449,3 +449,117 @@ def test_hnsw_delete_removes_rows_without_rebuild(cat):
         assert set(r["neighbors"]) <= node_ids
     res = cat.search(lib_id, vecs[3].tolist(), k=1)
     assert res[0].chunk_id != ids[3]
+
+
+def test_hnsw_routed_search_finds_self_match(cat):
+    """hnsw_routed library: IVF routing + bounded cluster graphs through
+    the service surface. A stored vector's own embedding must come back
+    at rank 1 (its cluster is its nearest centroid, so the router always
+    probes the graph that holds it)."""
+    lib_id, _, ids = _populate(cat, "hnswr-lib", index_type="hnsw_routed")
+    vecs = _vectors()
+    res = cat.search(lib_id, vecs[11].tolist(), k=3)
+    assert res[0].chunk_id == ids[11]
+    meta = cat._index_meta(lib_id)
+    assert meta["type"] == "hnsw_routed"
+    assert meta["n_clusters"] >= 2 and meta["nsub"]
+
+
+def test_hnsw_routed_all_probes_full_ef_equals_exact(cat, monkeypatch):
+    """The exactness invariant THROUGH the catalog path: probing every
+    cluster with an exhaustive beam must equal the flat exact scan —
+    same ids, same order — proving routing+graphs lose nothing beyond
+    the probe/ef approximation knobs."""
+    from vectordb_from_scratch_spark import catalog as cat_mod
+
+    lib_id, _, ids = _populate(cat, "hnswr-exact", index_type="hnsw_routed")
+    flat_id, _, flat_ids = _populate(cat, "hnswr-exact-flat", index_type="flat")
+    vecs = _vectors()
+    monkeypatch.setattr(cat_mod, "ROUTED_N_PROBES", 10_000)
+    monkeypatch.setattr(cat_mod, "ROUTED_EF", 10_000)
+    for qi in (0, 17, 33):
+        routed = cat.search(lib_id, vecs[qi].tolist(), k=5)
+        exact = cat.search(flat_id, vecs[qi].tolist(), k=5)
+        assert [r.chunk_id for r in routed] == [r.chunk_id for r in exact]
+        for a, b in zip(routed, exact):
+            assert abs(a.similarity_score - b.similarity_score) < 1e-6
+
+
+def test_hnsw_routed_bounded_subshards_preserve_catalog_semantics(cat, monkeypatch):
+    """Force the member cap to split clusters into md5 sub-shards (the
+    100 TB skew defense) and re-assert both contracts: self-match through
+    the routed serve path, and all-probes + full-ef == exact — the
+    union of a cluster's sub-graphs is the cluster, so the split must be
+    invisible to probe semantics even through the service surface."""
+    from vectordb_from_scratch_spark import catalog as cat_mod
+
+    monkeypatch.setattr(cat_mod, "ROUTED_MAX_MEMBERS", 6)
+    lib_id, _, ids = _populate(cat, "hnswr-bounded", index_type="hnsw_routed")
+    flat_id, _, _ = _populate(cat, "hnswr-bounded-flat", index_type="flat")
+    vecs = _vectors()
+    res = cat.search(lib_id, vecs[5].tolist(), k=3)
+    assert res[0].chunk_id == ids[5]
+    meta = cat._index_meta(lib_id)
+    assert any(int(v) > 1 for v in meta["nsub"].values()), "cap must split"
+    monkeypatch.setattr(cat_mod, "ROUTED_N_PROBES", 10_000)
+    monkeypatch.setattr(cat_mod, "ROUTED_EF", 10_000)
+    for qi in (3, 29):
+        routed = cat.search(lib_id, vecs[qi].tolist(), k=5)
+        exact = cat.search(flat_id, vecs[qi].tolist(), k=5)
+        assert [r.chunk_id for r in routed] == [r.chunk_id for r in exact]
+
+
+def test_hnsw_routed_delta_rebuilds_only_affected_shards(cat):
+    """Incremental maintenance under frozen centroids + nsub: a one-chunk
+    update rebuilds exactly the composite shards its old and new
+    embeddings map to; every other shard partition keeps its files
+    (inode-level), and the updated vector is immediately findable."""
+    from vectordb_from_scratch_spark.operators import ivf as ivf_ops
+
+    lib_id, _, ids = _populate(cat, "hnswr-delta", index_type="hnsw_routed")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=1)  # build the sidecars
+    gpath = cat._index_path(lib_id, "routed_graph")
+    before = _partition_inodes(gpath)
+    assert len(before) >= 2
+
+    new_vec = (vecs[7] * -1.0).tolist()
+    centroids, _, nsub = cat._read_hnsw_routed(lib_id)
+    expected = {
+        f"shard={r['shard']}"
+        for r in cat._routed_shard_of(
+            ivf_ops.assign(
+                cat._delta_df([(ids[7], new_vec), (ids[7], vecs[7].tolist())]),
+                centroids, id_col="id", vec_col="embedding",
+            ),
+            nsub,
+        ).select("shard").distinct().collect()
+    }
+    cat.update_chunk(lib_id, ids[7], embedding=new_vec)
+    assert not cat._index_meta(lib_id).get("stale")
+    after = _partition_inodes(gpath)
+    changed = {p for p in after if after.get(p) != before.get(p)}
+    assert changed == expected
+    assert {p for p in after if after.get(p) == before.get(p)}, (
+        "untouched shard partitions must keep their files"
+    )
+    res = cat.search(lib_id, new_vec, k=3)
+    assert res[0].chunk_id == ids[7]
+
+
+def test_hnsw_routed_delete_removes_rows_without_rebuild(cat):
+    lib_id, _, ids = _populate(cat, "hnswr-del", index_type="hnsw_routed")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=1)
+    g = cat.spark.read.parquet(cat._index_path(lib_id, "routed_graph"))
+    n_before = g.count()
+    cat.delete_chunks(lib_id, [ids[3]])
+    assert not cat._index_meta(lib_id).get("stale")
+    g2 = cat.spark.read.parquet(cat._index_path(lib_id, "routed_graph"))
+    assert g2.count() == n_before - 1
+    assert g2.filter(g2["id"] == ids[3]).count() == 0
+    node_ids = {r["id"] for r in g2.select("id").collect()}
+    for r in g2.select("neighbors").collect():
+        assert set(r["neighbors"]) <= node_ids
+    res = cat.search(lib_id, vecs[3].tolist(), k=1)
+    assert res[0].chunk_id != ids[3]

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from vectordb_from_scratch_spark.functions import linalg
+from vectordb_from_scratch_spark.functions import linalg, texthash
 from vectordb_from_scratch_spark.operators import ivf as ivf_ops
 from vectordb_from_scratch_spark.operators import knn
 from vectordb_from_scratch_spark.operators import lsh as lsh_ops
@@ -51,8 +51,8 @@ from vectordb_from_scratch_spark.operators import pq as pq_ops
 
 MAX_K = 100  # reference caps k ∈ [1, 100] (app/api/dto.py:58)
 
-INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw")  # the
-# reference's three (it silently falls back to flat for unknown types,
+INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw", "hnsw_routed")
+# The reference's three (it silently falls back to flat for unknown types,
 # vector_db.py:96-102, and never registers lsh, SURVEY.md §2.4.1; we
 # register them and REJECT unknown types instead of silent fallback) plus
 # "pq" and the composed "ivfpq" (FAISS 'IVFx,PQy') — the strongest
@@ -60,6 +60,16 @@ INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw")  # the
 # codes co-located with their cluster, a shortlist is exact-reranked.
 # "hnsw" is the sharded-NSW graph tier (operators/hnsw.py): one graph per
 # md5 shard persisted partitionBy(shard); search fans out per shard.
+# "hnsw_routed" composes IVF routing with BOUNDED cluster graphs
+# (hnsw.build_graphs_bounded): a probe selects top clusters, beams only
+# their sub-graphs — fan-out is n_probes·nsub graphs, not all shards,
+# and no graph ever exceeds GRAPH_MAX_MEMBERS regardless of skew.
+
+#: serving knobs for the hnsw_routed path (module-level so the exactness
+#: test can drive all-probes + full-ef == exact through the catalog)
+ROUTED_N_PROBES = 8
+ROUTED_EF: int | None = None  # None → hnsw_ops.EF_SEARCH default
+ROUTED_MAX_MEMBERS: int | None = None  # None → hnsw_ops.GRAPH_MAX_MEMBERS
 
 
 class NotFoundError(KeyError):
@@ -774,6 +784,7 @@ class VectorCatalog:
         "pq": (("codes", "id_part"),),
         "ivfpq": (("ivfpq_codes", "cluster_id"),),
         "hnsw": (("graph", "shard"),),
+        "hnsw_routed": (("routed_graph", "shard"),),
     }
 
     def compact_library(
@@ -994,6 +1005,33 @@ class VectorCatalog:
             res = hnsw_ops.search_graphs(
                 graph, qpdf, k=k, id_col="id", vec_col="embedding", grouped=True
             )
+        elif index_type == "hnsw_routed" and self._ensure_hnsw_routed(lib_id, corpus):
+            import pandas as pd
+
+            centroids, graph, nsub = self._read_hnsw_routed(lib_id)
+            qpdf = pd.DataFrame(
+                {"query_id": range(len(qvecs)), "query_vec": qvecs}
+            )
+            # probe is the same tiny driver-side centroid matmul as ivf /
+            # ivfpq; expand_probes fans a probed cluster to its bounded
+            # sub-graphs (their union IS the cluster, so probe semantics
+            # are unchanged); the shard filter becomes partition pruning
+            # on the partitionBy(shard) layout
+            n_probes = min(ROUTED_N_PROBES, centroids.count())
+            probes = hnsw_ops.expand_probes(
+                ivf_ops.probe_clusters(centroids, list(enumerate(qvecs)), n_probes),
+                nsub,
+            )
+            res = hnsw_ops.routed_search(
+                graph,
+                qpdf,
+                probes,
+                k=k,
+                ef=ROUTED_EF if ROUTED_EF is not None else hnsw_ops.EF_SEARCH,
+                id_col="id",
+                vec_col="embedding",
+                grouped=True,
+            )
         else:  # flat — scored scan + top-k (V5)
             res = knn.topk(
                 corpus, queries, k=k, metric=metric, id_col="id", vec_col="embedding"
@@ -1120,6 +1158,8 @@ class VectorCatalog:
             self._ivfpq_delta(lib_id, upserts, removed, touched_ids)
         elif meta["type"] == "hnsw":
             self._hnsw_delta(lib_id, upserts, removed, touched_ids)
+        elif meta["type"] == "hnsw_routed":
+            self._hnsw_routed_delta(lib_id, upserts, removed, touched_ids)
         meta["stale"] = False
         meta["n"] = meta.get("n", 0) + n_delta
         self._write_index_meta(lib_id, meta)
@@ -1514,6 +1554,117 @@ class VectorCatalog:
         rebuilt = hnsw_ops.build_graphs(members, id_col="id", vec_col="embedding")
         self._overwrite_partitions(rebuilt, path, "shard", parts)
 
+    def _ensure_hnsw_routed(self, lib_id: str, corpus: DataFrame) -> bool:
+        meta = self._index_meta(lib_id)
+        if meta and meta.get("type") == "hnsw_routed" and not meta.get("stale"):
+            return True
+        return self._build_hnsw_routed(lib_id, corpus)
+
+    def _build_hnsw_routed(self, lib_id: str, corpus: DataFrame) -> bool:
+        """IVF-routed bounded graphs as sidecar tables: centroids (tiny)
+        plus one NSW graph per (cluster, md5 sub-shard) composite shard,
+        persisted partitionBy(shard) so a probe's shard filter becomes
+        partition pruning. No graph exceeds GRAPH_MAX_MEMBERS regardless
+        of cluster skew; ``nsub`` (cluster → sub-shard count) rides in
+        meta.json for the probe router. Per-chunk mutations are a
+        shard-scoped rebuild (_hnsw_routed_delta) under FROZEN centroids
+        and nsub — the same frozen-policy discipline as the ivf/ivfpq
+        deltas; rebuild_index re-derives both."""
+        n = corpus.count()
+        if n == 0:
+            return False
+        n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, n // 8 or 1))
+        centroids = ivf_ops.train_centroids(
+            corpus, n_clusters=n_clusters, vec_col="embedding", n_hint=n
+        )
+        assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
+        joined = corpus.select("id", "embedding").join(assignments, "id")
+        bound = {} if ROUTED_MAX_MEMBERS is None else {"max_members": ROUTED_MAX_MEMBERS}
+        graph, nsub = hnsw_ops.build_graphs_bounded(
+            joined, "cluster_id", id_col="id", vec_col="embedding", **bound
+        )
+        centroids.write.mode("overwrite").parquet(
+            self._index_path(lib_id, "r_centroids")
+        )
+        graph.write.mode("overwrite").partitionBy("shard").parquet(
+            self._index_path(lib_id, "routed_graph")
+        )
+        self._write_index_meta(
+            lib_id,
+            {
+                "type": "hnsw_routed",
+                "n": n,
+                "n_clusters": n_clusters,
+                "nsub": {str(s): int(v) for s, v in nsub.items()},
+            },
+        )
+        return True
+
+    def _read_hnsw_routed(self, lib_id: str):
+        meta = self._index_meta(lib_id)
+        nsub = {int(s): int(v) for s, v in meta["nsub"].items()}
+        return (
+            self.spark.read.parquet(self._index_path(lib_id, "r_centroids")),
+            self.spark.read.parquet(self._index_path(lib_id, "routed_graph")),
+            nsub,
+        )
+
+    def _routed_shard_of(self, assigned: DataFrame, nsub: dict) -> DataFrame:
+        """(id, shard): composite shard under the FROZEN nsub layout —
+        cluster · stride + pmod(md5-hash(id), nsub[cluster]). Mirrors
+        hnsw.build_graphs_bounded's rule exactly so delta rows land in
+        the same partitions the build created."""
+        mapping = self.spark.createDataFrame(
+            [(int(s), int(v)) for s, v in nsub.items()], "cluster_id int, _nsub int"
+        )
+        sub = F.pmod(texthash.hash60(F.col("id").cast("string")), F.col("_nsub"))
+        return assigned.join(F.broadcast(mapping), "cluster_id").select(
+            "id",
+            (F.col("cluster_id").cast("long") * hnsw_ops._SUB_STRIDE + sub)
+            .cast("int")
+            .alias("shard"),
+        )
+
+    def _hnsw_routed_delta(
+        self, lib_id: str, upserts: list, removed: list, touched_ids: list
+    ) -> None:
+        """Shard-scoped graph rebuild under frozen centroids + nsub: a
+        row's composite shard is a deterministic function of its embedding
+        (cluster via frozen centroids) and id (md5 sub-shard), so affected
+        shards come from the delta embeddings alone — old rows via their
+        pre-image embeddings in ``removed``, exactly like _ivf_delta.
+        Untouched shard partitions are never rewritten. A cluster that
+        outgrows GRAPH_MAX_MEMBERS between full rebuilds keeps its frozen
+        sub-shard count until rebuild_index re-bounds it (same drift
+        contract as frozen centroids)."""
+        centroids, _, nsub = self._read_hnsw_routed(lib_id)
+        affected_df = self._routed_shard_of(
+            ivf_ops.assign(
+                self._delta_df(upserts + removed), centroids, id_col="id", vec_col="embedding"
+            ),
+            nsub,
+        )
+        parts = {r["shard"] for r in affected_df.select("shard").distinct().collect()}
+        path = self._index_path(lib_id, "routed_graph")
+        keep = (
+            self.spark.read.parquet(path)
+            .filter(F.col("shard").isin(list(parts)))
+            .filter(~F.col("id").isin(touched_ids))
+            .select("shard", "id", "embedding")
+            .localCheckpoint(eager=True)
+        )
+        new_rows = self._routed_shard_of(
+            ivf_ops.assign(
+                self._delta_df(upserts), centroids, id_col="id", vec_col="embedding"
+            ),
+            nsub,
+        ).join(self._delta_df(upserts), "id").select("shard", "id", "embedding")
+        members = keep.unionByName(new_rows)
+        rebuilt = hnsw_ops.build_graphs_by(
+            members, "shard", id_col="id", vec_col="embedding"
+        )
+        self._overwrite_partitions(rebuilt, path, "shard", parts)
+
     def _ensure_lsh(self, lib_id: str, corpus: DataFrame) -> bool:
         meta = self._index_meta(lib_id)
         if meta and meta.get("type") == "lsh_simhash" and not meta.get("stale"):
@@ -1550,6 +1701,8 @@ class VectorCatalog:
             self._build_ivfpq(lib_id, corpus)
         elif lib["index_type"] == "hnsw":
             self._build_hnsw(lib_id, corpus)
+        elif lib["index_type"] == "hnsw_routed":
+            self._build_hnsw_routed(lib_id, corpus)
         # flat needs no sidecar (V6): the chunks table IS the index
 
     def train_index(self, lib_id: str, sample_vectors: list | None = None) -> None:

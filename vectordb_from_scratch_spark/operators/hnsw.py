@@ -397,12 +397,19 @@ def routed_search(
     ef: int = EF_SEARCH,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grouped: bool = False,
 ) -> DataFrame:
     """Search only the probed (query, cluster) pairs: ``probes`` is the
     driver-computed [(query_id, shard)] routing table. The graph scan is
     filtered to the probed clusters (partition pruning on a persisted
     layout); inside the kernel each cluster beams ONLY the queries routed
-    to it."""
+    to it.
+
+    ``grouped`` has the same contract as ``search_graphs``: False for the
+    cached build output (shards whole within partitions, zero shuffle);
+    True for a parquet-read graph (catalog path), where the scanner may
+    split a shard's file across tasks and one groupBy(shard) shuffle buys
+    unconditional adjacency completeness."""
     import pandas as pd
 
     from vectordb_from_scratch_spark.operators import knn
@@ -414,23 +421,17 @@ def routed_search(
     for qid, shard in probes:
         by_shard.setdefault(int(shard), []).append(qpos[int(qid)])
 
-    def search_iter(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if pdf.empty:
-            return
-        for shard, g in pdf.groupby("shard", sort=True):
-            routed = by_shard.get(int(shard), [])
-            if not routed:
-                continue
+    def search_one_shard(shard: int, g: pd.DataFrame) -> pd.DataFrame:
+        routed = by_shard.get(int(shard), [])
+        out_q: list = []
+        out_id: list = []
+        out_s: list = []
+        if routed:
             g = g.sort_values(id_col).reset_index(drop=True)
             ids = g[id_col].to_list()
             pos = {v: i for i, v in enumerate(ids)}
             Xu = _normalize(np.stack(g[vec_col].to_list()).astype("float64"))
             adj = [[pos[v] for v in nbrs] for nbrs in g["neighbors"].to_list()]
-            out_q, out_id, out_s = [], [], []
             for qi in routed:
                 res = _beam(adj, Xu, Q[qi], ef)
                 sims = np.array([s for s, _ in res])
@@ -439,13 +440,28 @@ def routed_search(
                 out_q.extend([int(qids[qi])] * len(sel))
                 out_id.extend(ids[v] for v in nodes[sel])
                 out_s.extend(float(x) for x in sims[sel])
-            yield pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
+
+    def search_iter(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        for shard, g in pdf.groupby("shard", sort=True):
+            yield search_one_shard(int(shard), g)
 
     pruned = graph.filter(F.col("shard").isin(sorted(by_shard)))
     id_type = graph.schema[id_col].dataType.simpleString()
-    per_shard = pruned.mapInPandas(
-        search_iter, schema=f"query_id long, {id_col} {id_type}, score double"
-    )
+    out_schema = f"query_id long, {id_col} {id_type}, score double"
+    if grouped:
+        per_shard = pruned.groupBy("shard").applyInPandas(
+            lambda pdf: search_one_shard(int(pdf["shard"].iloc[0]), pdf),
+            schema=out_schema,
+        )
+    else:
+        per_shard = pruned.mapInPandas(search_iter, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
