@@ -8,7 +8,7 @@ driver's correctness harness may invoke a prebuilt query standalone."""
 import pytest
 
 from vectordb_from_scratch_spark import registry
-from vectordb_from_scratch_spark.operators import hnsw, ivf, lsh, pq
+from vectordb_from_scratch_spark.operators import hnsw, ivf, lsh, pq, textstats
 
 CASES = [
     ("ivf_search_prebuilt", ivf, "_BUILD_CACHE"),
@@ -16,6 +16,7 @@ CASES = [
     ("pq_search_prebuilt", pq, "_BUILD_CACHE"),
     ("ivfpq_search_prebuilt", pq, "_IVFPQ_CACHE"),
     ("hnsw_search_prebuilt", hnsw, "_BUILD_CACHE"),
+    ("text_bm25_search_prebuilt", textstats, "_BM25_INDEX_CACHE"),
 ]
 
 
@@ -64,4 +65,6 @@ def test_warm_then_serve_does_not_train(
     monkeypatch.setattr(ivf, "train_centroids", boom)
     monkeypatch.setattr(pq, "train_codebooks", boom)
     monkeypatch.setattr(lsh, "compute_buckets", boom)
+    # bm25 serve must read the persisted postings, never re-tokenize documents
+    monkeypatch.setattr(textstats, "load_table", boom)
     assert registry.QUERIES[name](spark, sf_small).count() > 0
