@@ -21,6 +21,7 @@ HEADLINE = [
     "knn_cosine_topk",
     "knn_cosine_topk_blas",
     "knn_cosine_batch100",
+    "knn_cosine_blockjoin",
     "knn_cosine_filtered",
     "knn_l2_topk",
     "tpch_q1_pricing_summary",
@@ -63,6 +64,7 @@ HEADLINE = [
     "sampling_component_split",
     "text_quality_scores",
     "text_bm25_search",
+    "text_bm25_search_prebuilt",
     "text_unigram_surprisal",
     "text_bigram_perplexity",
     "text_pii_scrub",

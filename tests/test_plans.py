@@ -89,6 +89,63 @@ def test_bm25_topk_is_distributed_take_ordered(q):
     assert "TakeOrderedAndProject" in p
 
 
+def test_blockjoin_knn_cogroups_and_matches_blas_path(spark, sf_oracle):
+    """>10⁵-query exit for flat k-NN: both sides blocked and cogrouped
+    (FlatMapCoGroupsInPandas in the plan — no broadcast of queries, no
+    query matrix in any closure), results identical to the broadcast BLAS
+    path, and the auto-dispatcher routes Spark-DataFrame batches past the
+    threshold to it."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators import knn
+    from vectordb_from_scratch_spark.session import load_table
+
+    df = registry.QUERIES["knn_cosine_blockjoin"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "BroadcastExchange" not in p  # neither side is broadcast
+
+    blas = registry.QUERIES["knn_cosine_topk_blas"](spark, sf_oracle)
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    routed = knn.topk_auto(emb, queries, k=10, blockjoin_min_queries=5)
+    assert "FlatMapCoGroupsInPandas" in plans.physical_plan(routed)
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.score, 6), r.rank) for r in routed.collect()
+    )
+    want = sorted((r.query_id, r.vec_id, r.score, r.rnk) for r in blas.collect())
+    assert got == want
+
+
+def test_bm25_prebuilt_prunes_postings_partitions(spark, sf_oracle):
+    """The materialized-index serve path must read only the query terms'
+    hash buckets of the postings layout: PartitionFilters on term_bucket
+    at the scan, the term filter pushed, and strictly fewer buckets
+    scanned than exist on disk."""
+    import os
+    import re
+
+    from vectordb_from_scratch_spark.operators import textstats
+
+    path = textstats.ensure_bm25_index(spark, sf_oracle)
+    df = registry.QUERIES["text_bm25_search_prebuilt"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    m = re.search(r"PartitionFilters: \[[^\]]*term_bucket[^\]]*IN \(([^)]*)\)", p)
+    assert m, f"no term_bucket partition filter in plan:\n{p}"
+    scanned = len(m.group(1).split(","))
+    on_disk = len(
+        [
+            e
+            for e in os.listdir(os.path.join(path, "postings"))
+            if e.startswith("term_bucket=")
+        ]
+    )
+    assert scanned <= len(textstats._BM25_TERMS) < on_disk
+    assert any("In(term" in f for f in plans.pushed_filters(df))
+
+
 def test_gapfill_aggregates_before_grid_join(q):
     df = q("events_gapfill_hourly")
     p = plans.physical_plan(df)

@@ -158,6 +158,17 @@ def topk_pandas(
 #: ratio depends on Q, not N — the crossover sits near Q≈32.
 BLAS_MIN_QUERIES = 32
 
+#: Block-join targets: each cogrouped task scores one (corpus block ×
+#: query block) pair as a single matmul, so these bound per-task memory —
+#: (65536 + 4096)·d doubles ≈ 36 MB at d=64 — independent of N and Q.
+BLOCK_ROWS_CORPUS = 65536
+BLOCK_ROWS_QUERIES = 4096
+
+#: Above this many queries the broadcast/closure paths stop being honest
+#: (a 10⁵×d float64 query matrix is ~50 MB riding to every task and the
+#: driver); route to the block join, which never materializes Q anywhere.
+BLOCKJOIN_MIN_QUERIES = 100_000
+
 
 def topk_auto(
     corpus: DataFrame,
@@ -168,16 +179,30 @@ def topk_auto(
     vec_col: str = "embedding",
     filter_expr: Column | None = None,
     blas_min_queries: int = BLAS_MIN_QUERIES,
+    blockjoin_min_queries: int = BLOCKJOIN_MIN_QUERIES,
 ) -> DataFrame:
-    """Serving-path dispatcher: route a query batch to the expression plan
-    or the per-partition BLAS kernel by batch size, so neither kernel's
-    weak regime can sneak into the serving path. ``queries`` may be a
-    Spark DataFrame or a pandas frame of (query_id, query_vec) — small by
-    the broadcast contract either way. Non-cosine metrics always take the
-    expression plan (the BLAS kernel is cosine-only)."""
+    """Serving-path dispatcher: route a query batch to the expression plan,
+    the per-partition BLAS kernel, or (for Spark-DataFrame batches beyond
+    ``blockjoin_min_queries``) the block join — so no kernel's weak regime
+    can sneak into the serving path. ``queries`` may be a Spark DataFrame
+    or a pandas frame of (query_id, query_vec); only below the block-join
+    threshold is it assumed broadcast-small. Non-cosine metrics always
+    take the expression plan (the matmul kernels are cosine-only)."""
     qpdf = queries if isinstance(queries, pd.DataFrame) else None
     if metric == "cosine":
         if qpdf is None:
+            n_q = queries.count()
+            if n_q >= blockjoin_min_queries:
+                if filter_expr is not None:
+                    corpus = corpus.filter(filter_expr)
+                return topk_blockjoin(
+                    corpus,
+                    queries,
+                    k=k,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    n_queries_hint=n_q,
+                )
             qpdf = queries.toPandas()
         if len(qpdf) >= blas_min_queries:
             if filter_expr is not None:
@@ -195,6 +220,99 @@ def topk_auto(
         id_col=id_col,
         vec_col=vec_col,
         filter_expr=filter_expr,
+    )
+
+
+def topk_blockjoin(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_corpus_hint: int | None = None,
+    n_queries_hint: int | None = None,
+    rows_per_block: int = BLOCK_ROWS_CORPUS,
+    queries_per_block: int = BLOCK_ROWS_QUERIES,
+) -> DataFrame:
+    """Exact cosine k-NN for UNBOUNDED query batches: partition BOTH sides
+    into bounded blocks, matmul per block pair, merge with the standard
+    O(blocks·Q·k) global window (SCALE.md flat-kNN: "beyond ~10⁵ queries
+    switch to the block-join variant").
+
+    Neither side is collected, broadcast, or closed over: corpus rows are
+    replicated across the ``nqb`` query blocks and query rows across the
+    ``ncb`` corpus blocks via an in-plan explode, then
+    ``cogroup().applyInPandas`` hands each (cblk, qblk) pair to one task
+    as two bounded pandas frames. Replication factors are the block
+    COUNTS of the opposite side — the inherent N·Q scoring work of exact
+    brute force, laid out so every task is a dense BLAS call with bounded
+    memory. Arithmetic and tie-break are identical to ``topk_pandas``
+    (normalize → matmul → ``local_topk_indices``), so the two paths are
+    oracle-interchangeable.
+
+    ``n_*_hint`` skip the sizing counts when the caller knows cardinality
+    from footer stats (the block counts only need magnitudes)."""
+    import numpy as np
+
+    n_corpus = n_corpus_hint if n_corpus_hint is not None else corpus.count()
+    n_queries = n_queries_hint if n_queries_hint is not None else queries.count()
+    ncb = max(1, -(-int(n_corpus) // rows_per_block))
+    nqb = max(1, -(-int(n_queries) // queries_per_block))
+
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(ncb)).cast("int").alias("cblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
+    )
+    q = queries.select(
+        "query_id",
+        "query_vec",
+        F.pmod(F.xxhash64(F.col("query_id")), F.lit(nqb)).cast("int").alias("qblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(ncb - 1))).alias("cblk"),
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"query_id": [], id_col: [], "score": []}).astype(
+                {"query_id": "int64", "score": "float64"}
+            )
+        ids = left[id_col].to_numpy()
+        X = np.stack(left[vec_col].to_list()).astype("float64")
+        norms = np.linalg.norm(X, axis=1)
+        zero = norms == 0.0
+        norms[zero] = 1.0
+        Xu = X / norms[:, None]
+        qids = right["query_id"].to_numpy()
+        Q = np.stack(right["query_vec"].to_list()).astype("float64")
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = 1.0
+        Qu = Q / qn[:, None]
+        S = Xu @ Qu.T  # (m, q)
+        S[zero, :] = 0.0  # reference: zero vector → score 0.0
+        rows = []
+        for j, qid in enumerate(qids):
+            sel = local_topk_indices(S[:, j], ids, k)
+            rows.append(
+                pd.DataFrame({"query_id": qid, id_col: ids[sel], "score": S[sel, j]})
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    candidates = (
+        c.groupBy("cblk", "qblk")
+        .cogroup(q.groupBy("cblk", "qblk"))
+        .applyInPandas(
+            block_topk, schema=f"query_id long, {id_col} {id_type}, score double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
     )
 
 

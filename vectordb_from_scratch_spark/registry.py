@@ -168,6 +168,32 @@ def knn_cosine_batch100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_rank(res)
 
 
+@register("knn_cosine_blockjoin", _COS_SQL.format(Q=_KNN_Q_BIG, K=_KNN_K, where=""))
+def knn_cosine_blockjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >10⁵-query exit for flat k-NN (SCALE.md flat-kNN "Q scaling"):
+    both sides blocked, one matmul per cogrouped block pair, no query
+    collect/broadcast/closure anywhere — queries stay a Spark DataFrame
+    end to end. Identical oracle to knn_cosine_batch100, which pins the
+    block kernel + merge against the broadcast paths. The fixture's 100
+    queries run with shrunken block targets so the multi-block merge is
+    actually exercised (defaults would put them in one block); corpus
+    cardinality comes from parquet footer stats, not a count job."""
+    from vectordb_from_scratch_spark.operators.dedup import embedding_corpus_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, _ = embedding_corpus_stats(sf_dir)
+    res = knn.topk_blockjoin(
+        emb,
+        _emb_queries(emb, n=_KNN_Q_BIG),
+        k=_KNN_K,
+        n_corpus_hint=n,
+        n_queries_hint=_KNN_Q_BIG,
+        rows_per_block=2048,
+        queries_per_block=32,
+    )
+    return _finish_rank(res)
+
+
 @register(
     "knn_cosine_filtered",
     _COS_SQL.format(Q=_KNN_Q, K=_KNN_K, where=" WHERE label < 5"),
