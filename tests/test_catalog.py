@@ -480,3 +480,35 @@ def test_export_import_hnsw_serves_without_rebuild(spark, tmp_path):
     finally:
         hnsw_ops.build_graphs = orig
     assert after == before
+
+
+def test_version_log_seam_is_pluggable(spark, tmp_path):
+    """The transaction shim (SCALE.md shortcut #1): every live-version
+    read and publish goes through the injected VersionLog — a recording
+    implementation sees one publish per table write, the pointer file is
+    whatever the log says (no catalog code touches _LATEST directly), and
+    catalog semantics are unchanged under the injected log."""
+    from vectordb_from_scratch_spark.catalog import FileVersionLog
+
+    published = []
+
+    class RecordingLog(FileVersionLog):
+        def publish(self, version, keep):
+            published.append((self.dir.rsplit("/", 1)[-1], version))
+            super().publish(version, keep)
+
+    cat = VectorCatalog(spark, str(tmp_path / "cat"), log_factory=RecordingLog)
+    assert isinstance(cat.chunks.log, RecordingLog)
+    lib_id, doc_id, ids = _populate(cat, "log-seam")
+    # every commit went through the seam: libraries, documents, chunks
+    tables = {t for t, _ in published}
+    assert tables == {"libraries", "documents", "chunks"}
+    # reads resolve through the same log
+    assert cat.chunks._latest() == cat.chunks.log.latest()
+    res = cat.search(lib_id, _vectors()[0].tolist(), k=1)
+    assert res[0].chunk_id == ids[0]
+    # a second write publishes a strictly newer version of that table
+    n_before = len([v for t, v in published if t == "documents"])
+    cat.create_document(lib_id, "doc-2")
+    docs = [v for t, v in published if t == "documents"]
+    assert len(docs) == n_before + 1 and docs[-1] > docs[-2]

@@ -15,8 +15,11 @@ Spark design decisions:
   files; handles older than one version must be re-read. Partition-scoped
   mutations (``write_partition``) hardlink untouched partitions — a
   chunk update rewrites one library's partition, not the table. This is
-  poor-man's Delta; on a real deployment swap in Delta/Iceberg and the
-  class body shrinks.
+  poor-man's Delta; the live-version pointer itself is behind the
+  ``VersionLog`` seam, so a real deployment replaces ONLY that class with
+  a Delta/Iceberg log commit (or metastore CAS) for multi-writer safety —
+  side-build, ``publish``, retention all keep the same shape, and no
+  catalog logic changes.
 - chunks are written ``partitionBy(library_id)`` so per-library operations
   (search, cascade delete, stats) get partition pruning — the Mongo
   secondary-index analog (``mongo_storage.py:25-56``).
@@ -115,26 +118,76 @@ CHUNK_SCHEMA = T.StructType(
 )
 
 
+class VersionLog:
+    """Transaction seam (SCALE.md "single-node shortcuts" #1): everything
+    ``TableStore`` knows about *which version is live* goes through this
+    interface — writers only ever side-build a fresh ``v{N}`` directory and
+    then ask the log to ``publish`` it. The default is the local
+    atomic-pointer-file implementation below; on a cluster, swap in an
+    implementation whose ``publish`` is a Delta/Iceberg-style log commit or
+    a metastore CAS (compare-and-set the live version for this table, fail
+    the commit on a concurrent writer) — no catalog logic changes, because
+    nothing outside this class touches ``_LATEST`` or deletes versions."""
+
+    def latest(self) -> str | None:
+        raise NotImplementedError
+
+    def publish(self, version: str, keep: set) -> None:
+        """Atomically make ``version`` the live version, then retire
+        versions outside ``keep`` (the retention set: the new version and
+        its predecessor, protecting lazy readers one version back)."""
+        raise NotImplementedError
+
+
+class FileVersionLog(VersionLog):
+    """Local single-writer implementation: a ``_LATEST`` pointer file
+    swapped with ``os.replace`` (atomic on POSIX), GC by directory
+    removal. Correct where renames are atomic and writers don't race —
+    exactly the reference's in-process regime (``vector_db.py:283-292``)."""
+
+    def __init__(self, table_dir: str):
+        self.dir = table_dir
+        self.pointer = os.path.join(table_dir, "_LATEST")
+
+    def latest(self) -> str | None:
+        try:
+            with open(self.pointer) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def publish(self, version: str, keep: set) -> None:
+        tmp = self.pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self.pointer)  # atomic swap
+        for entry in os.listdir(self.dir):
+            if entry.startswith("v") and entry[1:].isdigit() and entry not in keep:
+                shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
+
+
 class TableStore:
     """Versioned parquet table with an atomic ``_LATEST`` pointer —
-    side-build + swap (V15) as a storage primitive."""
+    side-build + swap (V15) as a storage primitive. The publish/read of
+    the live-version pointer is pluggable (``log_factory``) so a
+    transactional table format can replace the local file swap."""
 
-    def __init__(self, spark: SparkSession, root: str, name: str, schema: T.StructType):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        schema: T.StructType,
+        log_factory=None,
+    ):
         self.spark = spark
         self.dir = os.path.join(root, name)
         self.schema = schema
         os.makedirs(self.dir, exist_ok=True)
-
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.dir, "_LATEST")
+        self.log: VersionLog = (log_factory or FileVersionLog)(self.dir)
 
     def _latest(self) -> str | None:
-        try:
-            with open(self._pointer) as f:
-                return f.read().strip() or None
-        except FileNotFoundError:
-            return None
+        return self.log.latest()
 
     def versions(self) -> list[str]:
         """On-disk versions, oldest first (GC keeps the latest two)."""
@@ -273,18 +326,12 @@ class TableStore:
         )
 
     def _swap_and_gc(self, cur: str | None, nxt: str) -> None:
-        """Atomic pointer flip, then garbage-collect versions older than the
-        PREVIOUS one. Keeping N-1 protects lazy readers: a DataFrame handle
-        from a read() before this write still resolves its files; only
-        handles older than one version break (documented contract)."""
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(nxt)
-        os.replace(tmp, self._pointer)  # atomic swap
-        keep = {nxt, cur}
-        for entry in os.listdir(self.dir):
-            if entry.startswith("v") and entry not in keep:
-                shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
+        """Publish through the version-log seam: atomic pointer flip, then
+        garbage-collect versions older than the PREVIOUS one. Keeping N-1
+        protects lazy readers: a DataFrame handle from a read() before this
+        write still resolves its files; only handles older than one version
+        break (documented contract)."""
+        self.log.publish(nxt, keep={nxt, cur})
 
 
 def _uuid() -> str:
@@ -314,12 +361,18 @@ class SearchResult:
 class VectorCatalog:
     """The reference's ``VectorDBService`` re-expressed over Spark tables."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, log_factory=None):
         self.spark = spark
         self.root = root
-        self.libraries = TableStore(spark, root, "libraries", LIBRARY_SCHEMA)
-        self.documents = TableStore(spark, root, "documents", DOCUMENT_SCHEMA)
-        self.chunks = TableStore(spark, root, "chunks", CHUNK_SCHEMA)
+        self.libraries = TableStore(
+            spark, root, "libraries", LIBRARY_SCHEMA, log_factory=log_factory
+        )
+        self.documents = TableStore(
+            spark, root, "documents", DOCUMENT_SCHEMA, log_factory=log_factory
+        )
+        self.chunks = TableStore(
+            spark, root, "chunks", CHUNK_SCHEMA, log_factory=log_factory
+        )
 
     # ------------------------------------------------------------------ C1-C4
     def create_library(
