@@ -281,3 +281,64 @@ def test_winnow_one_pass_equals_canonical(spark, words):
     ]
     want = _py_winnow(hashes, WINNOW_W)
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=2, max_value=60),
+    d=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=10_000),
+    batch=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=40, deadline=None)
+def test_batched_builder_keeps_reachability(n, d, seed, batch):
+    """The batched (exact-link) builder preserves the connectivity
+    invariant for ANY corpus and ANY batch size: batch members link only
+    into the frozen prefix, so every node still keeps >=1 incoming edge
+    from a lower-index node through lifeline pruning — full-beam search
+    from the entry reaches all n nodes."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d))
+    Xu = hnsw._normalize(X)
+    adj = hnsw._build_shard_graph_batched(Xu, m=4, m_max=6, efc=8, batch=batch)
+    res = hnsw._beam(adj, Xu, Xu[rng.integers(0, n)], ef=n + 10)
+    assert {v for _, v in res} == set(range(n))
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    reps=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=30, deadline=None)
+def test_exact_links_tie_rule_is_deterministic(seed, reps):
+    """Duplicate-heavy corpora put the argpartition cut value in a tie;
+    the boundary rule must resolve it by LOWEST node id, identically on
+    every run — two builds over a corpus of repeated vectors agree
+    edge-for-edge, and each selection is the lexicographically first
+    (sim DESC, node ASC) top-m set."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((6, 4))
+    X = hnsw._normalize(np.repeat(base, reps, axis=0))
+    Xf = np.ascontiguousarray(X, dtype=np.float32)
+    lo = len(X) - 3
+    a = hnsw._exact_links_batch(Xf, lo, len(X), m=4)
+    b = hnsw._exact_links_batch(Xf, lo, len(X), m=4)
+    assert all(
+        (na == nb).all() and (sa == sb).all()
+        for (na, sa), (nb, sb) in zip(a, b)
+    )
+    # the pinned rule, checked directly: full (sim DESC, id ASC) order
+    for t, (got, _) in enumerate(a):
+        sims = Xf[:lo] @ Xf[lo + t]
+        want = np.lexsort((np.arange(lo), -sims))[: len(got)]
+        assert [int(v) for v in got] == [int(v) for v in want]
+    g1 = hnsw._build_shard_graph_batched(X, m=3, m_max=4, efc=6, batch=4)
+    g2 = hnsw._build_shard_graph_batched(X, m=3, m_max=4, efc=6, batch=4)
+    assert g1 == g2

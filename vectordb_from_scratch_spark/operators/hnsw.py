@@ -10,11 +10,16 @@ Spark design:
   only on the id, never on partitioning, so builds are reproducible.
 - **build**: one shuffle on shard, then each shard's graph is constructed
   in a single grouped-map Arrow call (``applyInPandas``): nodes inserted
-  in vec_id order, each connected to its ``M`` nearest among the current
-  graph found by beam search (ef_construction), edges bidirectional,
-  adjacency pruned to ``M_MAX`` best-by-similarity. Insert order and all
-  tie-breaks are pinned (score DESC, id ASC) → the graph is a pure
-  function of the corpus.
+  in vec_id order in deterministic index batches (``BUILD_BATCH``), each
+  batch member drawing its EXACT top-``EF_CONSTRUCTION`` prefix
+  neighbors as candidates (one sgemm + one argpartition per batch —
+  affordable because members-per-graph is bounded), the HNSW diversity
+  heuristic picking ``M`` links from them (clustered data needs the
+  different-direction links), edges bidirectional, adjacency shrunk to
+  ``M_MAX`` by the same diversity heuristic + the lifeline rule. Insert
+  order, batch
+  boundaries, and all tie-breaks are pinned (score DESC, id ASC) → the
+  graph is a pure function of the corpus.
 - **serve**: the graph table (vec_id, embedding, neighbors) is cached
   with shards whole within partitions, so search is a ZERO-SHUFFLE
   ``mapInPandas`` pass: each partition accumulates its complete shards,
@@ -84,19 +89,67 @@ def _beam(adj: list, Xu: np.ndarray, q: np.ndarray, ef: int, entry: int = 0):
     return res
 
 
-def _build_shard_graph(Xu: np.ndarray, m: int, m_max: int, efc: int) -> list:
-    """Insert nodes 0..n-1 (caller pre-sorts by vec_id): connect each to
-    its ``m`` beam-nearest among the current graph, bidirectional, prune
-    to ``m_max`` keeping highest similarity (tie: lower node id) — EXCEPT
-    that a node's LAST incoming edge from a lower-index node is never
-    pruned (the "lifeline" rule). Bare similarity pruning can disconnect
-    the graph (found by the hypothesis property test: n=13, d=3 —
-    unreachable nodes mean silent recall loss that only grows with
+def _connect(
+    node: int,
+    links: list,
+    adj: list,
+    in_lower: list,
+    Xu: np.ndarray,
+    m_max: int,
+    slack: int = 0,
+    diverse: bool = False,
+) -> None:
+    """Wire ``node`` → ``links`` bidirectionally, pruning any overflowing
+    adjacency to ``m_max`` best-by-similarity (tie: lower node id) —
+    EXCEPT that a node's LAST incoming edge from a lower-index node is
+    never pruned (the "lifeline" rule). Bare similarity pruning can
+    disconnect the graph (found by the hypothesis property test: n=13,
+    d=3 — unreachable nodes mean silent recall loss that only grows with
     corpus size, since larger shards prune more). With every node
     keeping ≥1 incoming edge from below, reachability from the entry
     node follows by induction, which is exactly the invariant the
     full-ef == exact contract stands on; the degree cap is soft by at
-    most the handful of lifelines."""
+    most the handful of lifelines. ``slack`` adds prune hysteresis (used
+    by the batched builder): an adjacency may grow to m_max+slack before
+    one prune takes it back to m_max — fewer prune passes, each deciding
+    with more candidates in view; the final graph's degrees stay within
+    m_max+slack and the lifeline rule applies at every prune."""
+    adj[node] = links
+    for v in links:
+        adj[v].append(node)
+        in_lower[node] += 1
+        if len(adj[v]) > m_max + slack:
+            cand = np.asarray(adj[v])
+            sims = Xu[cand] @ Xu[v]
+            order = np.lexsort((cand, -sims))
+            if diverse:
+                # diversity-heuristic shrink (batched builder): keeping
+                # only top-by-similarity here starves the graph of its
+                # cross-cluster reverse edges as clusters fill in —
+                # measured recall 0.60 vs 0.93 at 25k×64 over 64
+                # clusters. Far candidates score low to v but LOWER to
+                # every kept neighbor, so the heuristic retains them.
+                keep = _select_diverse(cand[order], sims[order], Xu, m_max)
+            else:
+                keep = [int(cand[j]) for j in order[:m_max]]
+            kept = set(keep)
+            for j in order:
+                u = int(cand[j])
+                if u in kept:
+                    continue
+                if u > v and in_lower[u] == 1:
+                    keep.append(u)  # lifeline: u's only path from below
+                elif u > v:
+                    in_lower[u] -= 1
+            adj[v] = keep
+
+
+def _build_shard_graph(Xu: np.ndarray, m: int, m_max: int, efc: int) -> list:
+    """Sequential reference builder: insert nodes 0..n-1 (caller
+    pre-sorts by vec_id), connect each to its ``m`` beam-nearest among
+    the current graph (lifeline-pruned — see ``_connect``). Kept as the
+    semantic reference for the property tests; production builds go
+    through ``_build_shard_graph_batched``."""
     n = len(Xu)
     adj: list[list[int]] = [[] for _ in range(n)]
     in_lower = [0] * n  # incoming edges from lower-index nodes, per node
@@ -104,22 +157,141 @@ def _build_shard_graph(Xu: np.ndarray, m: int, m_max: int, efc: int) -> list:
         found = _beam(adj[:i], Xu[:i], Xu[i], max(efc, m), entry=0)
         # m best: similarity DESC, node ASC — pinned order
         found.sort(key=lambda t: (-t[0], t[1]))
-        links = [v for _, v in found[:m]]
-        adj[i] = links
-        for v in links:
-            adj[v].append(i)
-            in_lower[i] += 1
-            if len(adj[v]) > m_max:
-                sims = Xu[adj[v]] @ Xu[v]
-                order = np.lexsort((adj[v], -sims))
-                keep = [adj[v][j] for j in order[:m_max]]
-                for j in order[m_max:]:
-                    u = adj[v][j]
-                    if u > v and in_lower[u] == 1:
-                        keep.append(u)  # lifeline: u's only path from below
-                    elif u > v:
-                        in_lower[u] -= 1
-                adj[v] = keep
+        _connect(i, [v for _, v in found[:m]], adj, in_lower, Xu, m_max)
+    return adj
+
+
+#: Nodes per insert batch: one sgemm + one argpartition per batch, so
+#: larger batches amortize better; bounded so the (prefix × batch) score
+#: matrix stays small (25k × 512 float32 = 50 MB at the member cap).
+BUILD_BATCH = 512
+
+#: Prune hysteresis for the batched builder: adjacency may overshoot
+#: m_max by this much before one (diversity-heuristic) prune takes it
+#: back — fewer prune passes, each deciding with more candidates in
+#: view. Degrees stay within m_max + slack; measured at 25k×64 over 64
+#: clusters: slack 24 is both the fastest (6.1× the 500/s sequential
+#: rate) and the best-recall (1.000 at ef=64) setting tried.
+PRUNE_SLACK = 24
+
+
+def _exact_links_batch(Xf: np.ndarray, lo: int, hi: int, m: int) -> list:
+    """Exact top-``m`` prefix neighbors for nodes [lo, hi): one
+    (batch × d)·(d × lo) sgemm, one row-wise argpartition, and a
+    deterministic tie rule — selection order is (sim DESC, node ASC),
+    and when the cut value is tied, LOWER node ids win (argpartition
+    alone would pick boundary ties arbitrarily). Returns one
+    (nodes, sims) array pair per batch node, sorted (sim DESC, node
+    ASC)."""
+    # (batch, lo) row-major: per-ROW argpartition runs on contiguous
+    # memory — the transposed (lo, batch) layout measured 6× slower in
+    # the column-wise introselect
+    S = Xf[lo:hi] @ Xf[:lo].T
+    mm = min(m, lo)
+    sel = np.argpartition(-S, mm - 1, axis=1)[:, :mm]  # ties arbitrary
+    selS = np.take_along_axis(S, sel, axis=1)
+    cut = selS.min(axis=1)  # per-row m-th best similarity
+    # rows whose cut value also occurs outside the selection need the
+    # deterministic boundary rule; everywhere else argpartition's pick IS
+    # the unique top-m set
+    eq_total = (S == cut[:, None]).sum(axis=1)
+    eq_sel = (selS == cut[:, None]).sum(axis=1)
+    links = []
+    for t in range(S.shape[0]):
+        nodes, sims = sel[t], selS[t]
+        if eq_total[t] != eq_sel[t]:
+            row = S[t]
+            definite = nodes[sims > cut[t]]
+            ties = np.flatnonzero(row == cut[t])  # ascending node ids
+            nodes = np.concatenate([definite, ties[: mm - len(definite)]])
+            sims = row[nodes]
+        order = np.lexsort((nodes, -sims))
+        links.append((nodes[order], sims[order]))
+    return links
+
+
+def _select_diverse(
+    cand: np.ndarray, simq: np.ndarray, Xf: np.ndarray, m: int
+) -> list:
+    """HNSW neighbor-selection heuristic (Malkov & Yashunin Alg. 4) over
+    an exact candidate pool sorted (sim DESC, node ASC): keep a candidate
+    only if it is closer to the new node than to every already-kept
+    neighbor, then fill to ``m`` from the pruned, best-first. Pure exact
+    top-m links all point into the node's own cluster on clustered data —
+    measured recall collapse 0.93 → 0.47 at 200k×64 over 64 clusters —
+    while this rule keeps links in DIFFERENT directions (the long-range
+    shortcuts beam navigation needs). One small gemm for the
+    candidate×candidate sims; the running max-to-kept makes the scan
+    O(|cand|·m) with one vector op per kept link."""
+    if len(cand) <= m:
+        return [int(v) for v in cand]
+    Sc = Xf[cand] @ Xf[cand].T  # (c, c) candidate-candidate sims
+    maxk = np.full(len(cand), -np.inf, dtype=Sc.dtype)
+    kept: list[int] = []
+    skipped: list[int] = []
+    for idx in range(len(cand)):
+        if len(kept) == m:
+            break
+        if simq[idx] > maxk[idx]:
+            kept.append(idx)
+            np.maximum(maxk, Sc[idx], out=maxk)
+        else:
+            skipped.append(idx)
+    if len(kept) < m:
+        kept.extend(skipped[: m - len(kept)])
+        kept.sort()  # restore (sim DESC, node ASC) order
+    return [int(cand[i]) for i in kept]
+
+
+def _build_shard_graph_batched(
+    Xu: np.ndarray, m: int, m_max: int, efc: int, batch: int = BUILD_BATCH
+) -> list:
+    """Batched insertion (r4 verdict #2): nodes arrive in deterministic
+    index-order batches; every batch member takes its ``efc`` EXACT
+    nearest neighbors in the FROZEN prefix graph as a candidate pool
+    (one sgemm + one argpartition per batch — no per-node Python beam),
+    the HNSW diversity heuristic picks ``m`` links from the pool
+    (``_select_diverse`` — mandatory on clustered data), and edges apply
+    in ascending node order under the same lifeline-pruned ``_connect``
+    rule as the sequential builder.
+
+    Exact selection is affordable precisely because of the repo's own
+    shard-sizing rule: members-per-graph is bounded (GRAPH_MAX_MEMBERS,
+    enforced by md5 sub-sharding), so the O(shard²·d) total cost is
+    capped per graph and scale comes from graph COUNT — while a beam's
+    only advantage, sub-quadratic growth in shard size, never
+    materializes under the bound. Links are a superset-quality version
+    of what beam search approximates; measured ~7× the sequential build
+    rate at 25k×64 with recall unchanged (SCALE.md round 5).
+
+    Batch-boundary tie rule (the documented semantic difference from the
+    sequential builder): members of one batch never link to each other —
+    their ``m`` nearest come from the frozen prefix only, and reverse
+    edges within a batch exist only prefix→member. Batch sizes are a
+    pure function of n (ramp: a batch never exceeds the frozen prefix
+    size), keeping the graph a deterministic function of the corpus;
+    float32 scoring is deterministic too (same kernel, same input, same
+    order), with ties pinned by ``_exact_links_batch``. ``efc`` is
+    unused here — exact selection has no beam width; the signature
+    matches the sequential builder so callers can swap freely.
+    Reachability is unaffected: every node still keeps ≥1 incoming edge
+    from a lower-index node, so the full-ef == exact contract and the
+    connectivity property hold for either builder."""
+    n = len(Xu)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    in_lower = [0] * n
+    Xf = np.ascontiguousarray(Xu, dtype=np.float32)
+    c = max(efc, m)  # candidate pool width for the diversity selection
+    i = 1
+    while i < n:
+        j = min(n, i + min(batch, i))  # ramp: batch ≤ frozen prefix
+        for t, (cand, simq) in enumerate(_exact_links_batch(Xf, i, j, c)):
+            links = _select_diverse(cand, simq, Xf, m)
+            _connect(
+                i + t, links, adj, in_lower, Xu, m_max,
+                slack=PRUNE_SLACK, diverse=True,
+            )
+        i = j
     return adj
 
 
@@ -149,7 +321,7 @@ def build_graphs(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         X = np.stack(pdf[vec_col].to_list()).astype("float64")
         Xu = _normalize(X)
-        adj = _build_shard_graph(Xu, m, m_max, efc)
+        adj = _build_shard_graph_batched(Xu, m, m_max, efc)
         ids = pdf[id_col].to_list()
         return pd.DataFrame(
             {
@@ -368,7 +540,7 @@ def build_graphs_by(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         X = np.stack(pdf[vec_col].to_list()).astype("float64")
-        adj = _build_shard_graph(_normalize(X), m, m_max, efc)
+        adj = _build_shard_graph_batched(_normalize(X), m, m_max, efc)
         ids = pdf[id_col].to_list()
         return pd.DataFrame(
             {
