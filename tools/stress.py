@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin
 """
 
 from __future__ import annotations
@@ -38,6 +38,44 @@ def run_cascade(spark, emb, n: int, d: int, n_queries: int, qpdf) -> None:
         f"<= parts*Q*k = {n_parts}*{len(qpdf)}*10 = {n_parts * len(qpdf) * 10} "
         f"rows vs corpus {n} — shuffle stays O(parts*k))"
     )
+
+
+def run_blockjoin(spark, emb, n: int, d: int) -> None:
+    """>10⁵-query flat k-NN through the cogrouped block join (r4 verdict
+    #7): queries stay a Spark DataFrame end to end — no collect,
+    broadcast, or closure carries them — and the inherent N·Q scoring
+    work runs as one dense matmul per (corpus block × query block)
+    pair. A 50-query subset is value-checked against the broadcast BLAS
+    path, which the fixture oracle in turn pins against DuckDB."""
+    q_n = min(n, 100_000)
+    queries = emb.filter(F.col("vec_id") < q_n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.perf_counter()
+    res = knn.topk_blockjoin(
+        emb, queries, k=10, n_corpus_hint=n, n_queries_hint=q_n
+    )
+    cnt = res.count()
+    t = time.perf_counter() - t0
+    ncb = -(-n // knn.BLOCK_ROWS_CORPUS)
+    nqb = -(-q_n // knn.BLOCK_ROWS_QUERIES)
+    print(
+        f"blockjoin Q={q_n}: {t:6.2f}s ({cnt} rows over {ncb}x{nqb} block "
+        f"pairs; {q_n * n / t / 1e6:,.0f}M scored pairs/s wall)"
+    )
+    sub = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).toPandas()
+    sub["query_vec"] = sub["query_vec"].map(list)
+    a = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in res.filter(F.col("query_id") < 50).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn.topk_pandas(emb, sub, k=10).collect()
+    }
+    print(f"50-query subset equals BLAS path: {a == b} ({len(a)} result rows)")
 
 
 def run_neardup(spark, emb, n: int, d: int) -> None:
@@ -352,6 +390,8 @@ def main() -> None:
         return run_cascade(spark, emb, n, d, n_queries, qpdf)
     if mode == "neardup":
         return run_neardup(spark, emb, n, d)
+    if mode == "blockjoin":
+        return run_blockjoin(spark, emb, n, d)
     if mode == "semprune":
         return run_semprune(spark, emb, n, d)
     if mode == "hnsw":

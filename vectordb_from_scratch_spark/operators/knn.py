@@ -159,8 +159,10 @@ def topk_pandas(
 BLAS_MIN_QUERIES = 32
 
 #: Block-join targets: each cogrouped task scores one (corpus block ×
-#: query block) pair as a single matmul, so these bound per-task memory —
-#: (65536 + 4096)·d doubles ≈ 36 MB at d=64 — independent of N and Q.
+#: query block) pair, so these bound per-task memory independent of N
+#: and Q: (65536 + 4096)·d doubles ≈ 36 MB of vectors at d=64, plus the
+#: score matrix which the kernel chunks to ~64 MB regardless of block
+#: shape (a full 4096×65536 float64 matrix would be 2 GB/task).
 BLOCK_ROWS_CORPUS = 65536
 BLOCK_ROWS_QUERIES = 4096
 
@@ -289,15 +291,46 @@ def topk_blockjoin(
         qn = np.linalg.norm(Q, axis=1)
         qn[qn == 0.0] = 1.0
         Qu = Q / qn[:, None]
-        S = Xu @ Qu.T  # (m, q)
-        S[zero, :] = 0.0  # reference: zero vector → score 0.0
-        rows = []
-        for j, qid in enumerate(qids):
-            sel = local_topk_indices(S[:, j], ids, k)
-            rows.append(
-                pd.DataFrame({"query_id": qid, id_col: ids[sel], "score": S[sel, j]})
-            )
-        return pd.concat(rows, ignore_index=True)
+        # Score in QUERY CHUNKS sized so the (chunk × m) similarity
+        # matrix stays ~64 MB — a whole-block (4096 × 65536) float64
+        # matrix is 2 GB per task and OOM-killed the workers at 32-way
+        # concurrency. Per chunk: one row-major gemm, one matrix-level
+        # argpartition (a per-query python loop of full lexsorts
+        # measured 60s+ per task at 50k-row blocks), then the
+        # deterministic (score DESC, id ASC) tie rule restored on the
+        # partition boundary only (same discipline as
+        # hnsw._exact_links_batch).
+        m = Xu.shape[0]
+        kk = min(k, m)
+        qchunk = max(16, int(8_000_000 // m))
+        out_q, out_id, out_s = [], [], []
+        for a in range(0, len(qids), qchunk):
+            b = min(len(qids), a + qchunk)
+            S = Qu[a:b] @ Xu.T  # (chunk, m) row-major
+            S[:, zero] = 0.0  # reference: zero vector → score 0.0
+            sel = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            selS = np.take_along_axis(S, sel, axis=1)
+            cut = selS.min(axis=1)
+            eq_total = (S == cut[:, None]).sum(axis=1)
+            eq_sel = (selS == cut[:, None]).sum(axis=1)
+            for t in range(b - a):
+                cols, sims = sel[t], selS[t]
+                if eq_total[t] != eq_sel[t]:
+                    # boundary tie at the cut score: lowest corpus ids win
+                    row = S[t]
+                    definite = cols[sims > cut[t]]
+                    tie_pos = np.flatnonzero(row == cut[t])
+                    tie_pos = tie_pos[np.argsort(ids[tie_pos], kind="stable")]
+                    cols = np.concatenate(
+                        [definite, tie_pos[: kk - len(definite)]]
+                    )
+                    sims = row[cols]
+                order = np.lexsort((ids[cols], -sims))
+                keep = cols[order]
+                out_q.extend([int(qids[a + t])] * len(keep))
+                out_id.extend(ids[keep])
+                out_s.extend(S[t, keep])
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
 
     candidates = (
         c.groupBy("cblk", "qblk")
