@@ -92,6 +92,7 @@ HEADLINE = [
     "hnsw_search",
     "hnsw_search_prebuilt",
     "hnsw_search_routed",
+    "hnsw_search_bigq",
     "knn_cascade",
     "knn_radius_search",
     "knn_mmr_diversified",

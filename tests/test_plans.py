@@ -119,6 +119,20 @@ def test_blockjoin_knn_cogroups_and_matches_blas_path(spark, sf_oracle):
     assert got == want
 
 
+def test_hnsw_bigq_cogroups_and_matches_driver_path(spark, sf_oracle):
+    """The graph tier's large-batch exit: queries ride the plan as a
+    DataFrame (FlatMapCoGroupsInPandas — no broadcast/collect of the
+    batch), with results identical to the driver-side fan-out search."""
+    df = registry.QUERIES["hnsw_search_bigq"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert "FlatMapCoGroupsInPandas" in p
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, registry.QUERIES["hnsw_search"](spark, sf_oracle).collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_bm25_prebuilt_prunes_postings_partitions(spark, sf_oracle):
     """The materialized-index serve path must read only the query terms'
     hash buckets of the postings layout: PartitionFilters on term_bucket

@@ -486,6 +486,126 @@ def hnsw_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hnsw_search(spark, sf_dir)
 
 
+def search_graphs_distributed(
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shard_ids: list | None = None,
+    n_queries_hint: int | None = None,
+    queries_per_block: int = 4096,
+) -> DataFrame:
+    """Fan-out graph search for UNBOUNDED query batches: queries stay a
+    Spark DataFrame end to end — no driver pandas, no query matrix in any
+    closure (the large-Q exit ``ivf.search_distributed`` provides for the
+    IVF tier, here for the graph tier). Queries are hash-blocked and
+    replicated across shards; graph shards are replicated across query
+    blocks; each (shard, qblk) cogroup pair beams its block's queries
+    against its complete shard adjacency and emits per-shard top-k under
+    the exact global tie order, merged by the standard rank window.
+    Results are identical to ``search_graphs`` for the same queries.
+
+    The graph-side replication factor is ceil(Q/queries_per_block) —
+    full fan-out is inherently every-query × every-shard work; when that
+    product is too large, the routed tier (IVF probe pruning) is the
+    scale path, not a bigger fan-out."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import knn
+
+    if shard_ids is None:
+        shard_ids = sorted(
+            r["shard"] for r in graph.select("shard").distinct().collect()
+        )
+    nq = n_queries_hint if n_queries_hint is not None else queries.count()
+    nqb = max(1, -(-int(nq) // queries_per_block))
+    g = graph.select(
+        "shard",
+        id_col,
+        vec_col,
+        "neighbors",
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
+    )
+    q = queries.select(
+        "query_id",
+        "query_vec",
+        F.pmod(F.xxhash64("query_id"), F.lit(nqb)).cast("int").alias("qblk"),
+        F.explode(
+            F.array(*[F.lit(int(s)).cast("int") for s in shard_ids])
+        ).alias("shard"),
+    )
+    id_type = graph.schema[id_col].dataType.simpleString()
+
+    def pair_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"query_id": [], id_col: [], "score": []}).astype(
+                {"query_id": "int64", "score": "float64"}
+            )
+        g_ = left.sort_values(id_col).reset_index(drop=True)
+        ids = g_[id_col].to_list()
+        pos = {v: i for i, v in enumerate(ids)}
+        Xu = _normalize(np.stack(g_[vec_col].to_list()).astype("float64"))
+        adj = [[pos[v] for v in nbrs] for nbrs in g_["neighbors"].to_list()]
+        Qm = _normalize(np.stack(right["query_vec"].to_list()).astype("float64"))
+        qids = right["query_id"].to_numpy()
+        out_q: list = []
+        out_id: list = []
+        out_s: list = []
+        for qi, qv in zip(qids, Qm):
+            res = _beam(adj, Xu, qv, ef)
+            sims = np.array([s for s, _ in res])
+            nodes = np.array([v for _, v in res])
+            sel = knn.local_topk_indices(sims, nodes, k)
+            out_q.extend([int(qi)] * len(sel))
+            out_id.extend(ids[v] for v in nodes[sel])
+            out_s.extend(float(x) for x in sims[sel])
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
+
+    per_pair = (
+        g.groupBy("shard", "qblk")
+        .cogroup(q.groupBy("shard", "qblk"))
+        .applyInPandas(
+            pair_topk, schema=f"query_id long, {id_col} {id_type}, score double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+registry.WARMERS["hnsw_search_bigq"] = warm_hnsw
+
+
+@register("hnsw_search_bigq")  # rows-only: depends on graph build
+def hnsw_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-batch exit for the graph tier (completing the bigq
+    family: ivf_search_bigq, lsh_search_bigq): same beams, same scores as
+    hnsw_search, but the queries ride the plan as a DataFrame — no
+    driver collect, so the batch size is unbounded. The fixture's 10
+    queries anchor correctness (equality with the driver-side path and
+    the cogroup plan shape are asserted in tests/test_plans.py)."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    _, queries = knn.fixture_query_set(spark, sf_dir, N_QUERIES)
+    g = built_graph(spark, sf_dir)
+    res = search_graphs_distributed(
+        g,
+        queries,
+        shard_ids=list(range(SHARDS)),
+        n_queries_hint=N_QUERIES,
+    )
+    return res.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
 @register("hnsw_graph_degrees")  # rows-only: graph build not SQL-expressible
 def hnsw_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacency-degree distribution per shard — the graph-health
