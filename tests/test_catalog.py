@@ -512,3 +512,89 @@ def test_version_log_seam_is_pluggable(spark, tmp_path):
     cat.create_document(lib_id, "doc-2")
     docs = [v for t, v in published if t == "documents"]
     assert len(docs) == n_before + 1 and docs[-1] > docs[-2]
+
+
+def test_hybrid_search_fuses_legs_and_maintains_postings(spark, tmp_path):
+    """Catalog-served hybrid search (BM25 sidecar ⊕ vector index, RRF):
+
+    1. the result equals an INDEPENDENT fusion recomputed in the test —
+       lexical leg via the inline tokenizer (`bm25_ranking` over the
+       chunks, no sidecar involved) + the vector leg + the RRF formula —
+       pinning the persisted postings layout against the direct path;
+    2. chunk mutations maintain the postings partition-scoped: an added
+       chunk with a query term enters the ranking without rewriting
+       untouched term-bucket partitions (inode-asserted), and a delete
+       drops it again."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.functions import embedder
+    from vectordb_from_scratch_spark.operators import textstats
+
+    cat = VectorCatalog(spark, str(tmp_path / "cat"))
+    lib_id, doc_id, ids = _populate(cat, "hybrid-lib")
+    query = "chunk 7"
+    k, pool = 5, embedder.RRF_POOL
+
+    got = cat.search_hybrid(lib_id, query, k=k)
+    assert len(got) == k
+
+    # independent fusion: inline-tokenizer BM25 + vector leg + RRF math
+    docs = (
+        cat.chunks.read()
+        .filter(F.col("library_id") == lib_id)
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+    terms = tuple(sorted({t for t in query.split(" ") if t}))
+    lex = textstats.bm25_ranking(docs, terms, pool).collect()
+    vec = cat.search_text(lib_id, query, k=pool)
+    fused: dict[str, float] = {}
+    for r in lex:
+        fused[r["doc_id"]] = fused.get(r["doc_id"], 0.0) + 1.0 / (
+            embedder.RRF_K + r["rnk"]
+        )
+    for rank, sr in enumerate(vec, 1):
+        fused[sr.chunk_id] = fused.get(sr.chunk_id, 0.0) + 1.0 / (
+            embedder.RRF_K + rank
+        )
+    want = [
+        (cid, round(s, 6))
+        for cid, s in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    ]
+    assert [(r.chunk_id, r.similarity_score) for r in got] == want
+
+    # hydration populates the chunk payload
+    hydrated = cat.search_hybrid(lib_id, query, k=1, include_chunk=True)
+    assert hydrated[0].chunk is not None and hydrated[0].chunk["text"]
+
+    # --- incremental maintenance -------------------------------------
+    new_text = "seven 7 7 7"
+    touched = {textstats._bm25_bucket(t) for t in new_text.split(" ")}
+    post_dir = cat._index_path(lib_id, "bm25_postings")
+    untouched = next(
+        d
+        for d in sorted(os.listdir(post_dir))
+        if d.startswith("term_bucket=")
+        and int(d.split("=")[1]) not in touched
+    )
+    inodes_before = {
+        f: os.stat(os.path.join(post_dir, untouched, f)).st_ino
+        for f in os.listdir(os.path.join(post_dir, untouched))
+        if f.endswith(".parquet")
+    }
+    (new_id,) = cat.add_chunks(
+        lib_id, doc_id, [{"text": new_text, "embedding": _vectors(1)[0].tolist()}]
+    )
+    res = cat.search_hybrid(lib_id, "7", k=3)
+    assert new_id in [r.chunk_id for r in res]  # tf=3 of '7' → lexical hit
+    inodes_after = {
+        f: os.stat(os.path.join(post_dir, untouched, f)).st_ino
+        for f in os.listdir(os.path.join(post_dir, untouched))
+        if f.endswith(".parquet")
+    }
+    assert inodes_after == inodes_before  # untouched bucket not rewritten
+
+    cat.delete_chunks(lib_id, [new_id])
+    res = cat.search_hybrid(lib_id, "7", k=3)
+    assert new_id not in [r.chunk_id for r in res]

@@ -51,6 +51,7 @@ from vectordb_from_scratch_spark.operators import knn
 from vectordb_from_scratch_spark.operators import lsh as lsh_ops
 from vectordb_from_scratch_spark.operators import hnsw as hnsw_ops
 from vectordb_from_scratch_spark.operators import pq as pq_ops
+from vectordb_from_scratch_spark.operators import textstats as text_ops
 
 MAX_K = 100  # reference caps k ∈ [1, 100] (app/api/dto.py:58)
 
@@ -560,6 +561,9 @@ class VectorCatalog:
             removed=[(r["id"], r["embedding"]) for r in gone],
             n_delta=-len(gone),
         )
+        # document cascades are unbounded — lexical sidecar takes the
+        # mark-stale + lazy-rebuild path rather than a per-chunk delta
+        self._invalidate_bm25(lib_id)
 
     # ------------------------------------------------------------------ C8-C12
     def add_chunks(
@@ -606,6 +610,7 @@ class VectorCatalog:
             upserts=[(r[0], r[4]) for r in rows],
             n_delta=len(rows),
         )
+        self._bm25_delta(lib_id, upserts=[(r[0], r[3]) for r in rows])
         return out_ids
 
     def upsert_chunks(
@@ -665,6 +670,11 @@ class VectorCatalog:
             upserts=[(r[0], r[4]) for r in rows],
             removed=removed,
             n_delta=len(rows) - len(removed),
+        )
+        self._bm25_delta(
+            lib_id,
+            upserts=[(r[0], r[3]) for r in rows],
+            removed_ids=[r["id"] for r in replaced],
         )
         return ids
 
@@ -776,6 +786,10 @@ class VectorCatalog:
                 upserts=[(chunk_id, merged[4])],
                 removed=[(chunk_id, chunk["embedding"])],
             )
+        if "text" in patch:
+            self._bm25_delta(
+                lib_id, upserts=[(chunk_id, merged[3])], removed_ids=[chunk_id]
+            )
         return self.get_chunk(lib_id, chunk_id)
 
     def delete_chunks(self, lib_id: str, chunk_ids: list[str]) -> None:
@@ -802,6 +816,7 @@ class VectorCatalog:
             removed=[(r["id"], r["embedding"]) for r in present_rows],
             n_delta=-len(present_rows),
         )
+        self._bm25_delta(lib_id, removed_ids=chunk_ids)
 
     # ------------------------------------------------------------------ C15
     def library_stats(self, lib_id: str) -> dict:
@@ -1133,6 +1148,225 @@ class VectorCatalog:
         lib = self.get_library(lib_id)
         vec = embedder.PROVIDERS[provider](dims=lib["dims"])([text])[0].tolist()
         return self.search(lib_id, vec, k=k, **kwargs)
+
+    # -------------------------------------------------------- lexical sidecar + hybrid search
+    #
+    # BM25 over an incrementally-maintained inverted index, fused with the
+    # library's vector index by reciprocal rank — the catalog-served twin
+    # of the standalone `search_hybrid_rrf` operator (same tokenizer, same
+    # scoring tail, same RRF_K/RRF_POOL constants), on the same layout as
+    # the fixture-level materialized index (`textstats.ensure_bm25_index`):
+    # postings partitioned by crc32(term) % 64 hash buckets (query terms →
+    # partition pruning), doc lengths partitioned by id_part (deltas touch
+    # O(1/N_ID_PARTS) of the table), corpus stats in a meta file. The
+    # sidecar is index_type-INDEPENDENT: it coexists with whatever ANN
+    # index the library declares, because hybrid needs both legs.
+
+    def _bm25_meta(self, lib_id: str) -> dict | None:
+        try:
+            with open(self._index_path(lib_id, "bm25_meta.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_bm25_meta(self, lib_id: str, meta: dict) -> None:
+        os.makedirs(self._index_dir(lib_id), exist_ok=True)
+        tmp = self._index_path(lib_id, "bm25_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._index_path(lib_id, "bm25_meta.json"))
+
+    def _invalidate_bm25(self, lib_id: str) -> None:
+        meta = self._bm25_meta(lib_id)
+        if meta is not None:
+            meta["stale"] = True
+            self._write_bm25_meta(lib_id, meta)
+
+    @staticmethod
+    def _words_expr():
+        # the one tokenizer rule, shared with operators/textstats.py
+        return F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+    def _chunk_postings(self, df: DataFrame) -> DataFrame:
+        return (
+            df.select("id", F.explode(self._words_expr()).alias("term"))
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            .withColumn(
+                "term_bucket",
+                F.pmod(
+                    F.crc32(F.encode(F.col("term"), "utf-8")),
+                    F.lit(text_ops._BM25_N_BUCKETS),
+                ).cast("int"),
+            )
+        )
+
+    def _ensure_bm25(self, lib_id: str, corpus: DataFrame) -> bool:
+        meta = self._bm25_meta(lib_id)
+        if meta and not meta.get("stale"):
+            return True
+        return self._build_bm25(lib_id, corpus)
+
+    def _build_bm25(self, lib_id: str, corpus: DataFrame) -> bool:
+        n = corpus.count()
+        if n == 0:
+            return False
+        self._chunk_postings(corpus).write.mode("overwrite").partitionBy(
+            "term_bucket"
+        ).parquet(self._index_path(lib_id, "bm25_postings"))
+        dl = _with_id_part(
+            corpus.select("id", F.size(self._words_expr()).cast("double").alias("dl"))
+        )
+        dl.write.mode("overwrite").partitionBy("id_part").parquet(
+            self._index_path(lib_id, "bm25_doclens")
+        )
+        self._refresh_bm25_stats(lib_id)
+        return True
+
+    def _refresh_bm25_stats(self, lib_id: str) -> None:
+        row = (
+            self.spark.read.parquet(self._index_path(lib_id, "bm25_doclens"))
+            .agg(
+                F.avg("dl").alias("avgdl"),
+                F.count(F.lit(1)).cast("double").alias("n"),
+            )
+            .collect()[0]
+        )
+        self._write_bm25_meta(
+            lib_id, {"n": row["n"], "avgdl": row["avgdl"], "stale": False}
+        )
+
+    def _bm25_delta(
+        self,
+        lib_id: str,
+        upserts: list[tuple] | None = None,
+        removed_ids: list[str] | None = None,
+    ) -> None:
+        """Partition-scoped lexical-index maintenance, mirroring
+        ``_index_delta``: ``upserts`` are (chunk_id, text) rows now
+        current, ``removed_ids`` chunks no longer current (an update
+        contributes to both). Only the term_bucket partitions containing
+        the touched chunks' old or new terms rewrite, and only the
+        id_part partitions of the touched doc lengths — never the index.
+        Corpus stats (n, avgdl) refresh from the doclens sidecar (one
+        small agg). Crash mid-delta degrades to stale → lazy rebuild."""
+        upserts = upserts or []
+        removed_ids = removed_ids or []
+        touched = sorted({cid for cid, _ in upserts} | set(removed_ids))
+        if not touched:
+            return
+        meta = self._bm25_meta(lib_id)
+        if meta is None or meta.get("stale"):
+            return self._invalidate_bm25(lib_id)
+        meta["stale"] = True
+        self._write_bm25_meta(lib_id, meta)
+        post_path = self._index_path(lib_id, "bm25_postings")
+        post = self.spark.read.parquet(post_path)
+        new_posts = self._chunk_postings(
+            self.spark.createDataFrame(
+                [(cid, txt) for cid, txt in upserts], "id STRING, text STRING"
+            )
+        ).localCheckpoint(eager=True)
+        affected = {
+            r["term_bucket"]
+            for r in post.filter(F.col("id").isin(touched))
+            .select("term_bucket")
+            .distinct()
+            .collect()
+        } | {r["term_bucket"] for r in new_posts.select("term_bucket").distinct().collect()}
+        if affected:
+            content = post.filter(
+                F.col("term_bucket").isin(sorted(affected))
+                & ~F.col("id").isin(touched)
+            ).unionByName(new_posts)
+            self._overwrite_partitions(content, post_path, "term_bucket", affected)
+        dl_path = self._index_path(lib_id, "bm25_doclens")
+        new_dl = _with_id_part(
+            self.spark.createDataFrame(
+                [(cid, txt) for cid, txt in upserts], "id STRING, text STRING"
+            ).select("id", F.size(self._words_expr()).cast("double").alias("dl"))
+        ).localCheckpoint(eager=True)
+        parts = {
+            r["id_part"]
+            for r in _with_id_part(
+                self.spark.createDataFrame([(c,) for c in touched], "id STRING")
+            ).select("id_part").distinct().collect()
+        }
+        dl = self.spark.read.parquet(dl_path)
+        content_dl = dl.filter(
+            F.col("id_part").isin(sorted(parts)) & ~F.col("id").isin(touched)
+        ).unionByName(new_dl)
+        self._overwrite_partitions(content_dl, dl_path, "id_part", parts)
+        self._refresh_bm25_stats(lib_id)  # also clears stale
+
+    def search_hybrid(
+        self,
+        lib_id: str,
+        text: str,
+        k: int = 10,
+        provider: str = "hashed",
+        include_chunk: bool = False,
+    ) -> list[SearchResult]:
+        """Hybrid retrieval through the service surface: BM25 over the
+        lexical sidecar ⊕ vector search over the library's declared ANN
+        index, fused by reciprocal rank (1/(RRF_K + rank), coalesce-0 for
+        single-list hits — the standalone `search_hybrid_rrf` convention).
+        Both legs rank a pool of max(RRF_POOL, k); fusion runs driver-side
+        over ≤ 2·pool rows (k is capped at MAX_K, so this is bounded by
+        the serving contract, not data size). The lexical leg reads only
+        the query terms' hash-bucket partitions of the postings layout."""
+        from vectordb_from_scratch_spark.functions import embedder
+
+        self.get_library(lib_id)
+        if not 1 <= k <= MAX_K:
+            raise ValidationError(f"k must be in [1, {MAX_K}]")
+        corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
+        if not self._ensure_bm25(lib_id, corpus):
+            return []  # empty library
+        pool = max(embedder.RRF_POOL, k)
+        vec = self.search_text(lib_id, text, k=pool, provider=provider)
+        meta = self._bm25_meta(lib_id)
+        terms = sorted({t for t in text.split(" ") if t})
+        buckets = sorted({text_ops._bm25_bucket(t) for t in terms})
+        tf = (
+            self.spark.read.parquet(self._index_path(lib_id, "bm25_postings"))
+            .filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            .select(F.col("id").alias("doc_id"), "term", "tf")
+        )
+        dl = self.spark.read.parquet(
+            self._index_path(lib_id, "bm25_doclens")
+        ).select(F.col("id").alias("doc_id"), "dl")
+        stats = self.spark.range(1).select(
+            F.lit(meta["avgdl"]).alias("avgdl"), F.lit(meta["n"]).alias("n")
+        )
+        lex = text_ops._bm25_rank_tail(tf, dl, stats, pool).collect()
+        fused: dict[str, float] = {}
+        for r in lex:
+            fused[r["doc_id"]] = fused.get(r["doc_id"], 0.0) + 1.0 / (
+                embedder.RRF_K + r["rnk"]
+            )
+        for rank, sr in enumerate(vec, 1):
+            fused[sr.chunk_id] = fused.get(sr.chunk_id, 0.0) + 1.0 / (
+                embedder.RRF_K + rank
+            )
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        chunks_by_id: dict[str, dict] = {}
+        if include_chunk and top:
+            for r in corpus.filter(F.col("id").isin([c for c, _ in top])).collect():
+                chunks_by_id[r["id"]] = {
+                    "id": r["id"],
+                    "document_id": r["document_id"],
+                    "library_id": r["library_id"],
+                    "text": r["text"],
+                    "embedding": list(r["embedding"]),
+                    "metadata": dict(r["metadata"] or {}),
+                }
+        return [
+            SearchResult(cid, round(score, 6), chunks_by_id.get(cid))
+            for cid, score in top
+        ]
 
     # ------------------------------------------------------------------ index (V7/V15/V16/V17)
     def _index_dir(self, lib_id: str) -> str:
