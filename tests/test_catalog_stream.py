@@ -110,3 +110,64 @@ def test_upsert_replaces_and_keeps_index_exact(spark, cat):
     assert hits[0].chunk_id == "c00"
     # the old vector no longer matches its former position
     assert cat.get_chunk(lib, "c00")["text"] == "c0-new"
+
+
+def test_streamed_ingest_maintains_hybrid_lexical_sidecar(spark, tmp_path, cat):
+    """The lexical (BM25) sidecar rides the same upsert delta as the ANN
+    sidecars, so a built sidecar stays correct under streamed ingest:
+    after the stream drains, hybrid search finds the streamed chunk with
+    the highest tf of the query term — and the result equals a hybrid
+    search over a library whose sidecar was built AFTER the ingest (delta
+    path == rebuild path)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "id": ["pre-0", "pre-1"],
+                "text": ["alpha beta gamma", "beta gamma delta"],
+            }
+        ),
+        str(src / "b0.parquet"),
+    )
+    lib = cat.create_library("hyb-stream", DIMS)
+    doc = cat.create_document(lib, "d1")
+    streaming.catalog_ingest_stream(
+        spark, str(src), SCHEMA, cat, lib, doc, str(tmp_path / "ck1"), dims=DIMS
+    )
+    # build the sidecar on the initial corpus
+    base = cat.search_hybrid(lib, "gamma", k=2)
+    assert {r.chunk_id for r in base} == {"pre-0", "pre-1"}
+
+    # stream a second wave; the delta must absorb it (no manual rebuild)
+    pq.write_table(
+        pa.table({"id": ["new-0"], "text": ["gamma gamma gamma focus"]}),
+        str(src / "b1.parquet"),
+    )
+    streaming.catalog_ingest_stream(
+        spark, str(src), SCHEMA, cat, lib, doc, str(tmp_path / "ck2"), dims=DIMS
+    )
+    after = cat.search_hybrid(lib, "gamma", k=3)
+    assert "new-0" in {r.chunk_id for r in after}
+
+    # delta path == rebuild path: a twin library ingested in one shot,
+    # sidecar built fresh, must fuse to the same ranking
+    lib_b = cat.create_library("hyb-batch", DIMS)
+    doc_b = cat.create_document(lib_b, "d1")
+    rows = [
+        ("pre-0", "alpha beta gamma"),
+        ("pre-1", "beta gamma delta"),
+        ("new-0", "gamma gamma gamma focus"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    emb = embed_texts(df, text_col="text", dims=DIMS).collect()
+    cat.add_chunks(
+        lib_b,
+        doc_b,
+        [{"text": r["text"], "embedding": list(r["embedding"])} for r in emb],
+        ids=[r["id"] for r in emb],
+    )
+    fresh = cat.search_hybrid(lib_b, "gamma", k=3)
+    assert [(r.chunk_id, r.similarity_score) for r in after] == [
+        (r.chunk_id, r.similarity_score) for r in fresh
+    ]
