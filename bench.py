@@ -93,6 +93,7 @@ HEADLINE = [
     "hnsw_search_prebuilt",
     "hnsw_search_routed",
     "hnsw_search_bigq",
+    "hnsw_search_routed_bigq",
     "knn_cascade",
     "knn_radius_search",
     "knn_mmr_diversified",

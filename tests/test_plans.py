@@ -131,6 +131,17 @@ def test_hnsw_bigq_cogroups_and_matches_driver_path(spark, sf_oracle):
         map(tuple, registry.QUERIES["hnsw_search"](spark, sf_oracle).collect())
     )
     assert got == want and len(got) > 0
+    # and the routed twin: in-plan probes + probe-routed cogroups
+    rdf = registry.QUERIES["hnsw_search_routed_bigq"](spark, sf_oracle)
+    assert "FlatMapCoGroupsInPandas" in plans.physical_plan(rdf)
+    rgot = sorted(map(tuple, rdf.collect()))
+    rwant = sorted(
+        map(
+            tuple,
+            registry.QUERIES["hnsw_search_routed"](spark, sf_oracle).collect(),
+        )
+    )
+    assert rgot == rwant and len(rgot) > 0
 
 
 def test_bm25_prebuilt_prunes_postings_partitions(spark, sf_oracle):

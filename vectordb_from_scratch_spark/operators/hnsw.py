@@ -486,57 +486,14 @@ def hnsw_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hnsw_search(spark, sf_dir)
 
 
-def search_graphs_distributed(
-    graph: DataFrame,
-    queries: DataFrame,
-    k: int = DEFAULT_K,
-    ef: int = EF_SEARCH,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    shard_ids: list | None = None,
-    n_queries_hint: int | None = None,
-    queries_per_block: int = 4096,
-) -> DataFrame:
-    """Fan-out graph search for UNBOUNDED query batches: queries stay a
-    Spark DataFrame end to end — no driver pandas, no query matrix in any
-    closure (the large-Q exit ``ivf.search_distributed`` provides for the
-    IVF tier, here for the graph tier). Queries are hash-blocked and
-    replicated across shards; graph shards are replicated across query
-    blocks; each (shard, qblk) cogroup pair beams its block's queries
-    against its complete shard adjacency and emits per-shard top-k under
-    the exact global tie order, merged by the standard rank window.
-    Results are identical to ``search_graphs`` for the same queries.
-
-    The graph-side replication factor is ceil(Q/queries_per_block) —
-    full fan-out is inherently every-query × every-shard work; when that
-    product is too large, the routed tier (IVF probe pruning) is the
-    scale path, not a bigger fan-out."""
+def _make_pair_topk(id_col: str, vec_col: str, k: int, ef: int):
+    """The cogroup kernel shared by the full-fan-out and routed
+    distributed searches: one (graph rows, query rows) pair per task —
+    rebuild the shard adjacency, beam every query in the right frame,
+    emit per-shard top-k under the exact global tie order."""
     import pandas as pd
 
     from vectordb_from_scratch_spark.operators import knn
-
-    if shard_ids is None:
-        shard_ids = sorted(
-            r["shard"] for r in graph.select("shard").distinct().collect()
-        )
-    nq = n_queries_hint if n_queries_hint is not None else queries.count()
-    nqb = max(1, -(-int(nq) // queries_per_block))
-    g = graph.select(
-        "shard",
-        id_col,
-        vec_col,
-        "neighbors",
-        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
-    )
-    q = queries.select(
-        "query_id",
-        "query_vec",
-        F.pmod(F.xxhash64("query_id"), F.lit(nqb)).cast("int").alias("qblk"),
-        F.explode(
-            F.array(*[F.lit(int(s)).cast("int") for s in shard_ids])
-        ).alias("shard"),
-    )
-    id_type = graph.schema[id_col].dataType.simpleString()
 
     def pair_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
@@ -563,11 +520,62 @@ def search_graphs_distributed(
             out_s.extend(float(x) for x in sims[sel])
         return pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
 
+    return pair_topk
+
+
+def search_graphs_distributed(
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    ef: int = EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shard_ids: list | None = None,
+    n_queries_hint: int | None = None,
+    queries_per_block: int = 4096,
+) -> DataFrame:
+    """Fan-out graph search for UNBOUNDED query batches: queries stay a
+    Spark DataFrame end to end — no driver pandas, no query matrix in any
+    closure (the large-Q exit ``ivf.search_distributed`` provides for the
+    IVF tier, here for the graph tier). Queries are hash-blocked and
+    replicated across shards; graph shards are replicated across query
+    blocks; each (shard, qblk) cogroup pair beams its block's queries
+    against its complete shard adjacency and emits per-shard top-k under
+    the exact global tie order, merged by the standard rank window.
+    Results are identical to ``search_graphs`` for the same queries.
+
+    The graph-side replication factor is ceil(Q/queries_per_block) —
+    full fan-out is inherently every-query × every-shard work; when that
+    product is too large, the routed tier (IVF probe pruning) is the
+    scale path, not a bigger fan-out — see ``routed_search_distributed``."""
+    if shard_ids is None:
+        shard_ids = sorted(
+            r["shard"] for r in graph.select("shard").distinct().collect()
+        )
+    nq = n_queries_hint if n_queries_hint is not None else queries.count()
+    nqb = max(1, -(-int(nq) // queries_per_block))
+    g = graph.select(
+        "shard",
+        id_col,
+        vec_col,
+        "neighbors",
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
+    )
+    q = queries.select(
+        "query_id",
+        "query_vec",
+        F.pmod(F.xxhash64("query_id"), F.lit(nqb)).cast("int").alias("qblk"),
+        F.explode(
+            F.array(*[F.lit(int(s)).cast("int") for s in shard_ids])
+        ).alias("shard"),
+    )
+    id_type = graph.schema[id_col].dataType.simpleString()
     per_pair = (
         g.groupBy("shard", "qblk")
         .cogroup(q.groupBy("shard", "qblk"))
         .applyInPandas(
-            pair_topk, schema=f"query_id long, {id_col} {id_type}, score double"
+            _make_pair_topk(id_col, vec_col, k, ef),
+            schema=f"query_id long, {id_col} {id_type}, score double",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -814,6 +822,90 @@ def hnsw_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the all-probes+full-ef == exact invariant are pinned in
     tests/test_ann_recall.py."""
     res = routed_build_and_search(spark, sf_dir)
+    return res.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def routed_search_distributed(
+    graph: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    ef: int = EF_SEARCH,
+    n_probes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries_hint: int | None = None,
+    queries_per_block: int = 4096,
+) -> DataFrame:
+    """IVF-routed graph search for UNBOUNDED query batches: probes run
+    in-plan (``ivf.probe_clusters_df`` — queries ⋈ broadcast centroids →
+    rank window), each probed (query, cluster) pair cogroups with that
+    cluster's graph, and nothing about the batch ever reaches the
+    driver. Query replication is n_probes (each query visits only its
+    probed clusters), the graph side is semi-join-pruned to probed
+    clusters, and hash-blocking bounds per-task query counts exactly as
+    in ``search_graphs_distributed``. Same beams, same tie order — the
+    unbounded-Q twin of ``routed_search``."""
+    from vectordb_from_scratch_spark.operators import ivf
+
+    if n_probes is None:
+        n_probes = ivf.DEFAULT_N_PROBES
+    probes = ivf.probe_clusters_df(centroids, queries, n_probes).select(
+        F.col("query_id"), F.col("cluster_id").cast("int").alias("shard")
+    )
+    nq = n_queries_hint if n_queries_hint is not None else queries.count()
+    nqb = max(1, -(-int(nq) // queries_per_block))
+    routed_q = probes.join(queries, "query_id").select(
+        "shard",
+        "query_id",
+        "query_vec",
+        F.pmod(F.xxhash64("query_id"), F.lit(nqb)).cast("int").alias("qblk"),
+    )
+    pruned = graph.join(
+        probes.select("shard").distinct(), "shard", "left_semi"
+    ).select(
+        "shard",
+        id_col,
+        vec_col,
+        "neighbors",
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
+    )
+    id_type = graph.schema[id_col].dataType.simpleString()
+    per_pair = (
+        pruned.groupBy("shard", "qblk")
+        .cogroup(routed_q.groupBy("shard", "qblk"))
+        .applyInPandas(
+            _make_pair_topk(id_col, vec_col, k, ef),
+            schema=f"query_id long, {id_col} {id_type}, score double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+@register("hnsw_search_routed_bigq")  # rows-only: k-means + graph build not SQL
+def hnsw_search_routed_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed tier's large-batch exit: in-plan probes + probe-routed
+    cogroups, no driver collect anywhere. Equality with the driver-path
+    hnsw_search_routed (same probes, same beams) is asserted in
+    tests/test_plans.py — the fixture's 10 queries anchor correctness,
+    the plan shape carries the unbounded-Q claim."""
+    from vectordb_from_scratch_spark.operators import ivf, knn
+
+    centroids, _ = ivf.built_index(spark, sf_dir)
+    _, queries = knn.fixture_query_set(spark, sf_dir, N_QUERIES)
+    g = routed_built_graph(spark, sf_dir)
+    res = routed_search_distributed(
+        g, centroids, queries, n_queries_hint=N_QUERIES
+    )
     return res.select(
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rnk")
     )
