@@ -87,6 +87,7 @@ HEADLINE = [
     "knn_hamming_topk",
     "pq_search",
     "pq_search_prebuilt",
+    "pq_search_bigq",
     "ivfpq_search",
     "ivfpq_search_prebuilt",
     "hnsw_search",

@@ -144,6 +144,19 @@ def test_hnsw_bigq_cogroups_and_matches_driver_path(spark, sf_oracle):
     assert rgot == rwant and len(rgot) > 0
 
 
+def test_pq_bigq_cogroups_and_matches_closure_path(spark, sf_oracle):
+    """The compressed tier's large-batch exit: block-joined ADC + in-plan
+    rerank (FlatMapCoGroupsInPandas, no LUT closure), identical results
+    to the broadcast-LUT path."""
+    df = registry.QUERIES["pq_search_bigq"](spark, sf_oracle)
+    assert "FlatMapCoGroupsInPandas" in plans.physical_plan(df)
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, registry.QUERIES["pq_search"](spark, sf_oracle).collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_bm25_prebuilt_prunes_postings_partitions(spark, sf_oracle):
     """The materialized-index serve path must read only the query terms'
     hash buckets of the postings layout: PartitionFilters on term_bucket

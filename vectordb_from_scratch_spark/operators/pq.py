@@ -316,6 +316,166 @@ def pq_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(spark, sf_dir)
 
 
+def search_blockjoin(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = DEFAULT_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_corpus_hint: int | None = None,
+    n_queries_hint: int | None = None,
+    rows_per_block: int = 65536,
+    queries_per_block: int = 4096,
+) -> DataFrame:
+    """PQ search for UNBOUNDED query batches: the block-join layout of
+    ``knn.topk_blockjoin`` applied to the CODES table — the compressed
+    tier is where block replication is cheapest (m code bytes per row vs
+    4·d float bytes), so the inherent N·Q data motion shrinks by the
+    compression ratio. Queries stay a DataFrame end to end: per
+    cogrouped (code block × query block) pair the kernel builds ADC LUTs
+    from the right frame's query vectors in bounded query chunks (the
+    same ``_query_luts`` arithmetic — unit-normalize then per-subspace
+    codebook matmul), gather-scores the block's codes, and takes a
+    per-block top-``shortlist`` per query with the deterministic
+    boundary-tie rule (lowest id at the cut). The global window reduces
+    that to exactly ``adc_shortlist``'s per-query shortlist, and the
+    exact rerank joins query vectors back in-plan
+    (``knn.score_pairs_joined``) — results identical to ``search``."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    n_c = n_corpus_hint if n_corpus_hint is not None else codes.count()
+    n_q = n_queries_hint if n_queries_hint is not None else queries.count()
+    ncb = max(1, -(-int(n_c) // rows_per_block))
+    nqb = max(1, -(-int(n_q) // queries_per_block))
+    c = codes.select(
+        id_col,
+        "codes",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(ncb)).cast("int").alias("cblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
+    )
+    q = queries.select(
+        "query_id",
+        "query_vec",
+        F.pmod(F.xxhash64(F.col("query_id")), F.lit(nqb)).cast("int").alias("qblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(ncb - 1))).alias("cblk"),
+    )
+    mm, _, sub = codebooks.shape
+    id_type = codes.schema[id_col].dataType.simpleString()
+
+    def pair_short(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"query_id": [], id_col: [], "adc": []}).astype(
+                {"query_id": "int64", "adc": "float64"}
+            )
+        ids = left[id_col].to_numpy()
+        C = np.stack(left["codes"].to_list())  # (n, m) int
+        qids = right["query_id"].to_numpy()
+        Qm = _unit(np.stack(right["query_vec"].to_list()).astype("float64"))
+        kk = min(shortlist, len(ids))
+        qchunk = max(16, int(4_000_000 // len(ids)))  # bounds the score matrix
+        out = []
+        for a in range(0, len(qids), qchunk):
+            b = min(len(qids), a + qchunk)
+            lut = np.stack(
+                [
+                    Qm[a:b, i * sub : (i + 1) * sub] @ codebooks[i].T
+                    for i in range(mm)
+                ],
+                axis=1,
+            )  # (chunk, m, k)
+            S = np.zeros((b - a, len(ids)))
+            for i in range(mm):
+                S += lut[:, i, C[:, i]]  # (chunk, n)
+            sel = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            selS = np.take_along_axis(S, sel, axis=1)
+            cut = selS.min(axis=1)
+            eq_total = (S == cut[:, None]).sum(axis=1)
+            eq_sel = (selS == cut[:, None]).sum(axis=1)
+            for t in range(b - a):
+                cols = sel[t]
+                if eq_total[t] != eq_sel[t]:
+                    # boundary tie at the cut: lowest ids win (the global
+                    # (adc DESC, id ASC) window depends on this set)
+                    row = S[t]
+                    definite = cols[selS[t] > cut[t]]
+                    tie_pos = np.flatnonzero(row == cut[t])
+                    tie_pos = tie_pos[np.argsort(ids[tie_pos], kind="stable")]
+                    cols = np.concatenate(
+                        [definite, tie_pos[: kk - len(definite)]]
+                    )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(qids[a + t]),
+                            id_col: ids[cols],
+                            "adc": S[t, cols],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        c.groupBy("cblk", "qblk")
+        .cogroup(q.groupBy("cblk", "qblk"))
+        .applyInPandas(
+            pair_short, schema=f"query_id long, {id_col} {id_type}, adc double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", id_col)
+    )
+    cand_vec = short.join(corpus.select(id_col, vec_col), id_col)
+    rr = knn.score_pairs_joined(cand_vec, queries, id_col, vec_col)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+registry.WARMERS["pq_search_bigq"] = warm_pq
+
+
+@register("pq_search_bigq")  # rows-only: seeded k-means not SQL-expressible
+def pq_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed tier's large-batch exit: block-joined ADC over the
+    codes table + in-plan exact rerank — no LUT closure, no driver
+    collect, so the batch size is unbounded. Shrunken block targets on
+    the fixture exercise the multi-block shortlist merge; equality with
+    the LUT-closure path is asserted in tests/test_plans.py."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, queries = knn.fixture_query_set(spark, sf_dir, 10)
+    books, codes = built_index(spark, sf_dir)
+    res = search_blockjoin(
+        emb,
+        codes,
+        books,
+        queries,
+        n_queries_hint=10,
+        rows_per_block=2048,
+        queries_per_block=4,
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
 @register("pq_code_balance")  # rows-only
 def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-utilization histogram for subspace 0 — the PQ analog of
