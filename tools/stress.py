@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid
 """
 
 from __future__ import annotations
@@ -76,6 +76,67 @@ def run_blockjoin(spark, emb, n: int, d: int) -> None:
         for r in knn.topk_pandas(emb, sub, k=10).collect()
     }
     print(f"50-query subset equals BLAS path: {a == b} ({len(a)} result rows)")
+
+
+def run_hybrid(spark, emb, n: int, d: int) -> None:
+    """Catalog hybrid search at scale: ingest n chunks, build the lexical
+    sidecar once, then measure (a) the cold sidecar build, (b) the warm
+    hybrid query (partition-pruned postings + vector leg + RRF), and
+    (c) a single-chunk delta — which must stay partition-scoped (wall
+    independent of n up to the touched-partition rewrite)."""
+    import shutil
+    import tempfile
+
+    from vectordb_from_scratch_spark.catalog import VectorCatalog
+
+    root = tempfile.mkdtemp(prefix="stress_hybrid_")
+    try:
+        cat = VectorCatalog(spark, root)
+        lib = cat.create_library("stress", d)
+        doc = cat.create_document(lib, "d1")
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i:04d}" for i in range(2000)]
+        texts = [
+            " ".join(rng.choice(vocab, size=24)) + (" needle" if i % 997 == 0 else "")
+            for i in range(n)
+        ]
+        vecs = rng.standard_normal((n, d)).astype("float32")
+        t0 = time.perf_counter()
+        cat.add_chunks(
+            lib,
+            doc,
+            [{"text": t, "embedding": v.tolist()} for t, v in zip(texts, vecs)],
+            ids=[f"c{i:07d}" for i in range(n)],
+        )
+        t_ingest = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = cat.search_hybrid(lib, "needle w0001", k=10)
+        t_cold = time.perf_counter() - t0  # includes the sidecar build
+        t0 = time.perf_counter()
+        res = cat.search_hybrid(lib, "needle w0002", k=10)
+        t_warm = time.perf_counter() - t0
+        print(
+            f"hybrid n={n}: ingest {t_ingest:6.2f}s, first query (builds "
+            f"sidecar) {t_cold:6.2f}s, warm query {t_warm:6.2f}s "
+            f"({len(res)} results)"
+        )
+        t0 = time.perf_counter()
+        cat.add_chunks(
+            lib,
+            doc,
+            [{"text": "needle needle needle probe", "embedding": vecs[0].tolist()}],
+            ids=["delta-0"],
+        )
+        t_delta = time.perf_counter() - t0
+        res = cat.search_hybrid(lib, "needle", k=3)
+        hit = "delta-0" in [r.chunk_id for r in res]
+        print(
+            f"hybrid delta: single-chunk add {t_delta:6.2f}s "
+            f"(partition-scoped postings + doclens rewrite); "
+            f"new chunk served: {hit}"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def run_neardup(spark, emb, n: int, d: int) -> None:
@@ -392,6 +453,8 @@ def main() -> None:
         return run_neardup(spark, emb, n, d)
     if mode == "blockjoin":
         return run_blockjoin(spark, emb, n, d)
+    if mode == "hybrid":
+        return run_hybrid(spark, emb, n, d)
     if mode == "semprune":
         return run_semprune(spark, emb, n, d)
     if mode == "hnsw":
