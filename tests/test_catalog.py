@@ -568,33 +568,66 @@ def test_hybrid_search_fuses_legs_and_maintains_postings(spark, tmp_path):
     hydrated = cat.search_hybrid(lib_id, query, k=1, include_chunk=True)
     assert hydrated[0].chunk is not None and hydrated[0].chunk["text"]
 
-    # --- incremental maintenance -------------------------------------
-    new_text = "seven 7 7 7"
-    touched = {textstats._bm25_bucket(t) for t in new_text.split(" ")}
-    post_dir = cat._index_path(lib_id, "bm25_postings")
-    untouched = next(
-        d
-        for d in sorted(os.listdir(post_dir))
-        if d.startswith("term_bucket=")
-        and int(d.split("=")[1]) not in touched
-    )
-    inodes_before = {
-        f: os.stat(os.path.join(post_dir, untouched, f)).st_ino
-        for f in os.listdir(os.path.join(post_dir, untouched))
-        if f.endswith(".parquet")
-    }
+    # --- incremental maintenance (append-only segments) ---------------
+    def base_inodes():
+        post_dir = cat._index_path(lib_id, "bm25_postings")
+        return {
+            os.path.join(d, f): os.stat(os.path.join(post_dir, d, f)).st_ino
+            for d in sorted(os.listdir(post_dir))
+            if d.startswith("term_bucket=")
+            for f in os.listdir(os.path.join(post_dir, d))
+            if f.endswith(".parquet")
+        }
+
+    inodes_before = base_inodes()
     (new_id,) = cat.add_chunks(
-        lib_id, doc_id, [{"text": new_text, "embedding": _vectors(1)[0].tolist()}]
+        lib_id, doc_id, [{"text": "seven 7 7 7", "embedding": _vectors(1)[0].tolist()}]
     )
     res = cat.search_hybrid(lib_id, "7", k=3)
     assert new_id in [r.chunk_id for r in res]  # tf=3 of '7' → lexical hit
-    inodes_after = {
-        f: os.stat(os.path.join(post_dir, untouched, f)).st_ino
-        for f in os.listdir(os.path.join(post_dir, untouched))
-        if f.endswith(".parquet")
-    }
-    assert inodes_after == inodes_before  # untouched bucket not rewritten
+    # a delta is append-only: the ENTIRE base postings layout is untouched
+    # (new postings live in a segment; the replaced rows die by tombstone)
+    assert base_inodes() == inodes_before
+    assert len(cat._bm25_segment_dirs(lib_id)) == 1
 
     cat.delete_chunks(lib_id, [new_id])
     res = cat.search_hybrid(lib_id, "7", k=3)
     assert new_id not in [r.chunk_id for r in res]
+    assert base_inodes() == inodes_before  # delete = tombstone only
+
+
+def test_bm25_segments_fold_at_threshold_and_results_hold(spark, tmp_path):
+    """Segment lifecycle: repeated deltas accumulate append-only segments;
+    at BM25_MAX_SEGMENTS the resolved view folds into a fresh base and the
+    history clears — with the hybrid ranking identical before and after
+    the fold, and identical to a from-scratch rebuild (tombstone masking
+    and folding must be invisible to the scorer)."""
+    cat = VectorCatalog(spark, str(tmp_path / "cat"))
+    lib_id, doc_id, ids = _populate(cat, "seg-lib")
+    cat.search_hybrid(lib_id, "chunk", k=3)  # builds the sidecar
+
+    last = None
+    for i in range(cat.BM25_MAX_SEGMENTS):
+        (cid,) = cat.add_chunks(
+            lib_id,
+            doc_id,
+            [{"text": f"pivot {i} pivot", "embedding": _vectors(1)[0].tolist()}],
+        )
+        if i == 2:
+            cat.update_chunk(lib_id, cid, text="pivot moved pivot pivot")
+        if i == 4:
+            cat.delete_chunks(lib_id, [cid])
+        last = cid
+    # a fold fired somewhere in the run: more segment-minting deltas ran
+    # than segment dirs remain, and the count is back under the threshold
+    meta = cat._bm25_meta(lib_id)
+    assert meta["next_seg"] > cat.BM25_MAX_SEGMENTS
+    assert len(cat._bm25_segment_dirs(lib_id)) < cat.BM25_MAX_SEGMENTS
+
+    after_fold = [(r.chunk_id, r.similarity_score) for r in cat.search_hybrid(lib_id, "pivot", k=5)]
+    assert last in [c for c, _ in after_fold]
+
+    # from-scratch rebuild (stale → lazy) must agree exactly
+    cat._invalidate_bm25(lib_id)
+    rebuilt = [(r.chunk_id, r.similarity_score) for r in cat.search_hybrid(lib_id, "pivot", k=5)]
+    assert after_fold == rebuilt

@@ -120,6 +120,15 @@ def run_hybrid(spark, emb, n: int, d: int) -> None:
             f"sidecar) {t_cold:6.2f}s, warm query {t_warm:6.2f}s "
             f"({len(res)} results)"
         )
+        def index_bytes():
+            import os
+
+            total = 0
+            for base, _, files in os.walk(cat._index_dir(lib)):
+                total += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+            return total
+
+        size0 = index_bytes()
         t0 = time.perf_counter()
         cat.add_chunks(
             lib,
@@ -128,11 +137,13 @@ def run_hybrid(spark, emb, n: int, d: int) -> None:
             ids=["delta-0"],
         )
         t_delta = time.perf_counter() - t0
+        written = index_bytes() - size0
         res = cat.search_hybrid(lib, "needle", k=3)
         hit = "delta-0" in [r.chunk_id for r in res]
         print(
-            f"hybrid delta: single-chunk add {t_delta:6.2f}s "
-            f"(partition-scoped postings + doclens rewrite); "
+            f"hybrid delta: single-chunk add {t_delta:6.2f}s, index grew "
+            f"{written/1024:.0f} KB (append-only segment + tombstone + one "
+            f"doclens partition — write volume O(delta), not O(vocabulary)); "
             f"new chunk served: {hit}"
         )
     finally:

@@ -1207,23 +1207,33 @@ class VectorCatalog:
             return True
         return self._build_bm25(lib_id, corpus)
 
+    #: fold segments back into the base once this many accumulate — each
+    #: segment adds one (pruned) scan + its share of the tombstone mask
+    #: to the query path, so the count is bounded by construction
+    BM25_MAX_SEGMENTS = 8
+
     def _build_bm25(self, lib_id: str, corpus: DataFrame) -> bool:
         n = corpus.count()
         if n == 0:
             return False
-        self._chunk_postings(corpus).write.mode("overwrite").partitionBy(
-            "term_bucket"
-        ).parquet(self._index_path(lib_id, "bm25_postings"))
+        # a rebuild supersedes any delta history
+        shutil.rmtree(self._index_path(lib_id, "bm25_segments"), ignore_errors=True)
+        shutil.rmtree(self._index_path(lib_id, "bm25_tombstones"), ignore_errors=True)
+        self._chunk_postings(corpus).withColumn(
+            "seg", F.lit(0).cast("long")
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+            self._index_path(lib_id, "bm25_postings")
+        )
         dl = _with_id_part(
             corpus.select("id", F.size(self._words_expr()).cast("double").alias("dl"))
         )
         dl.write.mode("overwrite").partitionBy("id_part").parquet(
             self._index_path(lib_id, "bm25_doclens")
         )
-        self._refresh_bm25_stats(lib_id)
+        self._refresh_bm25_stats(lib_id, next_seg=1)
         return True
 
-    def _refresh_bm25_stats(self, lib_id: str) -> None:
+    def _refresh_bm25_stats(self, lib_id: str, next_seg: int | None = None) -> None:
         row = (
             self.spark.read.parquet(self._index_path(lib_id, "bm25_doclens"))
             .agg(
@@ -1232,9 +1242,55 @@ class VectorCatalog:
             )
             .collect()[0]
         )
+        prev = self._bm25_meta(lib_id) or {}
         self._write_bm25_meta(
-            lib_id, {"n": row["n"], "avgdl": row["avgdl"], "stale": False}
+            lib_id,
+            {
+                "n": row["n"],
+                "avgdl": row["avgdl"],
+                "stale": False,
+                "next_seg": next_seg if next_seg is not None else prev.get("next_seg", 1),
+            },
         )
+
+    def _bm25_segment_dirs(self, lib_id: str) -> list[str]:
+        segs = self._index_path(lib_id, "bm25_segments")
+        try:
+            return sorted(
+                os.path.join(segs, e)
+                for e in os.listdir(segs)
+                if e.startswith("seg-")
+            )
+        except FileNotFoundError:
+            return []
+
+    def _read_postings(self, lib_id: str, buckets=None, terms=None) -> DataFrame:
+        """Resolved postings view: base ∪ segments, dead rows masked by
+        the tombstone rule — a row survives unless a tombstone for its id
+        carries a HIGHER segment number (so the delta that replaced a
+        chunk kills the old rows but not its own). ``buckets``/``terms``
+        prune every scan (base and each segment share the term_bucket
+        layout) BEFORE the mask join; tombstones are mutation-bounded and
+        broadcast."""
+        df = self.spark.read.parquet(self._index_path(lib_id, "bm25_postings"))
+        for seg_dir in self._bm25_segment_dirs(lib_id):
+            df = df.unionByName(self.spark.read.parquet(seg_dir))
+        if buckets is not None:
+            df = df.filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+        tomb_path = self._index_path(lib_id, "bm25_tombstones")
+        if os.path.isdir(tomb_path):
+            dead = (
+                self.spark.read.parquet(tomb_path)
+                .groupBy("id")
+                .agg(F.max("seg").alias("_dead_below"))
+            )
+            df = df.join(F.broadcast(dead), "id", "left").filter(
+                F.col("_dead_below").isNull()
+                | (F.col("seg") >= F.col("_dead_below"))
+            ).drop("_dead_below")
+        return df
 
     def _bm25_delta(
         self,
@@ -1242,14 +1298,20 @@ class VectorCatalog:
         upserts: list[tuple] | None = None,
         removed_ids: list[str] | None = None,
     ) -> None:
-        """Partition-scoped lexical-index maintenance, mirroring
-        ``_index_delta``: ``upserts`` are (chunk_id, text) rows now
-        current, ``removed_ids`` chunks no longer current (an update
-        contributes to both). Only the term_bucket partitions containing
-        the touched chunks' old or new terms rewrite, and only the
-        id_part partitions of the touched doc lengths — never the index.
-        Corpus stats (n, avgdl) refresh from the doclens sidecar (one
-        small agg). Crash mid-delta degrades to stale → lazy rebuild."""
+        """Append-only lexical-index maintenance (Lucene-style segments):
+        ``upserts`` are (chunk_id, text) rows now current, ``removed_ids``
+        chunks no longer current (an update contributes to both). The
+        delta NEVER rewrites existing postings — new postings land in a
+        fresh segment dir (same term_bucket layout as the base, so query
+        pruning is unchanged) and touched ids get a tombstone row that
+        masks their older postings at read time. Write volume is
+        O(delta), independent of document vocabulary — the term-bucket
+        base layout would otherwise spread a single long document's
+        rewrite across every partition. Doc lengths stay an id-partition
+        overwrite (locality is already per-id there); stats refresh from
+        the doclens sidecar. Once BM25_MAX_SEGMENTS accumulate, the
+        resolved view folds into a fresh base and the history clears.
+        Crash mid-delta degrades to stale → lazy rebuild."""
         upserts = upserts or []
         removed_ids = removed_ids or []
         touched = sorted({cid for cid, _ in upserts} | set(removed_ids))
@@ -1258,28 +1320,25 @@ class VectorCatalog:
         meta = self._bm25_meta(lib_id)
         if meta is None or meta.get("stale"):
             return self._invalidate_bm25(lib_id)
+        seg = int(meta.get("next_seg", 1))
         meta["stale"] = True
         self._write_bm25_meta(lib_id, meta)
-        post_path = self._index_path(lib_id, "bm25_postings")
-        post = self.spark.read.parquet(post_path)
-        new_posts = self._chunk_postings(
-            self.spark.createDataFrame(
-                [(cid, txt) for cid, txt in upserts], "id STRING, text STRING"
+        if upserts:  # a pure delete is tombstones-only — no segment
+            new_posts = self._chunk_postings(
+                self.spark.createDataFrame(
+                    [(cid, txt) for cid, txt in upserts], "id STRING, text STRING"
+                )
+            ).withColumn("seg", F.lit(seg).cast("long"))
+            new_posts.write.mode("overwrite").partitionBy("term_bucket").parquet(
+                os.path.join(
+                    self._index_path(lib_id, "bm25_segments"), f"seg-{seg:06d}"
+                )
             )
-        ).localCheckpoint(eager=True)
-        affected = {
-            r["term_bucket"]
-            for r in post.filter(F.col("id").isin(touched))
-            .select("term_bucket")
-            .distinct()
-            .collect()
-        } | {r["term_bucket"] for r in new_posts.select("term_bucket").distinct().collect()}
-        if affected:
-            content = post.filter(
-                F.col("term_bucket").isin(sorted(affected))
-                & ~F.col("id").isin(touched)
-            ).unionByName(new_posts)
-            self._overwrite_partitions(content, post_path, "term_bucket", affected)
+        self.spark.createDataFrame(
+            [(cid, seg) for cid in touched], "id STRING, seg LONG"
+        ).coalesce(1).write.mode("append").parquet(
+            self._index_path(lib_id, "bm25_tombstones")
+        )
         dl_path = self._index_path(lib_id, "bm25_doclens")
         new_dl = _with_id_part(
             self.spark.createDataFrame(
@@ -1297,7 +1356,24 @@ class VectorCatalog:
             F.col("id_part").isin(sorted(parts)) & ~F.col("id").isin(touched)
         ).unionByName(new_dl)
         self._overwrite_partitions(content_dl, dl_path, "id_part", parts)
-        self._refresh_bm25_stats(lib_id)  # also clears stale
+        if len(self._bm25_segment_dirs(lib_id)) >= self.BM25_MAX_SEGMENTS:
+            self._compact_bm25(lib_id, next_seg=seg + 1)
+        else:
+            self._refresh_bm25_stats(lib_id, next_seg=seg + 1)
+
+    def _compact_bm25(self, lib_id: str, next_seg: int) -> None:
+        """Fold segments + tombstones into a fresh base: materialize the
+        resolved postings view, rewrite the base layout, clear history.
+        Runs under the stale guard its caller already set."""
+        resolved = self._read_postings(lib_id).withColumn(
+            "seg", F.lit(0).cast("long")
+        ).localCheckpoint(eager=True)
+        resolved.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            self._index_path(lib_id, "bm25_postings")
+        )
+        shutil.rmtree(self._index_path(lib_id, "bm25_segments"), ignore_errors=True)
+        shutil.rmtree(self._index_path(lib_id, "bm25_tombstones"), ignore_errors=True)
+        self._refresh_bm25_stats(lib_id, next_seg=next_seg)
 
     def search_hybrid(
         self,
@@ -1328,12 +1404,8 @@ class VectorCatalog:
         meta = self._bm25_meta(lib_id)
         terms = sorted({t for t in text.split(" ") if t})
         buckets = sorted({text_ops._bm25_bucket(t) for t in terms})
-        tf = (
-            self.spark.read.parquet(self._index_path(lib_id, "bm25_postings"))
-            .filter(
-                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-            )
-            .select(F.col("id").alias("doc_id"), "term", "tf")
+        tf = self._read_postings(lib_id, buckets=buckets, terms=terms).select(
+            F.col("id").alias("doc_id"), "term", "tf"
         )
         dl = self.spark.read.parquet(
             self._index_path(lib_id, "bm25_doclens")
