@@ -631,3 +631,16 @@ def test_bm25_segments_fold_at_threshold_and_results_hold(spark, tmp_path):
     cat._invalidate_bm25(lib_id)
     rebuilt = [(r.chunk_id, r.similarity_score) for r in cat.search_hybrid(lib_id, "pivot", k=5)]
     assert after_fold == rebuilt
+
+    # compact_library folds outstanding segments too (the OPTIMIZE analog)
+    cat.add_chunks(
+        lib_id, doc_id, [{"text": "pivot tail", "embedding": _vectors(1)[0].tolist()}]
+    )
+    assert len(cat._bm25_segment_dirs(lib_id)) >= 1
+    rep = cat.compact_library(lib_id)
+    assert rep["bm25_postings"]["segments_after"] == 0
+    compacted = [
+        (r.chunk_id, r.similarity_score)
+        for r in cat.search_hybrid(lib_id, "pivot", k=5)
+    ]
+    assert [c for c, _ in compacted]  # still serves, fold invisible

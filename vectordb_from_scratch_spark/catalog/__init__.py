@@ -901,6 +901,20 @@ class VectorCatalog:
             if not os.path.isdir(path):
                 continue
             report[name] = self._compact_sidecar(path, part_col)
+        bmeta = self._bm25_meta(lib_id)
+        if bmeta and not bmeta.get("stale"):
+            # the lexical sidecar's fragmentation is its segment history —
+            # fold it into the base (same crash contract as the delta:
+            # stale while folding, lazy rebuild if interrupted)
+            segs_before = len(self._bm25_segment_dirs(lib_id))
+            if segs_before:
+                bmeta["stale"] = True
+                self._write_bm25_meta(lib_id, bmeta)
+                self._compact_bm25(lib_id, next_seg=int(bmeta.get("next_seg", 1)))
+            report["bm25_postings"] = {
+                "segments_before": segs_before,
+                "segments_after": len(self._bm25_segment_dirs(lib_id)),
+            }
         return report
 
     def _compact_sidecar(self, path: str, part_col: str) -> dict:
