@@ -90,6 +90,7 @@ HEADLINE = [
     "pq_search_bigq",
     "ivfpq_search",
     "ivfpq_search_prebuilt",
+    "ivfpq_search_bigq",
     "hnsw_search",
     "hnsw_search_prebuilt",
     "hnsw_search_routed",

@@ -155,6 +155,13 @@ def test_pq_bigq_cogroups_and_matches_closure_path(spark, sf_oracle):
         map(tuple, registry.QUERIES["pq_search"](spark, sf_oracle).collect())
     )
     assert got == want and len(got) > 0
+    # the composed tier too: in-plan probes + per-query LUTs in the kernel
+    idf = registry.QUERIES["ivfpq_search_bigq"](spark, sf_oracle)
+    igot = sorted(map(tuple, idf.collect()))
+    iwant = sorted(
+        map(tuple, registry.QUERIES["ivfpq_search"](spark, sf_oracle).collect())
+    )
+    assert igot == iwant and len(igot) > 0
 
 
 def test_bm25_prebuilt_prunes_postings_partitions(spark, sf_oracle):

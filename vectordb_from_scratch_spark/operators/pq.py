@@ -522,6 +522,56 @@ def adc_score_candidates(
     )
 
 
+def adc_score_candidates_joined(
+    cand_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed ADC scorer for LARGE query batches — the PQ analog of
+    ``knn.score_pairs_joined``: each candidate row joins its query VECTOR
+    in-plan (shuffle on query_id), and the kernel builds each query's
+    ~32 KB LUT on the fly per Arrow batch (rows grouped by query inside
+    the batch), so no Q-sized LUT tensor rides in any closure and the
+    batch size is unbounded. The per-query arithmetic is exactly
+    ``_query_luts`` (unit-normalize, per-subspace codebook matmul), so
+    scores match the closure path bit for bit."""
+    mm, _, sub = codebooks.shape
+    id_type = cand_codes.schema[id_col].dataType.simpleString()
+    joined = cand_codes.select("query_id", id_col, "codes").join(
+        queries.select("query_id", "query_vec"), "query_id"
+    )
+
+    def score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["codes"].to_list())  # (n, m) int
+            out = np.zeros(len(pdf))
+            for _, idx in pdf.groupby("query_id").indices.items():
+                q = np.asarray(
+                    pdf["query_vec"].iloc[idx[0]], dtype="float64"
+                )
+                qn = np.linalg.norm(q)
+                if qn > 0:
+                    q = q / qn
+                lut = np.stack(
+                    [q[i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)]
+                )  # (m, k)
+                Ci = C[idx]
+                s = np.zeros(len(idx))
+                for i in range(mm):
+                    s += lut[i, Ci[:, i]]
+                out[idx] = s
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "adc": out}
+            )
+
+    return joined.mapInPandas(
+        score_iter, schema=f"query_id long, {id_col} {id_type}, adc double"
+    )
+
+
 #: (app_id, sf_dir) → (codebooks, codes-with-cluster cached DF): the
 #: IVFADC layout — codes co-located with their IVF cluster, built once.
 _IVFPQ_CACHE: dict = {}
@@ -598,6 +648,54 @@ def warm_ivfpq(spark: SparkSession, sf_dir: str) -> None:
 
     ivfpq_codes(spark, sf_dir)
     knn.fixture_query_set(spark, sf_dir, 10)
+
+
+registry.WARMERS["ivfpq_search_bigq"] = warm_ivfpq
+
+
+@register("ivfpq_search_bigq")  # rows-only: composed seeded k-means indexes
+def ivfpq_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tier's large-batch exit: probes were already in-plan
+    (probe_clusters_df); this closes the last two driver dependencies —
+    ADC LUTs built per-query inside the Arrow kernel from in-plan query
+    vectors (adc_score_candidates_joined), exact rerank via the joined
+    scorer. No collect/toPandas anywhere; identical results to
+    ivfpq_search (asserted in tests/test_plans.py)."""
+    from vectordb_from_scratch_spark.operators import ivf, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, queries_df = knn.fixture_query_set(spark, sf_dir, 10)
+    centroids, _ = ivf.built_index(spark, sf_dir)
+    books, codes_c = ivfpq_codes(spark, sf_dir)
+    probes = ivf.probe_clusters_df(centroids, queries_df, 8)
+    cand_codes = codes_c.join(probes, "cluster_id").select(
+        "query_id", "vec_id", "codes"
+    )
+    adc = adc_score_candidates_joined(cand_codes, queries_df, books)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= DEFAULT_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    cand_vec = short.join(emb.select("vec_id", "embedding"), "vec_id")
+    rr = knn.score_pairs_joined(cand_vec, queries_df)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    res = (
+        rr.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
 
 
 registry.WARMERS["ivfpq_search_prebuilt"] = warm_ivfpq
