@@ -644,3 +644,40 @@ def test_bm25_segments_fold_at_threshold_and_results_hold(spark, tmp_path):
         for r in cat.search_hybrid(lib_id, "pivot", k=5)
     ]
     assert [c for c, _ in compacted]  # still serves, fold invisible
+
+
+def test_export_import_carries_lexical_sidecar(spark, tmp_path):
+    """A library whose ONLY sidecar is the lexical index (flat ANN type —
+    no ANN meta ever written) must survive export/import with the
+    postings + segments intact: the restored library serves hybrid search
+    with the same ranking and without a rebuild, and library_stats
+    reports the lexical state."""
+    cat = VectorCatalog(spark, str(tmp_path / "cat"))
+    lib_id, doc_id, _ = _populate(cat, "lex-export")
+    before = [
+        (r.chunk_id, r.similarity_score)
+        for r in cat.search_hybrid(lib_id, "chunk 7", k=5)
+    ]
+    # mint a segment so the delta history is part of the snapshot too
+    cat.add_chunks(
+        lib_id, doc_id, [{"text": "chunk 7 extra", "embedding": _vectors(1)[0].tolist()}]
+    )
+    with_seg = [
+        (r.chunk_id, r.similarity_score)
+        for r in cat.search_hybrid(lib_id, "chunk 7", k=5)
+    ]
+    stats = cat.library_stats(lib_id)
+    assert stats["lexical_built"] and stats["lexical_segments"] >= 1
+
+    out = str(tmp_path / "snap")
+    manifest = cat.export_library(lib_id, out)
+    assert manifest["index"] is None and manifest["lexical"] is not None
+
+    cat2 = VectorCatalog(spark, str(tmp_path / "cat2"))
+    new_id = cat2.import_library(out)
+    assert cat2._bm25_meta(new_id) is not None  # sidecar restored, not rebuilt
+    restored = [
+        (r.chunk_id, r.similarity_score)
+        for r in cat2.search_hybrid(new_id, "chunk 7", k=5)
+    ]
+    assert restored == with_seg and restored != before

@@ -827,11 +827,14 @@ class VectorCatalog:
             self.documents.read().filter(F.col("library_id") == lib_id).count()
         )
         n_chunks = self.chunks.read().filter(F.col("library_id") == lib_id).count()
+        lex = self._bm25_meta(lib_id)
         return {
             "library_id": lib_id,
             "num_documents": n_docs,
             "num_chunks": n_chunks,
             "index_built": self._index_meta(lib_id) is not None,
+            "lexical_built": lex is not None and not lex.get("stale"),
+            "lexical_segments": len(self._bm25_segment_dirs(lib_id)),
         }
 
     def chunk_changes(self, lib_id: str | None = None) -> DataFrame:
@@ -2142,7 +2145,10 @@ class VectorCatalog:
         docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents"))
         chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
         idx_meta = self._index_meta(lib_id)
-        if idx_meta is not None:
+        lex_meta = self._bm25_meta(lib_id)
+        if idx_meta is not None or lex_meta is not None:
+            # the index dir also holds the lexical (bm25) sidecar — a
+            # library with only the lexical sidecar must still carry it
             dst = os.path.join(out_dir, "index")
             shutil.rmtree(dst, ignore_errors=True)
             shutil.copytree(self._index_dir(lib_id), dst)
@@ -2152,6 +2158,7 @@ class VectorCatalog:
             "n_documents": docs.count(),
             "n_chunks": chunks.count(),
             "index": idx_meta,
+            "lexical": lex_meta,
         }
         tmp = os.path.join(out_dir, "manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -2208,7 +2215,10 @@ class VectorCatalog:
         self.documents.write(self.documents.read().unionByName(docs))
         self.chunks.write_partition(chunks, "library_id", [lib["id"]])
         src_idx = os.path.join(in_dir, "index")
-        if manifest.get("index") is not None and os.path.isdir(src_idx):
+        if (
+            manifest.get("index") is not None
+            or manifest.get("lexical") is not None
+        ) and os.path.isdir(src_idx):
             shutil.rmtree(self._index_dir(lib["id"]), ignore_errors=True)
             shutil.copytree(src_idx, self._index_dir(lib["id"]))
         return lib["id"]
