@@ -606,30 +606,37 @@ def test_bm25_segments_fold_at_threshold_and_results_hold(spark, tmp_path):
     lib_id, doc_id, ids = _populate(cat, "seg-lib")
     cat.search_hybrid(lib_id, "chunk", k=3)  # builds the sidecar
 
+    # deterministic ids + distinct embeddings: identical embeddings under
+    # random uuid ids made the RRF tie-break (id ASC) run-dependent
+    extra = _vectors(60)
     last = None
     for i in range(cat.BM25_MAX_SEGMENTS):
         (cid,) = cat.add_chunks(
             lib_id,
             doc_id,
-            [{"text": f"pivot {i} pivot", "embedding": _vectors(1)[0].tolist()}],
+            [{"text": f"pivot {i} pivot", "embedding": extra[48 + i].tolist()}],
+            ids=[f"pv{i:02d}"],
         )
         if i == 2:
             cat.update_chunk(lib_id, cid, text="pivot moved pivot pivot")
         if i == 4:
             cat.delete_chunks(lib_id, [cid])
         last = cid
+    # make the newest delta the unambiguous lexical winner so its
+    # presence in the fused top-k is deterministic, not fusion luck
+    cat.update_chunk(lib_id, last, text="pivot pivot pivot pivot winner")
     # a fold fired somewhere in the run: more segment-minting deltas ran
     # than segment dirs remain, and the count is back under the threshold
     meta = cat._bm25_meta(lib_id)
     assert meta["next_seg"] > cat.BM25_MAX_SEGMENTS
     assert len(cat._bm25_segment_dirs(lib_id)) < cat.BM25_MAX_SEGMENTS
 
-    after_fold = [(r.chunk_id, r.similarity_score) for r in cat.search_hybrid(lib_id, "pivot", k=5)]
+    after_fold = [(r.chunk_id, r.similarity_score) for r in cat.search_hybrid(lib_id, "pivot", k=10)]
     assert last in [c for c, _ in after_fold]
 
     # from-scratch rebuild (stale → lazy) must agree exactly
     cat._invalidate_bm25(lib_id)
-    rebuilt = [(r.chunk_id, r.similarity_score) for r in cat.search_hybrid(lib_id, "pivot", k=5)]
+    rebuilt = [(r.chunk_id, r.similarity_score) for r in cat.search_hybrid(lib_id, "pivot", k=10)]
     assert after_fold == rebuilt
 
     # compact_library folds outstanding segments too (the OPTIMIZE analog)
@@ -641,7 +648,7 @@ def test_bm25_segments_fold_at_threshold_and_results_hold(spark, tmp_path):
     assert rep["bm25_postings"]["segments_after"] == 0
     compacted = [
         (r.chunk_id, r.similarity_score)
-        for r in cat.search_hybrid(lib_id, "pivot", k=5)
+        for r in cat.search_hybrid(lib_id, "pivot", k=10)
     ]
     assert [c for c, _ in compacted]  # still serves, fold invisible
 
