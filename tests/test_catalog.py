@@ -688,3 +688,49 @@ def test_export_import_carries_lexical_sidecar(spark, tmp_path):
         for r in cat2.search_hybrid(new_id, "chunk 7", k=5)
     ]
     assert restored == with_seg and restored != before
+
+
+def test_hybrid_search_metadata_filters_restrict_both_legs(spark, tmp_path):
+    """metadata_filters make the filtered subset THE corpus for hybrid:
+    only matching chunks appear, and the result equals an independent
+    fusion where the lexical leg (inline tokenizer, filtered docs — so
+    df/n/avgdl are filtered-scope too) and the vector leg (filtered
+    search) are recomputed from scratch."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.functions import embedder
+    from vectordb_from_scratch_spark.operators import textstats
+
+    cat = VectorCatalog(spark, str(tmp_path / "cat"))
+    lib_id, _, ids = _populate(cat, "hybrid-filter")
+    query, k, pool = "chunk 8", 5, embedder.RRF_POOL
+    filt = {"parity": "even"}
+
+    got = cat.search_hybrid(lib_id, query, k=k, metadata_filters=filt)
+    assert got and all(int(r.chunk_id[1:]) % 2 == 0 for r in got)
+
+    docs = (
+        cat.chunks.read()
+        .filter(
+            (F.col("library_id") == lib_id)
+            & (F.col("metadata")["parity"] == "even")
+        )
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+    terms = tuple(sorted({t for t in query.split(" ") if t}))
+    lex = textstats.bm25_ranking(docs, terms, pool).collect()
+    vec = cat.search_text(lib_id, query, k=pool, metadata_filters=filt)
+    fused: dict[str, float] = {}
+    for r in lex:
+        fused[r["doc_id"]] = fused.get(r["doc_id"], 0.0) + 1.0 / (
+            embedder.RRF_K + r["rnk"]
+        )
+    for rank, sr in enumerate(vec, 1):
+        fused[sr.chunk_id] = fused.get(sr.chunk_id, 0.0) + 1.0 / (
+            embedder.RRF_K + rank
+        )
+    want = [
+        (cid, round(s, 6))
+        for cid, s in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    ]
+    assert [(r.chunk_id, r.similarity_score) for r in got] == want

@@ -1399,6 +1399,7 @@ class VectorCatalog:
         k: int = 10,
         provider: str = "hashed",
         include_chunk: bool = False,
+        metadata_filters: dict | None = None,
     ) -> list[SearchResult]:
         """Hybrid retrieval through the service surface: BM25 over the
         lexical sidecar ⊕ vector search over the library's declared ANN
@@ -1407,7 +1408,13 @@ class VectorCatalog:
         Both legs rank a pool of max(RRF_POOL, k); fusion runs driver-side
         over ≤ 2·pool rows (k is capped at MAX_K, so this is bounded by
         the serving contract, not data size). The lexical leg reads only
-        the query terms' hash-bucket partitions of the postings layout."""
+        the query terms' hash-bucket partitions of the postings layout.
+
+        ``metadata_filters`` restrict the corpus for BOTH legs — the
+        filtered subset IS the corpus, so the lexical leg's statistics
+        (df, n, avgdl) are computed over it too: the postings candidates
+        and doc lengths semi-join the filtered ids, and the 1-row stats
+        come from the filtered doclens instead of the index meta."""
         from vectordb_from_scratch_spark.functions import embedder
 
         self.get_library(lib_id)
@@ -1417,7 +1424,10 @@ class VectorCatalog:
         if not self._ensure_bm25(lib_id, corpus):
             return []  # empty library
         pool = max(embedder.RRF_POOL, k)
-        vec = self.search_text(lib_id, text, k=pool, provider=provider)
+        vec = self.search_text(
+            lib_id, text, k=pool, provider=provider,
+            metadata_filters=metadata_filters,
+        )
         meta = self._bm25_meta(lib_id)
         terms = sorted({t for t in text.split(" ") if t})
         buckets = sorted({text_ops._bm25_bucket(t) for t in terms})
@@ -1427,9 +1437,21 @@ class VectorCatalog:
         dl = self.spark.read.parquet(
             self._index_path(lib_id, "bm25_doclens")
         ).select(F.col("id").alias("doc_id"), "dl")
-        stats = self.spark.range(1).select(
-            F.lit(meta["avgdl"]).alias("avgdl"), F.lit(meta["n"]).alias("n")
-        )
+        if metadata_filters:
+            allowed = corpus
+            for key, val in metadata_filters.items():
+                allowed = allowed.filter(F.col("metadata")[key] == val)
+            ids = allowed.select(F.col("id").alias("doc_id"))
+            tf = tf.join(ids, "doc_id", "left_semi")
+            dl = dl.join(ids, "doc_id", "left_semi")
+            stats = dl.agg(
+                F.avg("dl").alias("avgdl"),
+                F.count(F.lit(1)).cast("double").alias("n"),
+            )
+        else:
+            stats = self.spark.range(1).select(
+                F.lit(meta["avgdl"]).alias("avgdl"), F.lit(meta["n"]).alias("n")
+            )
         lex = text_ops._bm25_rank_tail(tf, dl, stats, pool).collect()
         fused: dict[str, float] = {}
         for r in lex:
