@@ -734,3 +734,30 @@ def test_hybrid_search_metadata_filters_restrict_both_legs(spark, tmp_path):
         for cid, s in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     ]
     assert [(r.chunk_id, r.similarity_score) for r in got] == want
+
+
+def test_hybrid_batch_matches_single_queries(spark, tmp_path):
+    """Batch-first hybrid: N text queries through one job per leg must
+    equal N single search_hybrid calls exactly — fused scores included —
+    with and without metadata filters."""
+    cat = VectorCatalog(spark, str(tmp_path / "cat"))
+    lib_id, _, _ = _populate(cat, "hybrid-batch")
+    queries = ["chunk 3", "chunk 11 chunk", "7"]
+
+    batch = cat.search_hybrid_batch(lib_id, queries, k=4)
+    singles = [cat.search_hybrid(lib_id, q, k=4) for q in queries]
+    assert [
+        [(r.chunk_id, r.similarity_score) for r in res] for res in batch
+    ] == [[(r.chunk_id, r.similarity_score) for r in res] for res in singles]
+
+    filt = {"parity": "odd"}
+    batch_f = cat.search_hybrid_batch(lib_id, queries, k=4, metadata_filters=filt)
+    singles_f = [
+        cat.search_hybrid(lib_id, q, k=4, metadata_filters=filt) for q in queries
+    ]
+    assert [
+        [(r.chunk_id, r.similarity_score) for r in res] for res in batch_f
+    ] == [[(r.chunk_id, r.similarity_score) for r in res] for res in singles_f]
+    assert all(
+        int(r.chunk_id[1:]) % 2 == 1 for res in batch_f for r in res
+    )

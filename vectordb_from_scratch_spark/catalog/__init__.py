@@ -41,7 +41,7 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1478,6 +1478,116 @@ class VectorCatalog:
             SearchResult(cid, round(score, 6), chunks_by_id.get(cid))
             for cid, score in top
         ]
+
+    def search_hybrid_batch(
+        self,
+        lib_id: str,
+        texts: list[str],
+        k: int = 10,
+        provider: str = "hashed",
+        metadata_filters: dict | None = None,
+    ) -> list[list[SearchResult]]:
+        """N hybrid text queries through ONE Spark job per leg — the
+        batch-first shape of ``search_batch`` applied to hybrid: the
+        vector leg embeds all texts in one provider call and runs one
+        multi-query index search; the lexical leg scores every (query,
+        doc) pair in one pass — postings pruned to the UNION of all
+        query terms' buckets, joined to a broadcast (query_id, term)
+        table, per-term df computed once (identical to the single-query
+        candidate-derived df for each query's terms), one grouped score,
+        one per-query rank window. Fusion stays driver-side over
+        N · 2·pool rows. ``search_hybrid(text)`` ==
+        ``search_hybrid_batch([text])[0]`` exactly (asserted)."""
+        from vectordb_from_scratch_spark.functions import embedder
+
+        lib = self.get_library(lib_id)
+        if not 1 <= k <= MAX_K:
+            raise ValidationError(f"k must be in [1, {MAX_K}]")
+        if not texts:
+            return []
+        corpus = self.chunks.read().filter(F.col("library_id") == lib_id)
+        if not self._ensure_bm25(lib_id, corpus):
+            return [[] for _ in texts]
+        pool = max(embedder.RRF_POOL, k)
+        vecs = embedder.PROVIDERS[provider](dims=lib["dims"])(texts)
+        vec_lists = self.search_batch(
+            lib_id,
+            [v.tolist() for v in vecs],
+            k=pool,
+            metadata_filters=metadata_filters,
+        )
+        meta = self._bm25_meta(lib_id)
+        qterms = [
+            (qi, t)
+            for qi, txt in enumerate(texts)
+            for t in sorted({w for w in txt.split(" ") if w})
+        ]
+        all_terms = sorted({t for _, t in qterms})
+        buckets = sorted({text_ops._bm25_bucket(t) for t in all_terms})
+        post = self._read_postings(lib_id, buckets=buckets, terms=all_terms).select(
+            F.col("id").alias("doc_id"), "term", "tf"
+        )
+        dl = self.spark.read.parquet(
+            self._index_path(lib_id, "bm25_doclens")
+        ).select(F.col("id").alias("doc_id"), "dl")
+        if metadata_filters:
+            allowed = corpus
+            for key, val in metadata_filters.items():
+                allowed = allowed.filter(F.col("metadata")[key] == val)
+            ids = allowed.select(F.col("id").alias("doc_id"))
+            post = post.join(ids, "doc_id", "left_semi")
+            dl = dl.join(ids, "doc_id", "left_semi")
+            stats = dl.agg(
+                F.avg("dl").alias("avgdl"),
+                F.count(F.lit(1)).cast("double").alias("n"),
+            )
+        else:
+            stats = self.spark.range(1).select(
+                F.lit(meta["avgdl"]).alias("avgdl"), F.lit(meta["n"]).alias("n")
+            )
+        qt = self.spark.createDataFrame(qterms, "query_id LONG, term STRING")
+        df_ = post.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+        k1, b = text_ops._BM25_K1, text_ops._BM25_B
+        contrib = F.log(
+            1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ) * (F.col("tf") * (k1 + 1)) / (
+            F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        scored = (
+            post.join(F.broadcast(qt), "term")
+            .join(F.broadcast(df_), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+        lex_rows = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= pool)
+            .collect()
+        )
+        out: list[list[SearchResult]] = []
+        for qi in range(len(texts)):
+            fused: dict[str, float] = {}
+            for r in lex_rows:
+                if r["query_id"] == qi:
+                    fused[r["doc_id"]] = fused.get(r["doc_id"], 0.0) + 1.0 / (
+                        embedder.RRF_K + r["rnk"]
+                    )
+            for rank, sr in enumerate(vec_lists[qi], 1):
+                fused[sr.chunk_id] = fused.get(sr.chunk_id, 0.0) + 1.0 / (
+                    embedder.RRF_K + rank
+                )
+            top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            out.append(
+                [SearchResult(cid, round(score, 6)) for cid, score in top]
+            )
+        return out
 
     # ------------------------------------------------------------------ index (V7/V15/V16/V17)
     def _index_dir(self, lib_id: str) -> str:
