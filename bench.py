@@ -112,6 +112,7 @@ HEADLINE = [
     "text_heavy_hitters",
     "multimodal_image_ahash",
     "multimodal_image_neardup",
+    "multimodal_audio_neardup",
     "export_shard_manifest",
     "dq_constraint_audit",
     "events_zorder_box",

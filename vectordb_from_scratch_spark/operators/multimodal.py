@@ -823,3 +823,152 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 1)
         .select("asset_a", "asset_b", "hamming")
     )
+
+
+# --- audio fingerprint + near-dup (Haitsma–Kalker-style energy deltas) --------
+#
+# The audio twin of the image aHash/near-dup pair: decode the WAV PCM,
+# split into AUDIO_FP_WINDOWS equal windows, per-window ENERGY = Σx²
+# (exact integers — samples are (byte-128)·256, squares fit int64), one
+# bit per adjacent-window energy comparison (the robust-hash idea of
+# Haitsma & Kalker's "A Highly Robust Audio Fingerprinting System",
+# ISMIR 2002, reduced to one band so every step stays integer-exact and
+# the WHOLE fingerprint is value-checkable in SQL). A seeded subset of
+# assets gets an exact twin (same payload, offset id) so the near-dup
+# join is provably non-vacuous on the fixture; natural near-misses ride
+# along.
+
+AUDIO_FP_WINDOWS = 16
+AUDIO_TWIN_MOD = 7
+AUDIO_TWIN_OFFSET = 1_000_000_000
+
+
+def wav_assets_with_twins(docs: DataFrame) -> DataFrame:
+    base = synth_wav_assets(docs)
+    twins = base.filter(F.col("asset_id") % AUDIO_TWIN_MOD == 1).select(
+        (F.col("asset_id") + AUDIO_TWIN_OFFSET).alias("asset_id"), "wav"
+    )
+    return base.unionByName(twins)
+
+
+def audio_fingerprint(wav_df: DataFrame) -> DataFrame:
+    """(asset_id, fp, fp_lo, fp_hi): 15-bit energy-delta fingerprint from
+    a REAL stdlib-wave decode — bit i set iff window i's energy exceeds
+    window i+1's. fp_lo/fp_hi split the fingerprint for the lossless
+    Hamming≤1 banding (pigeonhole: one differing bit lives in one half)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    W = AUDIO_FP_WINDOWS
+
+    def fp_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["wav"]):
+                with wave_mod.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    frames = w.readframes(w.getnframes())
+                x = np.frombuffer(frames, dtype="<i2").astype("int64")
+                n = len(x)
+                en = [
+                    int((x[(wi * n) // W : ((wi + 1) * n) // W] ** 2).sum())
+                    for wi in range(W)
+                ]
+                fp = sum((1 << i) for i in range(W - 1) if en[i] > en[i + 1])
+                rows.append((int(aid), fp, fp & 255, fp >> 8))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "fp", "fp_lo", "fp_hi"]
+            )
+
+    return wav_df.mapInPandas(
+        fp_iter, schema="asset_id long, fp long, fp_lo long, fp_hi long"
+    )
+
+
+_AUDIO_FP_SQL = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + {AUDIO_TWIN_OFFSET}, text FROM documents
+  WHERE doc_id % 3 = 1 AND doc_id % {AUDIO_TWIN_MOD} = 1),
+s AS (SELECT asset_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> (ascii(substr(text, i::INT, 1)) - 128) * 256) AS samples,
+             length(text) AS n
+      FROM a),
+e AS (SELECT asset_id,
+             list_transform(range(0, {AUDIO_FP_WINDOWS}), wi ->
+               coalesce(list_sum(list_transform(
+                 samples[(wi * n) // {AUDIO_FP_WINDOWS} + 1 : ((wi + 1) * n) // {AUDIO_FP_WINDOWS}],
+                 x -> (x * x)::BIGINT)), 0)) AS en
+      FROM s),
+f AS (SELECT asset_id,
+             list_sum(list_transform(range(0, {AUDIO_FP_WINDOWS - 1}), i ->
+               CASE WHEN en[i + 1] > en[i + 2] THEN (1 << i)::BIGINT
+                    ELSE 0::BIGINT END))::BIGINT AS fp
+      FROM e)
+SELECT asset_id, fp, (fp % 256)::BIGINT AS fp_lo, (fp // 256)::BIGINT AS fp_hi
+FROM f
+"""
+
+
+@register("multimodal_audio_fingerprint", _AUDIO_FP_SQL)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprints over real WAV decodes, FULL value oracle: every
+    step is exact integer arithmetic (PCM samples → window energies →
+    comparison bits), so DuckDB reproduces the fingerprint bit for bit
+    from the source text. Zero-shuffle codec pass, same plan shape as
+    multimodal_wav_decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_fingerprint(wav_assets_with_twins(docs))
+
+
+_AUDIO_NEARDUP_SQL = f"""
+WITH h AS ({_AUDIO_FP_SQL.strip()})
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM h a JOIN h b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 1
+"""
+
+
+@register("multimodal_audio_neardup", _AUDIO_NEARDUP_SQL)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs at Hamming ≤ 1 via the same LOSSLESS two-band
+    equi-join as multimodal_image_neardup (pigeonhole over fp_lo/fp_hi);
+    the oracle runs the quadratic formulation — an identical answer
+    proves the banding drops nothing. The seeded exact twins guarantee
+    the join is non-vacuous; the check is the VALUE match, not mere
+    non-emptiness."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = audio_fingerprint(wav_assets_with_twins(docs)).select(
+        "asset_id", "fp", "fp_lo", "fp_hi"
+    )
+    ha = h.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("fp").alias("fp_a"),
+        F.col("fp_lo").alias("lo_a"),
+        F.col("fp_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("fp_lo").alias("lo_b"),
+        F.col("fp_hi").alias("hi_b"),
+    )
+    j_lo = ha.join(
+        hb, (F.col("lo_a") == F.col("lo_b")) & (F.col("asset_a") < F.col("asset_b"))
+    )
+    j_hi = ha.join(
+        hb, (F.col("hi_a") == F.col("hi_b")) & (F.col("asset_a") < F.col("asset_b"))
+    )
+    cand = j_lo.unionByName(j_hi).select("asset_a", "asset_b", "fp_a", "fp_b").distinct()
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 1)
+        .select("asset_a", "asset_b", "hamming")
+    )
