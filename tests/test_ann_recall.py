@@ -467,3 +467,92 @@ def test_hnsw_bounded_subshards_preserve_probe_semantics(spark, sf_small, exact_
     )
     r = _recall(res.collect(), exact_topk)
     assert r == 1.0, f"bounded all-probes full-ef recall = {r:.3f} != 1.0"
+
+
+def test_blockjoin_tie_rule_on_duplicate_heavy_corpus(spark):
+    """The block kernel's argpartition boundary-tie rule under maximal
+    stress: a corpus of repeated vectors puts every score in a tie group,
+    so which ids survive the per-block cap is decided ENTIRELY by the
+    deterministic lowest-id rule — results must equal the expression
+    path's global (score DESC, id ASC) window, rank for rank."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.operators import knn
+
+    # one-hot base vectors: every cosine is EXACTLY 0.0 or 1.0 in both
+    # engines and in every BLAS block (gaussian duplicates would give
+    # ulp-distinct scores across blocks — float ranking is only
+    # cross-engine-stable when the dots are exactly representable, the
+    # same reason the fixture embeds integer-valued vectors)
+    base = np.eye(8)[:5]
+    rows = [(i, [float(x) for x in base[i // 12]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    want = [
+        (r.query_id, r.vec_id, r.rank)
+        for r in knn.topk(df, queries, k=15).collect()
+    ]
+    got = [
+        (r.query_id, r.vec_id, r.rank)
+        for r in knn.topk_blockjoin(
+            df,
+            queries,
+            k=15,
+            n_corpus_hint=60,
+            n_queries_hint=3,
+            rows_per_block=7,
+            queries_per_block=2,
+        ).collect()
+    ]
+    # the k boundary lands INSIDE the exact 0.0 tie group (48 zero-scored
+    # rows for 3 remaining slots) — the per-block cut must pick lowest ids
+    assert sorted(got) == sorted(want) and len(got) == 45
+
+
+def test_pq_blockjoin_tie_rule_on_duplicate_codes(spark):
+    """PQ's block kernel hits exact ADC ties whenever two corpus rows
+    share codes — guaranteed here by duplicating vectors — and the
+    per-block shortlist cut must resolve them by lowest id, identically
+    to the broadcast-LUT path."""
+    import numpy as np
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import pq
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((6, 16))
+    rows = [(i, [float(x) for x in base[i // 10]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq.train_codebooks(df, m=4, k=8, n_hint=60)
+    codes = pq.encode(df, books).cache()
+    codes.count()
+    qpdf = pd.DataFrame(
+        {"query_id": range(3), "query_vec": [list(map(float, base[i])) for i in range(3)]}
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq.search(df, codes, books, qpdf, k=12, shortlist=20).collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq.search_blockjoin(
+            df,
+            codes,
+            books,
+            queries,
+            k=12,
+            shortlist=20,
+            n_corpus_hint=60,
+            n_queries_hint=3,
+            rows_per_block=9,
+            queries_per_block=2,
+        ).collect()
+    )
+    assert got == want and len(got) == 36
