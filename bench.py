@@ -74,6 +74,7 @@ HEADLINE = [
     "sampling_domain_mixture",
     "chunk_documents",
     "events_trailing_hour_window",
+    "events_ewma_by_user",
     "embed_documents",
     "text_search_e2e",
     "text_maxsim_search",

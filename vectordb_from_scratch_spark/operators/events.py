@@ -573,3 +573,60 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
         )
     )
+
+
+# --- per-key recurrence: exponentially-weighted moving average -----------------
+
+_EWMA_ALPHA = 0.5  # exact binary fraction: both engines' folds are bitwise equal
+
+_EWMA_SQL = f"""
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       round(list_reduce(list(value::DOUBLE ORDER BY ts, event_id),
+                         (acc, x) -> acc * {_EWMA_ALPHA} + x * {_EWMA_ALPHA}), 6)
+         AS ewma
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("events_ewma_by_user", _EWMA_SQL)
+def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values — a RECURRENCE (state_t depends on
+    state_{t-1}), the window-function blind spot: no frame can express
+    it, and the usual closed form (α·Σ(1-α)^{n-i}x_i via running sums)
+    overflows for long histories. Spark-first answer: one shuffle on the
+    key, collect the ordered sequence per user, fold it with the
+    higher-order ``aggregate`` — JVM-side expression evaluation, no UDF,
+    no driver loop. DuckDB's ``list_reduce`` runs the identical
+    left-to-right fold, and with α an exact binary fraction every
+    intermediate is bitwise equal across engines (init = first element,
+    the EWMA_1 = x_1 convention on both sides).
+
+    Scale shape: the shuffle is the same per-user exchange
+    sessionization pays; the per-key sequence must fit a task (true of
+    any per-entity history operator — beyond that, the streaming twin
+    territory: applyInPandasWithState carries the recurrence as state).
+    Order is pinned by (ts, event_id) so duplicate timestamps cannot
+    flip the fold."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq"),
+        )
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(_EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
+    )
+    return seq.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
