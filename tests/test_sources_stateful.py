@@ -4,6 +4,7 @@ custom stateful streaming operator (state carried across micro-batches)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vectordb_from_scratch_spark import sources, streaming
@@ -227,3 +228,46 @@ def test_streaming_histogram_register_identical_to_batch(spark, sf_small, tmp_pa
     # bounded state: at most types x HIST_BINS rows
     n_types = edges.count()
     assert len(got) <= n_types * HIST_BINS
+
+
+def test_streaming_ewma_matches_batch_fold(spark, sf_small, tmp_path):
+    """The order-sensitive recurrence twin: four time-quartile files
+    arrive as four in-order micro-batches; the final per-user streaming
+    state must equal the batch higher-order fold EXACTLY (same alpha,
+    same (ts, event_id) order, bitwise-equal arithmetic)."""
+    import time
+
+    from vectordb_from_scratch_spark import registry
+
+    ev = load_table(spark, sf_small, "events").orderBy("ts", "event_id")
+    src = tmp_path / "ev_ewma"
+    src.mkdir()
+    pdf = ev.toPandas()
+    quarter = len(pdf) // 4 + 1
+    for i in range(4):
+        chunk = pdf.iloc[i * quarter : (i + 1) * quarter]
+        if not chunk.empty:
+            chunk.to_parquet(str(src / f"q{i}.parquet"))
+            time.sleep(0.05)  # distinct mtimes → in-order micro-batches
+
+    stream = sources.read_stream(
+        spark, str(src), schema=spark.read.parquet(str(src)).schema
+    )
+    out = streaming.ewma_by_user_stream(stream)
+    streaming.run_stream_to_memory(out, "t_ewma", output_mode="update")
+
+    final = (
+        spark.table("t_ewma")
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .select("user_id", "n_events", "ewma")
+    )
+    expected = registry.QUERIES["events_ewma_by_user"](spark, sf_small)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, expected.collect())
+    )

@@ -429,3 +429,39 @@ def countmin_counters_stream(events: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def ewma_by_user_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming twin of ``events_ewma_by_user``: the per-key recurrence
+    carried as explicit (ewma, n) state across micro-batches — exactly
+    the scale path the batch operator's docstring names for histories
+    too long to collect per task (state is O(1) per user; each
+    micro-batch folds only its own rows). Within a micro-batch rows fold
+    in (ts, event_id) order; ACROSS batches the fold follows arrival
+    order, so register-identity with the batch fold holds under in-order
+    delivery — the time-partitioned log-replay contract every
+    order-sensitive streaming operator carries (cf. watermarked ops,
+    which instead buy disorder tolerance with lateness bounds)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        ewma, n = state.get if state.exists else (0.0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            v = float(v)
+            ewma = v if n == 0 else ewma * alpha + v * alpha
+            n += 1
+        state.update((float(ewma), int(n)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [round(ewma, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, ewma double",
+        stateStructType="ewma double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
