@@ -63,6 +63,7 @@ HEADLINE = [
     "pipeline_sequence_packing",
     "sampling_component_split",
     "text_quality_scores",
+    "text_char_entropy",
     "text_bm25_search",
     "text_bm25_search_prebuilt",
     "text_unigram_surprisal",

@@ -1198,3 +1198,52 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs shares a fingerprint, at ~2/(w+1) the volume of full shingling.
     FULL value oracle on the exact selected (doc, pos, hash) set."""
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --- character entropy (compressibility / gibberish signal) -------------------
+
+_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> substr(text, i::INT, 1))) AS c,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0),
+h AS (SELECT doc_id, n, count(*)::DOUBLE AS cnt FROM ch GROUP BY doc_id, n, c)
+SELECT doc_id, n::BIGINT AS n_chars,
+       round(-sum((cnt / n) * log2(cnt / n)), 6) AS char_entropy
+FROM h GROUP BY doc_id, n
+"""
+
+
+@register("text_char_entropy", _ENTROPY_SQL)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution — the
+    compressibility proxy quality pipelines use to drop gibberish (near
+    log2(alphabet) on uniform noise) and degenerate repetition (near 0
+    on 'aaaa…'), complementing text_quality_scores' token-level ratios.
+
+    Spark-first shape: the per-doc histogram is computed ENTIRELY in
+    higher-order expressions (array_distinct → per-char filter counts →
+    aggregate fold) — one scan, zero shuffles, no explode: the
+    (doc, char) pairs never leave their row. Per-row cost is
+    O(distinct_chars · len) interpreted-expression work, the right trade
+    below ~10⁴ chars/doc; a long-document corpus would flip to the
+    explode + groupBy(doc, char) shuffle formulation. The oracle groups
+    exploded chars — same histogram by a different plan, so the value
+    match checks the semantics, not the layout."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = F.split(F.col("text"), "")
+    n = F.size(chars)
+    uniq = F.array_distinct(chars)
+    counts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n),
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.round(ent, 6).alias("char_entropy"),
+    )
