@@ -64,6 +64,7 @@ HEADLINE = [
     "sampling_component_split",
     "text_quality_scores",
     "text_char_entropy",
+    "text_repetition_scores",
     "text_bm25_search",
     "text_bm25_search_prebuilt",
     "text_unigram_surprisal",

@@ -1247,3 +1247,61 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_chars"),
         F.round(ent, 6).alias("char_entropy"),
     )
+
+
+# --- repetition fractions (Gopher-rule family) ---------------------------------
+
+_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+e AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 2),
+bg AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(1, n), i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM e),
+tb AS (SELECT doc_id, n, max(cnt) AS top_cnt FROM (
+         SELECT doc_id, n, b, count(*) AS cnt FROM bg GROUP BY doc_id, n, b)
+       GROUP BY doc_id, n),
+dw AS (SELECT doc_id, len(list_distinct(ws)) AS n_distinct FROM e)
+SELECT e.doc_id,
+       e.n::BIGINT AS n_words,
+       round(top_cnt * 1.0 / (e.n - 1), 6) AS top_bigram_frac,
+       round(1.0 - n_distinct * 1.0 / e.n, 6) AS dup_word_frac
+FROM e JOIN tb ON tb.doc_id = e.doc_id JOIN dw ON dw.doc_id = e.doc_id
+"""
+
+
+@register("text_repetition_scores", _REPETITION_SQL)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters: the fraction of word-bigrams
+    taken by the single most frequent bigram, and the duplicate-word
+    fraction (1 − distinct/total) — the signals that catch boilerplate
+    loops and keyword stuffing that entropy and stopword ratios miss.
+
+    Same zero-shuffle shape as text_char_entropy: bigrams come from the
+    slice+zip_with trick (no explode), the per-doc histogram from
+    higher-order expressions, and only docs with ≥2 words qualify (both
+    engines filter identically). The oracle recomputes both fractions
+    through exploded group-bys — two plans, one value."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(ws)
+    base = d.select("doc_id", ws.alias("ws"), n.alias("n")).filter(F.col("n") >= 2)
+    bg = F.zip_with(
+        F.slice("ws", 1, F.col("n") - 1),
+        F.slice("ws", 2, F.col("n") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = F.transform(
+        F.array_distinct(bg), lambda c: F.size(F.filter(bg, lambda x: x == c))
+    )
+    top = F.array_max(counts)
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.round(top / (F.col("n") - 1), 6).alias("top_bigram_frac"),
+        F.round(
+            1.0 - F.size(F.array_distinct("ws")) / F.col("n"), 6
+        ).alias("dup_word_frac"),
+    )
