@@ -762,13 +762,16 @@ WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS
             FROM documents),
 g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
       FROM ws WHERE len(w) >= 2),
-c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
-SELECT doc_id,
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+d AS (SELECT doc_id, round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac
+      FROM ws WHERE len(w) >= 2)
+SELECT c.doc_id,
        sum(cnt)::BIGINT                          AS n_grams,
        count(*)                                  AS n_unique,
        max(cnt)::BIGINT                          AS max_gram_count,
-       round(max(cnt) * 1.0 / sum(cnt), 6)       AS top_ratio
-FROM c GROUP BY doc_id
+       round(max(cnt) * 1.0 / sum(cnt), 6)       AS top_ratio,
+       any_value(dup_word_frac)                  AS dup_word_frac
+FROM c JOIN d ON d.doc_id = c.doc_id GROUP BY c.doc_id
 """
 
 
@@ -776,25 +779,28 @@ FROM c GROUP BY doc_id
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram repetition: total/unique bigram counts, the
     top bigram's count, and its frequency ratio (the Gopher-style filter
-    signal). Documents under 2 words have no bigrams and are excluded on
-    both engines."""
+    signal), plus the duplicate-word fraction (1 − distinct/total words
+    — r5: the companion Gopher rule, a per-row array_distinct, O(len)).
+    Documents under 2 words have no bigrams and are excluded on both
+    engines."""
     docs = load_table(spark, sf_dir, "documents")
     ws = texthash.words("text")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 1),
         lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
     )
+    dup = F.round(1.0 - F.size(F.array_distinct(ws)) / F.size(ws), 6)
     g = (
         docs.filter(F.size(ws) >= 2)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", dup.alias("dup_word_frac"), F.explode(grams).alias("gram"))
     )
-    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    return c.groupBy("doc_id").agg(
+    c = g.groupBy("doc_id", "dup_word_frac", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id", "dup_word_frac").agg(
         F.sum("cnt").alias("n_grams"),
         F.count(F.lit(1)).alias("n_unique"),
         F.max("cnt").alias("max_gram_count"),
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_ratio"),
-    )
+    ).select("doc_id", "n_grams", "n_unique", "max_gram_count", "top_ratio", "dup_word_frac")
 
 
 # --- unigram surprisal (LM-style quality signal) -----------------------------
@@ -1248,60 +1254,3 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ent, 6).alias("char_entropy"),
     )
 
-
-# --- repetition fractions (Gopher-rule family) ---------------------------------
-
-_REPETITION_SQL = """
-WITH w AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
-  FROM documents),
-e AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 2),
-bg AS (
-  SELECT doc_id, n,
-         unnest(list_transform(range(1, n), i -> ws[i] || ' ' || ws[i + 1])) AS b
-  FROM e),
-tb AS (SELECT doc_id, n, max(cnt) AS top_cnt FROM (
-         SELECT doc_id, n, b, count(*) AS cnt FROM bg GROUP BY doc_id, n, b)
-       GROUP BY doc_id, n),
-dw AS (SELECT doc_id, len(list_distinct(ws)) AS n_distinct FROM e)
-SELECT e.doc_id,
-       e.n::BIGINT AS n_words,
-       round(top_cnt * 1.0 / (e.n - 1), 6) AS top_bigram_frac,
-       round(1.0 - n_distinct * 1.0 / e.n, 6) AS dup_word_frac
-FROM e JOIN tb ON tb.doc_id = e.doc_id JOIN dw ON dw.doc_id = e.doc_id
-"""
-
-
-@register("text_repetition_scores", _REPETITION_SQL)
-def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-family repetition filters: the fraction of word-bigrams
-    taken by the single most frequent bigram, and the duplicate-word
-    fraction (1 − distinct/total) — the signals that catch boilerplate
-    loops and keyword stuffing that entropy and stopword ratios miss.
-
-    Same zero-shuffle shape as text_char_entropy: bigrams come from the
-    slice+zip_with trick (no explode), the per-doc histogram from
-    higher-order expressions, and only docs with ≥2 words qualify (both
-    engines filter identically). The oracle recomputes both fractions
-    through exploded group-bys — two plans, one value."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n = F.size(ws)
-    base = d.select("doc_id", ws.alias("ws"), n.alias("n")).filter(F.col("n") >= 2)
-    bg = F.zip_with(
-        F.slice("ws", 1, F.col("n") - 1),
-        F.slice("ws", 2, F.col("n") - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    counts = F.transform(
-        F.array_distinct(bg), lambda c: F.size(F.filter(bg, lambda x: x == c))
-    )
-    top = F.array_max(counts)
-    return base.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_words"),
-        F.round(top / (F.col("n") - 1), 6).alias("top_bigram_frac"),
-        F.round(
-            1.0 - F.size(F.array_distinct("ws")) / F.col("n"), 6
-        ).alias("dup_word_frac"),
-    )

@@ -78,6 +78,13 @@ def release_tracked() -> None:
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        # a duplicate name would SILENTLY shadow the earlier operator in
+        # the driver contract (found the hard way in r5: a second
+        # text_repetition_scores replaced the original and the query
+        # count quietly stopped adding up) — fail at import time instead
+        if name in QUERIES:
+            raise ValueError(f"query {name!r} is already registered")
+
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_tracked()
