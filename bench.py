@@ -73,6 +73,9 @@ HEADLINE = [
     "text_ngram_novelty",
     "text_winnow_fingerprints",
     "dedup_semantic_prune",
+    "dedup_span_coverage",
+    "pipeline_cut_dup_spans",
+    "quality_classifier_scores",
     "sampling_domain_mixture",
     "chunk_documents",
     "events_trailing_hour_window",

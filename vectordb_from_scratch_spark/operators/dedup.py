@@ -1584,3 +1584,228 @@ def dedup_winnow_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash structurally misses. FULL value oracle; the guarantee behind
     the candidate rule is property-tested in test_properties.py."""
     return winnow_overlap_pairs(spark, sf_dir)
+
+
+# --- duplicated-span coverage + span cutting (exact-substring dedup) ---------
+#
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate at the SUBSTRING level: any run of >= 50 tokens that
+# appears more than once in the corpus is removed from all but one
+# occurrence. The suffix-array construction they use is single-machine; the
+# distributed re-expression here is positional k-token shingles: a token
+# position is "duplicated" iff it is covered by some k-shingle that occurs
+# in >= 2 distinct documents. Every shared run of >= k tokens is covered
+# exactly (the run's interior shingles are shared), so for run lengths >= k
+# the position sets agree with the suffix-array formulation.
+#
+# Scale shape — deliberately NOT a pair join: the corpus explodes to one
+# row per token position (linear), document frequencies are one groupBy on
+# the shingle hash (linear, map-side partial agg), and the dup-position
+# recovery is an equi-join of positions against the duplicated-shingle set
+# (linear in occurrences — a shingle shared by M docs contributes its M
+# occurrence rows, never M^2 pairs). Interval union per doc is one
+# doc-keyed window. No hot-key cap is needed, in contrast to
+# dedup_jaccard_pairs/dedup_winnow_overlaps whose PAIR joins go quadratic
+# on hot postings.
+#
+# Reference parity note: the reference has no text-dedup surface at all
+# (its corpus ops are app/core/vector_db.py CRUD); this is part of the
+# BASELINE.json LLM-pipeline mandate.
+
+#: span shingle width (tokens). The fixture's planted near-duplicates share
+#: long runs (>= 5 words), so k=5 recovers them; at web scale this is the
+#: Lee et al. 50, which only strengthens the "covered => truly duplicated"
+#: direction.
+DUPSPAN_K = 5
+
+
+def _positional_shingles(docs: DataFrame, k: int = DUPSPAN_K) -> DataFrame:
+    """(doc_id, p, s): the k-token shingle starting at 1-based token
+    position p, for every doc with >= k tokens. Scan-local (no shuffle)."""
+    ws = texthash.words("text")
+    with_ws = docs.select("doc_id", ws.alias("_ws"))
+    return (
+        with_ws.filter(F.size("_ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - k + 1),
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.array_join(F.slice("_ws", p, k), " ").alias("s"),
+                    ),
+                )
+            ).alias("ps"),
+        )
+        .select("doc_id", F.col("ps.p").alias("p"), F.col("ps.s").alias("s"))
+    )
+
+
+def _dup_positions(docs: DataFrame, k: int = DUPSPAN_K) -> DataFrame:
+    """(doc_id, p) for every position starting a shingle that occurs in
+    >= 2 distinct documents. Hashing the shingle to 60 bits before the
+    groupBy keeps the shuffle rows narrow (16 bytes of key instead of
+    ~k words of text)."""
+    occ = _positional_shingles(docs, k).select(
+        "doc_id", "p", texthash.hash60("s").alias("h")
+    )
+    dup_sh = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    return occ.join(dup_sh, "h").select("doc_id", "p")
+
+
+def span_coverage(docs: DataFrame, k: int = DUPSPAN_K) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_spans, covered_tokens, dup_coverage):
+    per document, the union length of all duplicated k-token spans —
+    the exact-substring-dedup damage metric. Docs with < k tokens or no
+    duplicated spans report 0 coverage (they stay in the output)."""
+    base = docs.select("doc_id", F.size(texthash.words("text")).alias("n_tokens"))
+    dup = _dup_positions(docs, k)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev = F.lag("p").over(w)
+    flagged = dup.withColumn(
+        "_new", F.when(prev.isNull() | (F.col("p") > prev + k - 1), 1).otherwise(0)
+    ).withColumn("_gid", F.sum("_new").over(w))
+    islands = flagged.groupBy("doc_id", "_gid").agg(
+        F.min("p").alias("_lo"), F.max("p").alias("_hi"), F.count(F.lit(1)).alias("_c")
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_dup_spans"),
+        F.sum(F.col("_hi") - F.col("_lo") + k).alias("covered_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_coverage"),
+    )
+
+
+def cut_dup_spans(docs: DataFrame, k: int = DUPSPAN_K) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, clean_md5): the cleaned corpus —
+    every token position covered by a duplicated k-span is dropped, the
+    survivors are rejoined with single spaces, and the md5 of the result
+    proves the reassembled bytes cross-engine (same discipline as
+    text_pii_scrub). A fully-duplicated doc cleans to '' (md5(''))."""
+    covered = (
+        _dup_positions(docs, k)
+        .select("doc_id", F.explode(F.sequence("p", F.col("p") + k - 1)).alias("pos"))
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(texthash.words("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    base = docs.select("doc_id", F.size(texthash.words("text")).alias("n_tokens"))
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+_DUPSPAN_WS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+_DUPSPAN_OCC = f"""
+  SELECT doc_id, unnest(range(1, len(ws) - {DUPSPAN_K} + 2)) AS p, ws
+  FROM (SELECT doc_id, {_DUPSPAN_WS} AS ws FROM documents)
+  WHERE len(ws) >= {DUPSPAN_K}
+"""
+
+_DUPSPAN_DUPPOS = f"""
+occ AS (
+  SELECT doc_id, p,
+         {texthash.hash60_sql(f"array_to_string(ws[p:p+{DUPSPAN_K - 1}], ' ')")} AS h
+  FROM ({_DUPSPAN_OCC})),
+dup_sh AS (SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT doc_id, p FROM occ JOIN dup_sh USING (h))
+"""
+
+_SPAN_COVERAGE_SQL = f"""
+WITH base AS (SELECT doc_id, len({_DUPSPAN_WS})::BIGINT AS n_tokens FROM documents),
+{_DUPSPAN_DUPPOS},
+flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER w IS NULL
+                   OR p > lag(p) OVER w + {DUPSPAN_K} - 1
+              THEN 1 ELSE 0 END AS nw
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+grp AS (
+  SELECT doc_id, p,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS gid
+  FROM flagged),
+islands AS (
+  SELECT doc_id, gid, min(p) AS lo, max(p) AS hi, count(*) AS c
+  FROM grp GROUP BY doc_id, gid),
+per_doc AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_dup_spans,
+         sum(hi - lo + {DUPSPAN_K})::BIGINT AS covered_tokens
+  FROM islands GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(p.covered_tokens, 0)::BIGINT AS covered_tokens,
+       round(coalesce(p.covered_tokens, 0) * 1.0 / b.n_tokens, 6) AS dup_coverage
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+_CUT_SPANS_SQL = f"""
+WITH base AS (SELECT doc_id, len({_DUPSPAN_WS})::BIGINT AS n_tokens FROM documents),
+{_DUPSPAN_DUPPOS},
+covered AS (
+  SELECT DISTINCT doc_id, p + o AS pos
+  FROM dup, unnest(range(0, {DUPSPAN_K})) AS t(o)),
+toks AS (
+  SELECT doc_id, unnest(ws) AS w,
+         generate_subscripts(ws, 1) AS pos
+  FROM (SELECT doc_id, {_DUPSPAN_WS} AS ws FROM documents)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+clean AS (
+  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(c.kept_tokens, 0)::BIGINT AS kept_tokens,
+       coalesce(c.clean_md5, md5('')) AS clean_md5
+FROM base b LEFT JOIN clean c USING (doc_id)
+"""
+
+
+@register("dedup_span_coverage", _SPAN_COVERAGE_SQL)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup damage report: per document, the union length
+    of every duplicated k-token span (Lee et al. 2021 re-expressed as
+    positional shingles — see module section comment). FULL value oracle
+    including the interval-union arithmetic."""
+    return span_coverage(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_cut_dup_spans", _CUT_SPANS_SQL)
+def pipeline_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus after exact-substring dedup: duplicated-span
+    token positions dropped, survivors rejoined; md5 of the reassembled
+    text is value-checked byte-for-byte cross-engine."""
+    return cut_dup_spans(load_table(spark, sf_dir, "documents"))

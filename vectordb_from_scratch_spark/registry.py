@@ -317,3 +317,4 @@ from vectordb_from_scratch_spark.operators import export_shards  # noqa: E402,F4
 from vectordb_from_scratch_spark.operators import dq  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import hnsw  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import evalmetrics  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import classifier  # noqa: E402,F401
