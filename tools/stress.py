@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan
 """
 
 from __future__ import annotations
@@ -423,6 +423,76 @@ def run_winnow(spark, n: int) -> None:
     )
 
 
+def run_dupspan(spark, n: int) -> None:
+    """Exact-substring dedup at corpus scale, on the same adversarial
+    corpus shape as run_winnow: a 12-word boilerplate sentence in EVERY
+    doc (df = n — exactly the text substring dedup exists to cut) plus a
+    20-word run copied from the previous doc into 1% of docs. The design
+    claim to verify: everything is occurrence-LINEAR (a shingle shared by
+    M docs costs M rows, never M² — there is no pair join in the plan),
+    so wall should scale ~N and the boilerplate needs no cap. Also scores
+    the corpus with the in-engine classifier (T codegen agg passes) —
+    the train+score wall is the whole measurement."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import classifier, dedup
+
+    boiler = " ".join(f"commonboiler{i}" for i in range(12))
+    rows = []
+    for i in range(n):
+        words = [f"w{i}x{j}" for j in range(48)]
+        if i % 100 == 1:  # copy a 20-word run from the previous doc
+            words[14:34] = [f"w{i - 1}x{j}" for j in range(10, 30)]
+        rows.append(
+            (
+                i,
+                " ".join(words[:24]) + " " + boiler + " " + " ".join(words[24:]),
+                "en" if i % 3 == 0 else "de",
+            )
+        )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    path = f"/tmp/stress_docs_span_{n}"
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    docs.count()
+
+    t0 = time.perf_counter()
+    cov = dedup.span_coverage(docs).persist()
+    n_rows = cov.count()
+    t_cov = time.perf_counter() - t0
+    stats = cov.agg(
+        F.avg("dup_coverage").alias("avg"),
+        F.sum("covered_tokens").alias("cut"),
+        F.sum("n_tokens").alias("tot"),
+    ).collect()[0]
+    planted = cov.filter(F.col("doc_id") % 100 == 1).agg(
+        F.avg("covered_tokens").alias("c")
+    ).collect()[0]["c"]
+    cov.unpersist()
+    t0 = time.perf_counter()
+    cut = dedup.cut_dup_spans(docs)
+    kept = cut.agg(F.sum("kept_tokens").alias("k")).collect()[0]["k"]
+    t_cut = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    scored = classifier.score_documents(docs)
+    # agg over score (not count(): count prunes the score projection and
+    # would time only the training chain, not the corpus-wide scoring pass)
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg_score")
+    ).collect()[0]
+    n_scored, avg_score = row["n"], row["avg_score"]
+    t_clf = time.perf_counter() - t0
+    print(
+        f"dupspan n={n}: coverage {t_cov:6.2f}s ({n_rows} rows, "
+        f"avg coverage {stats['avg']:.3f}, planted docs avg covered "
+        f"{planted:.1f} tokens); cut {t_cut:6.2f}s "
+        f"(corpus {stats['tot']} -> {kept} tokens, "
+        f"{stats['cut']} duplicated cut); classifier train+score "
+        f"{t_clf:6.2f}s ({n_scored} rows, avg score {avg_score:.2e}) — "
+        f"all occurrence-linear, no pair join"
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -435,6 +505,8 @@ def main() -> None:
         return run_zorder(spark, n)
     if mode == "winnow":
         return run_winnow(spark, n)
+    if mode == "dupspan":
+        return run_dupspan(spark, n)
 
     rng = np.random.default_rng(42)
     # clustered data so IVF has structure to find
