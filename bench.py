@@ -77,6 +77,9 @@ HEADLINE = [
     "pipeline_cut_dup_spans",
     "quality_classifier_scores",
     "sampling_domain_mixture",
+    "graph_triangle_counts",
+    "graph_pagerank",
+    "graph_bfs_hops",
     "chunk_documents",
     "events_trailing_hour_window",
     "events_ewma_by_user",

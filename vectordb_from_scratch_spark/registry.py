@@ -318,3 +318,4 @@ from vectordb_from_scratch_spark.operators import dq  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import hnsw  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import evalmetrics  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import classifier  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import graph  # noqa: E402,F401
