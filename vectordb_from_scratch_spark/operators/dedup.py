@@ -1598,6 +1598,17 @@ def dedup_winnow_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly (the run's interior shingles are shared), so for run lengths >= k
 # the position sets agree with the suffix-array formulation.
 #
+# Two DELIBERATE deviations from the paper (ADVICE r5): (1) cut_dup_spans
+# removes EVERY occurrence of a duplicated span — no kept representative —
+# because choosing a canonical occurrence would need a global arbitrary
+# order over occurrences (a full shuffle on span identity) for no training
+# benefit: the cut text survives nowhere, which is the stricter and
+# cheaper policy, and dedup_span_coverage reports how much it costs;
+# (2) duplication is CROSS-document only (_dup_positions requires >= 2
+# distinct doc_ids), so a >= k-token run repeated inside one document is
+# never cut — within-doc repetition is a quality signal here, handled by
+# text_repetition_scores, not a dedup target.
+#
 # Scale shape — deliberately NOT a pair join: the corpus explodes to one
 # row per token position (linear), document frequencies are one groupBy on
 # the shingle hash (linear, map-side partial agg), and the dup-position

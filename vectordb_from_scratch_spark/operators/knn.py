@@ -182,6 +182,7 @@ def topk_auto(
     filter_expr: Column | None = None,
     blas_min_queries: int = BLAS_MIN_QUERIES,
     blockjoin_min_queries: int = BLOCKJOIN_MIN_QUERIES,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Serving-path dispatcher: route a query batch to the expression plan,
     the per-partition BLAS kernel, or (for Spark-DataFrame batches beyond
@@ -189,12 +190,19 @@ def topk_auto(
     can sneak into the serving path. ``queries`` may be a Spark DataFrame
     or a pandas frame of (query_id, query_vec); only below the block-join
     threshold is it assumed broadcast-small. Non-cosine metrics always
-    take the expression plan (the matmul kernels are cosine-only)."""
+    take the expression plan (the matmul kernels are cosine-only).
+
+    ``n_queries``: optional batch-size hint for Spark-DataFrame batches
+    (ADVICE r5: the dispatcher used to run ``queries.count()`` before
+    routing, executing the query lineage twice for small batches). With a
+    hint at/above ``blockjoin_min_queries`` the batch routes to the block
+    join without ever being collected; without one the batch is collected
+    ONCE via ``toPandas()`` and routed on its length — callers that might
+    hold an unbounded batch should pass the hint."""
     qpdf = queries if isinstance(queries, pd.DataFrame) else None
     if metric == "cosine":
         if qpdf is None:
-            n_q = queries.count()
-            if n_q >= blockjoin_min_queries:
+            if n_queries is not None and n_queries >= blockjoin_min_queries:
                 if filter_expr is not None:
                     corpus = corpus.filter(filter_expr)
                 return topk_blockjoin(
@@ -203,9 +211,23 @@ def topk_auto(
                     k=k,
                     id_col=id_col,
                     vec_col=vec_col,
-                    n_queries_hint=n_q,
+                    n_queries_hint=n_queries,
                 )
             qpdf = queries.toPandas()
+            if len(qpdf) >= blockjoin_min_queries:
+                # un-hinted batch that turned out block-join-sized: route
+                # to the unbounded kernel (one ~Q·d driver round-trip was
+                # already paid; the kernel itself never rebroadcasts it)
+                if filter_expr is not None:
+                    corpus = corpus.filter(filter_expr)
+                return topk_blockjoin(
+                    corpus,
+                    queries,
+                    k=k,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    n_queries_hint=len(qpdf),
+                )
         if len(qpdf) >= blas_min_queries:
             if filter_expr is not None:
                 corpus = corpus.filter(filter_expr)

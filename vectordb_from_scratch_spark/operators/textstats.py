@@ -757,10 +757,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct-gram array would be O(len²) per doc — wrong for 100k-token
 # documents, fine only for fixtures).
 
-_REP_SQL = """
+_REP_SQL = f"""
 WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS w
             FROM documents),
-g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> {texthash.hash60_sql("w[i] || ' ' || w[i + 1]")})) AS gram
       FROM ws WHERE len(w) >= 2),
 c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
 d AS (SELECT doc_id, round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac
@@ -782,12 +783,21 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal), plus the duplicate-word fraction (1 − distinct/total words
     — r5: the companion Gopher rule, a per-row array_distinct, O(len)).
     Documents under 2 words have no bigrams and are excluded on both
-    engines."""
+    engines.
+
+    The per-doc gram counts shuffle on ``hash60(gram)`` instead of the
+    concatenated gram string (VERDICT r5 #5): only counts survive the
+    aggregation, so the exchange carries a 8-byte key per gram instead of
+    ~2 words of text — the same narrow-key discipline as dedup/texthash.
+    A 60-bit collision would merge two gram counts identically on both
+    engines (same hash family), so the oracle stays exact."""
     docs = load_table(spark, sf_dir, "documents")
     ws = texthash.words("text")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        lambda i: texthash.hash60(
+            F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1))
+        ),
     )
     dup = F.round(1.0 - F.size(F.array_distinct(ws)) / F.size(ws), 6)
     g = (
