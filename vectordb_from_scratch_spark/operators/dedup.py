@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from vectordb_from_scratch_spark.functions import linalg, texthash
 from vectordb_from_scratch_spark.registry import register, track_persist
-from vectordb_from_scratch_spark.session import load_table
+from vectordb_from_scratch_spark.session import load_table, spread
 
 # MinHash parameters + DuckDB fragments live in functions/minhash.py
 # (registry-free, so pipeline.py's oracle SQL can embed them without a
@@ -250,6 +250,9 @@ def banded_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate self-join read this table instead of re-hashing shingles."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BANDS_CACHE:
+        # NOT spread (r6, measured): rebalancing the input 32-way sped the
+        # signature hashing but inflated every downstream band self-join
+        # and CC iteration's task count — net +2s across the dedup family
         docs = load_table(spark, sf_dir, "documents")
         # lazy persist: the first consuming action materializes the cache
         # (an eager count() here would pay one extra documents pass)
@@ -577,7 +580,11 @@ def connected_components(
     sym = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).unionAll(
         edges.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
     )
-    sym = sym.persist()
+    # cached hash-partitioned on the iteration join key: every round's
+    # sym⋈labels then reads the adjacency co-partitioned out of cache and
+    # exchanges only the (node, label) table (r6 — same discipline as
+    # graph.bfs_hops/pagerank)
+    sym = sym.repartition("b").persist()
     # seed labels at min(self, direct neighbors): dup clusters are
     # near-cliques, so most components are already settled after this one
     # groupBy and the loop only runs for long chains
@@ -1185,8 +1192,10 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora) — its distinct shingle set broadcasts; the 100 TB batch side
     is one explode → broadcast semi-join (hash probe per shingle, no
     shuffle of the corpus) → per-doc count. Batch docs with zero overlap
-    never survive the join, so the aggregate input is only near-hits."""
-    docs = load_table(spark, sf_dir, "documents")
+    never survive the join, so the aggregate input is only near-hits
+    (the batch side is ``spread`` before its explode — input rebalance,
+    not a shuffle of the exploded stream)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     eval_docs = docs.filter(F.col("source") == "src0").select("doc_id", "text")
     planted = eval_docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
@@ -1527,7 +1536,7 @@ def winnow_posting_cap(fp: DataFrame) -> DataFrame:
 
 
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return winnow_overlap_pairs_from(docs)
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from vectordb_from_scratch_spark import registry
 from vectordb_from_scratch_spark.functions import texthash
 from vectordb_from_scratch_spark.registry import register
-from vectordb_from_scratch_spark.session import load_table
+from vectordb_from_scratch_spark.session import load_table, spread
 
 # Word-class regexes kept to portable character classes so Java and RE2-ish
 # engines agree. BPE-ish token rule: runs of letters | runs of digits |
@@ -790,8 +790,10 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, so the exchange carries a 8-byte key per gram instead of
     ~2 words of text — the same narrow-key discipline as dedup/texthash.
     A 60-bit collision would merge two gram counts identically on both
-    engines (same hash family), so the oracle stays exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    engines (same hash family), so the oracle stays exact. The input is
+    ``spread`` ahead of the explode: the whole fan-out otherwise runs in
+    however few splits the scan arrived with (one, at fixture scale)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ws = texthash.words("text")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 1),
@@ -1100,7 +1102,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the fraction of its distinct 3-shingles
     found nowhere else in the corpus — the curation weight applied after
     dedup. FULL value oracle (integer counts + one 6dp ratio)."""
-    return ngram_novelty(load_table(spark, sf_dir, "documents"), sf_dir)
+    return ngram_novelty(spread(load_table(spark, sf_dir, "documents")), sf_dir)
 
 
 # --- winnowing fingerprints (Schleimer et al. 2003) --------------------------
@@ -1213,7 +1215,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-hash stream — any shared run of ≥ w+k-1 words between two
     docs shares a fingerprint, at ~2/(w+1) the volume of full shingling.
     FULL value oracle on the exact selected (doc, pos, hash) set."""
-    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return winnow_fingerprints(spread(load_table(spark, sf_dir, "documents")))
 
 
 # --- character entropy (compressibility / gibberish signal) -------------------

@@ -125,6 +125,28 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Fan-out rebalance: round-robin repartition a NARROW input ahead of
+    per-row explosion work (shingles, grams, signatures, per-doc BLAS)
+    whose cost is many times the input bytes — but ONLY when the scan
+    arrived with fewer splits than the target parallelism.
+
+    Why this exists (r6): Spark assigns parquet splits per row group, and
+    a fixture-scale table is ONE row group — so every explode-heavy
+    operator was running its entire fan-out on a single core while 31
+    idled (measured: text_repetition_scores 5.9s → 0.9s at sf0.1).
+    At 100 TB the same scan arrives with thousands of row groups, the
+    partition count already exceeds the target, and this is a no-op —
+    exactly the semantics you want: the shuffle moves only the narrow
+    input rows, and only when the cluster would otherwise be idle.
+    The partition-count probe is driver-side metadata (file listing),
+    not a job."""
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in DRIVER_TABLES}
 
