@@ -1,64 +1,35 @@
 """Graph-analytics kernels (operators/graph.py): exact invariants on
-hand-built graphs plus cross-formulation equality (degree-ordered
-orientation vs brute force). Oracle parity at sf0.01 runs in
-test_oracle_parity.py like every registered query."""
+hand-built graphs, cross-formulation equality (degree-ordered orientation
+vs brute force), non-default kernel arguments pinned against their own
+recursive-CTE oracles, and the shared-edge-cache serve discipline. Oracle
+parity for the six registered queries runs in test_oracle_parity.py."""
 
 import itertools
 
 import pytest
 from pyspark.sql import functions as F
 
+from vectordb_from_scratch_spark import registry
 from vectordb_from_scratch_spark.operators import graph
 
+from tests.oracle_check import duck_connection
 
-def _edges_df(spark, pairs):
+
+def _edges_df(spark, pairs, weights=None):
+    if weights is None:
+        weights = [1] * len(pairs)
     return spark.createDataFrame(
-        [(a, b) for a, b in pairs], "src long, dst long"
+        [(a, b, w) for (a, b), w in zip(pairs, weights)],
+        "src long, dst long, n_orders long",
     )
 
 
 def _triangles(spark, pairs):
-    """Run the degree-ordered triangle kernel on an explicit edge list by
-    monkey-free reuse: build the same pipeline graph_triangle_counts uses,
-    starting from the edge frame."""
-    edges = _edges_df(spark, pairs)
-    deg = (
-        graph._sym(edges)
-        .groupBy(F.col("a").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    e = (
-        edges.join(deg.withColumnRenamed("node", "src"), "src")
-        .withColumnRenamed("deg", "dsrc")
-        .join(
-            deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "ddst"),
-            "dst",
-        )
-    )
-    fwd = F.struct("dsrc", "src") < F.struct("ddst", "dst")
-    oriented = e.select(
-        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-        F.when(fwd, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
-    ).persist()
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.u") == F.col("o2.u"))
-        & (F.struct("o1.dv", "o1.v") < F.struct("o2.dv", "o2.v")),
-    ).select(
-        F.col("o1.u").alias("apex"), F.col("o1.v").alias("x"), F.col("o2.v").alias("y")
-    )
-    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, ["x", "y"])
     out = {
-        r["part_id"]: r["n"]
-        for r in tri.select(F.explode(F.array("apex", "x", "y")).alias("part_id"))
-        .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        r["part_id"]: r["n_triangles"]
+        for r in graph.triangle_counts(_edges_df(spark, pairs)).collect()
     }
-    oriented.unpersist()
+    registry.release_tracked()
     return out
 
 
@@ -133,29 +104,100 @@ def test_bfs_hops_exact_on_fixture(spark, sf_oracle):
     assert got == dist
 
 
-def test_pagerank_uniform_on_regular_graph(spark, sf_oracle, monkeypatch):
+def test_bfs_nondefault_seed_and_hops_match_oracle(spark, sf_oracle):
+    """The kernel's seed/hops arguments (r6: BFS as a library call, not
+    just the registered min-src query) pinned against the SAME recursive
+    CTE with a literal seed and a tighter hop bound."""
+    edges = graph.copurchase_edges(spark, sf_oracle).persist()
+    seed = edges.agg(F.max("src").alias("m")).collect()[0]["m"]  # not the default
+    got = {
+        (r["part_id"], r["hops"])
+        for r in graph.bfs_hops(edges.select("src", "dst"), source=seed, max_hops=3).collect()
+    }
+    con = duck_connection(sf_oracle)
+    want = {
+        (r[0], r[1])
+        for r in con.execute(graph.bfs_sql(source_expr=str(seed), max_hops=3)).fetchall()
+    }
+    assert got == want and (seed, 0) in got
+    edges.unpersist()
+    registry.release_tracked()
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
     """On a k-regular graph (a cycle) PageRank is exactly uniform: the
     recurrence maps the uniform vector to itself, so every iterate stays
-    1/N regardless of iteration count."""
-    cyc = [(i, (i + 1) % 8 if i < 7 else 0) for i in range(8)]
-    cyc = [(min(a, b), max(a, b)) for a, b in [(i, (i + 1) % 8) for i in range(8)]]
-    monkeypatch.setattr(
-        graph, "copurchase_edges", lambda s, d: _edges_df(spark, sorted(set(cyc)))
-    )
-    rows = graph.graph_pagerank(spark, sf_oracle).collect()
-    assert len(rows) == 8
-    for r in rows:
-        assert r["pagerank"] == pytest.approx(1.0 / 8, abs=1e-9)
+    1/N regardless of iteration count — in both weighted and unweighted
+    form (uniform weights make them the same operator)."""
+    cyc = sorted({(min(a, b), max(a, b)) for a, b in [(i, (i + 1) % 8) for i in range(8)]})
+    for weighted in (False, True):
+        rows = graph.pagerank(_edges_df(spark, cyc), weighted=weighted).collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert r["pagerank"] == pytest.approx(1.0 / 8, abs=1e-9)
+        registry.release_tracked()
 
 
 def test_pagerank_mass_conserved_on_fixture(spark, sf_oracle):
-    """No dangling nodes (symmetric graph) → total rank mass stays 1."""
-    total = (
-        graph.graph_pagerank(spark, sf_oracle)
-        .agg(F.sum("pagerank").alias("s"))
-        .collect()[0]["s"]
-    )
-    assert total == pytest.approx(1.0, abs=1e-4)
+    """No dangling nodes (symmetric graph) → total rank mass stays 1,
+    uniform and weighted."""
+    for name in ("graph_pagerank", "graph_pagerank_weighted"):
+        total = (
+            registry.QUERIES[name](spark, sf_oracle)
+            .agg(F.sum("pagerank").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert total == pytest.approx(1.0, abs=1e-4), name
+
+
+def test_pagerank_weighted_follows_heavy_edge(spark):
+    """A 3-path a—b—c where (b,c) carries 9× the weight of (a,b): the
+    weighted surfer leaving b goes to c with p=0.9, so c must outrank a;
+    the unweighted kernel scores a and c identically. Exact expected
+    values from a driver-side power iteration."""
+    edges = _edges_df(spark, [(0, 1), (1, 2)], weights=[1, 9])
+    uni = {r["part_id"]: r["pagerank"] for r in graph.pagerank(edges).collect()}
+    registry.release_tracked()
+    assert uni[0] == uni[2]
+    got = {
+        r["part_id"]: r["pagerank"]
+        for r in graph.pagerank(edges, weighted=True).collect()
+    }
+    registry.release_tracked()
+    # driver-side reference: same recurrence, numpy-free exact floats
+    w = {0: {1: 1.0}, 1: {0: 0.1, 2: 0.9}, 2: {1: 1.0}}
+    r = {n: 1 / 3 for n in range(3)}
+    for _ in range(graph.PAGERANK_ITERS):
+        nxt = {}
+        for b in range(3):
+            mass = sum(r[a] * w[a][b] for a in range(3) if b in w[a])
+            nxt[b] = 0.15 / 3 + 0.85 * mass
+        r = nxt
+    assert got[2] > got[0]
+    for n in range(3):
+        assert got[n] == pytest.approx(round(r[n], 8), abs=2e-8)
+
+
+def test_pagerank_checkpoint_cadence_is_value_neutral(spark):
+    """25 iterations with lineage truncation every 4 equals the fully
+    chained 25-iteration plan — localCheckpoint changes plan depth, never
+    values."""
+    import random
+
+    rng = random.Random(7)
+    pairs = sorted({tuple(sorted(rng.sample(range(30), 2))) for _ in range(80)})
+    edges = _edges_df(spark, pairs)
+    a = {
+        r["part_id"]: r["pagerank"]
+        for r in graph.pagerank(edges, iters=25, checkpoint_every=4).collect()
+    }
+    registry.release_tracked()
+    b = {
+        r["part_id"]: r["pagerank"]
+        for r in graph.pagerank(edges, iters=25, checkpoint_every=None).collect()
+    }
+    registry.release_tracked()
+    assert a == b
 
 
 def test_edge_fanout_cap_mirrored(spark, sf_oracle):
@@ -166,3 +208,61 @@ def test_edge_fanout_cap_mirrored(spark, sf_oracle):
     mx = e.agg(F.max("n_orders").alias("m")).collect()[0]["m"]
     assert 1 <= mx < 100
     assert e.filter(F.col("src") >= F.col("dst")).count() == 0
+
+
+def test_components_match_bfs_reachability(spark):
+    """Two disjoint cliques + an isolated edge: component labels are the
+    min node id of each component and sizes add up."""
+    k4 = list(itertools.combinations([0, 1, 2, 3], 2))
+    k3 = list(itertools.combinations([10, 11, 12], 2))
+    pairs = k4 + k3 + [(20, 21)]
+    from vectordb_from_scratch_spark.operators.dedup import connected_components
+
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            _edges_df(spark, pairs), a_col="src", b_col="dst"
+        ).collect()
+    }
+    registry.release_tracked()
+    assert {labels[n] for n in (0, 1, 2, 3)} == {0}
+    assert {labels[n] for n in (10, 11, 12)} == {10}
+    assert {labels[n] for n in (20, 21)} == {20}
+
+
+def test_graph_queries_share_one_edge_build(spark, sf_small, monkeypatch):
+    """The process-level edge cache (VERDICT r6 #2): after the warmer,
+    every edge-consuming graph query runs WITHOUT re-deriving edges —
+    monkeypatch the derivation to explode, exactly the
+    test_serve_warm.py discipline."""
+    graph.warm_graph(spark, sf_small)
+
+    def boom(*a, **k):
+        raise AssertionError("edge derivation re-entered on the serve path")
+
+    monkeypatch.setattr(graph, "copurchase_edges", boom)
+    monkeypatch.setattr(graph, "copurchase_edges_from_items", boom)
+    registry.STRICT_SERVE = True
+    try:
+        for name in (
+            "graph_triangle_counts",
+            "graph_components",
+            "graph_bfs_hops",
+            "graph_pagerank",
+            "graph_pagerank_weighted",
+        ):
+            assert registry.QUERIES[name](spark, sf_small).count() > 0, name
+    finally:
+        registry.STRICT_SERVE = False
+
+
+def test_graph_cold_cache_raises_under_strict_serve(spark, sf_small):
+    saved = dict(graph._EDGES_CACHE)
+    graph._EDGES_CACHE.clear()
+    registry.STRICT_SERVE = True
+    try:
+        with pytest.raises(RuntimeError, match="cold build cache"):
+            registry.QUERIES["graph_pagerank"](spark, sf_small)
+    finally:
+        registry.STRICT_SERVE = False
+        graph._EDGES_CACHE.update(saved)

@@ -1,18 +1,31 @@
 """Graph analytics over a co-purchase graph derived from ``lineitem``:
-edge extraction, triangle counting, BFS shortest paths, PageRank.
+edge extraction, triangle counting, connected components, BFS shortest
+paths, PageRank (uniform and weighted).
 
 The reference has no graph surface (SURVEY.md §2.3 lists "iterative" as a
 reference-absent extension category; ``dedup.connected_components`` was its
-only member). These operators round out the iterative family with the three
+only member). These operators round out the iterative family with the
 classic distributed-graph kernels a training-data pipeline runs over
 document/link graphs — here expressed over the natural TPC-H-ish graph:
 parts are nodes, and two parts are linked when they co-occur in an order.
+
+Every kernel takes the EDGE LIST as a DataFrame (r6: the registered
+queries are thin wrappers over reusable library functions, the same
+query-vs-API split as ``knn.topk``/``ivf.search``), so ``tools/stress.py``
+can drive them on synthetic corpora with planted pathologies.
 
 Scale design (100 TB):
 - **Edge derivation is fanout-capped**: an order with B distinct parts
   emits C(B,2) pairs; ``MAX_BASKET`` drops pathological baskets before the
   self-join (mirrored in every oracle), so pair volume is ≤496·|orders| —
   linear, the same hot-key discipline as ``dedup.JACCARD_MAX_POSTING``.
+- **The edge list is built once per (session, corpus)** and shared by all
+  six graph queries through ``shared_edges`` — a process-level cache with
+  the same warmer / STRICT_SERVE discipline as the ANN index tiers
+  (``registry.WARMERS``), so bench separates derivation cost (measured by
+  ``graph_edge_weights``, the cold surface) from iteration cost. At
+  100 TB this is "materialize the edge table, then run every analytic
+  against it" — never re-derive per query.
 - **Triangle counting uses degree-ordered orientation** (the standard
   distributed formulation): each undirected edge points from its
   lower-(degree,id) endpoint to the higher one, so every triangle is
@@ -25,17 +38,22 @@ Scale design (100 TB):
   proportional to the graph ever touches the driver. BFS's early-exit
   check is a scalar ``count()`` per level (same discipline as
   ``dedup.connected_components``'s convergence probe); PageRank is fully
-  declarative — ten chained join+agg stages over a persisted weighted
-  adjacency, the same broadcast-glued recurrence style as
-  ``classifier.train_weights``.
+  declarative — ``iters`` chained join+agg stages over a persisted
+  weighted adjacency, the same broadcast-glued recurrence style as
+  ``classifier.train_weights``. Past ~10 iterations the chained plan
+  itself becomes the bottleneck (analysis/codegen grow linearly), so the
+  kernel truncates lineage with a ``localCheckpoint`` every
+  ``checkpoint_every`` iterations — off for the registered fixed-10
+  queries, on in stress runs that push 25+.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vectordb_from_scratch_spark.registry import register, track_persist
+from vectordb_from_scratch_spark import registry
+from vectordb_from_scratch_spark.registry import register, track, track_persist
 from vectordb_from_scratch_spark.session import load_table
 
 #: Orders with more than this many distinct parts are excluded from the
@@ -53,6 +71,12 @@ BFS_MAX_HOPS = 6
 PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 
+#: Default lineage-truncation cadence for long PageRank runs (see
+#: module docstring). Chosen so the default 10-iteration queries never
+#: checkpoint (their chained plan is fine) while a 25-50 iteration run
+#: pays at most ceil(iters/8) re-materializations of one (node, r) table.
+PAGERANK_CHECKPOINT_EVERY = 8
+
 # Shared oracle CTE prefix: distinct (order, part) items, basket-size cap,
 # then the id-ordered undirected edge list with co-occurrence weights.
 _EDGES_CTE = f"""
@@ -65,18 +89,16 @@ edges AS (SELECT a.pk AS src, b.pk AS dst, count(*)::BIGINT AS n_orders
 """
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst, n_orders) with src < dst: distinct part pairs that
-    co-occur in an order, weighted by how many orders share them.
+def copurchase_edges_from_items(items: DataFrame) -> DataFrame:
+    """(src, dst, n_orders) with src < dst from a raw (ok, pk) item list
+    (duplicates allowed): distinct part pairs that co-occur in an order,
+    weighted by how many orders share them.
 
     Plan: distinct items (one shuffle on the pair), basket-size filter
     (groupBy ok — same key as the upcoming self-join, so AQE reuses the
     partitioning), self-join on ok with pk ordering, then the edge
     groupBy. Pair fanout per order is capped at C(MAX_BASKET, 2)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    items = items.select("ok", "pk").distinct()
     ok_small = (
         items.groupBy("ok").count().filter(F.col("count") <= MAX_BASKET).select("ok")
     )
@@ -90,10 +112,64 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCACHED edge derivation over the sf_dir lineitem table — the
+    cold-build surface (``graph_edge_weights`` times this); the analytic
+    queries go through :func:`shared_edges` instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_edges_from_items(
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    )
+
+
+#: Process-level edge-table cache, same regime as dedup._BANDS_CACHE /
+#: ivf/lsh._BUILD_CACHE: the co-purchase edge list is a derived INDEX over
+#: the corpus shared by five analytic queries (triangles / components /
+#: BFS / PageRank ×2) — at 100 TB you materialize it once and run every
+#: analytic against it. Deliberately excluded from the per-query release.
+_EDGES_CACHE: dict = {}
+
+
+def shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (src, dst, n_orders) edge table, built once per (session,
+    corpus) and Spark-cached. Under ``registry.STRICT_SERVE`` a cold cache
+    raises (bench must run :func:`warm_graph` outside the timed region);
+    default mode builds on demand for standalone/driver invocations."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    registry.require_warm(_EDGES_CACHE, key, "graph edge table")
+    if key not in _EDGES_CACHE:
+        # lazy persist: the first consuming action materializes the cache
+        _EDGES_CACHE[key] = copurchase_edges(spark, sf_dir).persist()
+    return _EDGES_CACHE[key]
+
+
+def warm_graph(spark: SparkSession, sf_dir: str) -> None:
+    """Build + materialize the shared edge table outside any timed region
+    (registered as the WARMER for every edge-consuming graph query)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGES_CACHE:
+        edges = copurchase_edges(spark, sf_dir).persist()
+        edges.count()
+        _EDGES_CACHE[key] = edges
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     """Both directions of the undirected edge list: (a, b)."""
     return edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
         edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+
+
+def _sym_w(edges: DataFrame) -> DataFrame:
+    """Both directions with the co-occurrence weight: (a, b, w0)."""
+    return edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("n_orders").alias("w0")
+    ).unionAll(
+        edges.select(
+            F.col("dst").alias("a"),
+            F.col("src").alias("b"),
+            F.col("n_orders").alias("w0"),
+        )
     )
 
 
@@ -112,7 +188,8 @@ LIMIT 50
 def graph_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 co-purchase edges by weight — the edge-derivation step
     surfaced as its own query (deterministic cut: integer weight, then the
-    unique (src, dst) pair)."""
+    unique (src, dst) pair). Deliberately UNCACHED: this is the measured
+    cold-build surface; everything else reuses ``shared_edges``."""
     return (
         copurchase_edges(spark, sf_dir)
         .orderBy(F.desc("n_orders"), "src", "dst")
@@ -136,17 +213,12 @@ FROM m GROUP BY 1
 """
 
 
-@register("graph_triangle_counts", _TRI_SQL)
-def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(part_id, n_triangles) for every node in ≥1 triangle — exact.
-
-    Degree-ordered orientation: edge {u,v} points from the endpoint with
-    the smaller (degree, id) to the larger, every triangle is a single
-    wedge at its minimum-(degree, id) apex plus one closing-edge lookup,
-    and wedge fanout is bounded by oriented out-degree (≤ O(√m) on any
-    graph) instead of raw degree. The oracle counts the same triangles
-    with the textbook id-ordered 3-way self-join."""
-    edges = track_persist(copurchase_edges(spark, sf_dir).select("src", "dst"))
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an undirected (src, dst) edge list:
+    (u, v, dv) where {src,dst} points from the smaller (degree, id)
+    endpoint to the larger. The wedge join fans out by ORIENTED
+    out-degree, which is O(√m)-bounded on any graph — the hub-proof
+    property ``tools/stress.py graph`` measures directly."""
     deg = _sym(edges).groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -159,13 +231,24 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fwd = F.struct("dsrc", "src") < F.struct("ddst", "dst")
-    oriented = track_persist(
-        e.select(
-            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
-            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-            F.when(fwd, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
-        )
+    return e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(part_id, n_triangles) for every node in ≥1 triangle — exact.
+
+    Degree-ordered orientation: every triangle is a single wedge at its
+    minimum-(degree, id) apex plus one closing-edge lookup, and wedge
+    fanout is bounded by oriented out-degree instead of raw degree. The
+    oracle counts the same triangles with the textbook id-ordered 3-way
+    self-join. The oriented table persists hash-partitioned on the wedge
+    apex, so the self-join is co-partitioned out of cache (no exchange on
+    either side)."""
+    oriented = track_persist(oriented_edges(edges).repartition("u"))
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(
@@ -186,39 +269,106 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("graph_triangle_counts", _TRI_SQL)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts(shared_edges(spark, sf_dir).select("src", "dst"))
+
+
+# --- connected components ----------------------------------------------------
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (SELECT node, node AS r FROM nodes
+          UNION
+          SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT node AS part_id, component,
+       (count(*) OVER (PARTITION BY component))::BIGINT AS component_size
+FROM comp
+"""
+
+
+@register("graph_components", _COMPONENTS_SQL)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_id, component, component_size) over the co-purchase graph —
+    min-label propagation, the SAME kernel ``dedup_components`` runs over
+    the MinHash candidate graph (operators/dedup.py:connected_components),
+    pointed at the shared edge cache: the classic-kernel set (triangles /
+    components / BFS / PageRank) closes at near-zero marginal cost. The
+    oracle is the recursive-CTE transitive closure; the basket cap is
+    mirrored inside ``_EDGES_CTE``."""
+    from vectordb_from_scratch_spark.operators.dedup import connected_components
+
+    edges = shared_edges(spark, sf_dir).select("src", "dst")
+    labels = connected_components(edges, a_col="src", b_col="dst")
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("part_id"),
+        F.col("label").alias("component"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
+    )
+
+
 # --- BFS shortest hops -------------------------------------------------------
 
-_BFS_SQL = f"""
+
+def bfs_sql(source_expr: str = "(SELECT min(src) FROM edges)",
+            max_hops: int = BFS_MAX_HOPS) -> str:
+    """Recursive-CTE BFS oracle, parameterized on seed and hop bound so
+    tests can pin :func:`bfs_hops` at non-default arguments."""
+    return f"""
 WITH RECURSIVE {_EDGES_CTE},
 sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
 walk(node, hops) AS (
-    SELECT (SELECT min(src) FROM edges), 0
+    SELECT {source_expr}, 0
     UNION
     SELECT sym.b, walk.hops + 1
     FROM walk JOIN sym ON sym.a = walk.node
-    WHERE walk.hops < {BFS_MAX_HOPS}
+    WHERE walk.hops < {max_hops}
 )
 SELECT node AS part_id, min(hops)::BIGINT AS hops
 FROM walk GROUP BY 1
 """
 
 
-@register("graph_bfs_hops", _BFS_SQL)
-def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(part_id, hops): minimum hop count from the lowest part id to every
-    node reachable within BFS_MAX_HOPS — exact integer distances.
+def bfs_hops(
+    edges: DataFrame,
+    source: int | None = None,
+    max_hops: int = BFS_MAX_HOPS,
+    early_exit: bool = True,
+) -> DataFrame:
+    """(part_id, hops): minimum hop count from ``source`` (default: the
+    lowest node id, as a 1-row aggregate — no driver collect) to every
+    node reachable within ``max_hops`` — exact integer distances.
 
     Level-synchronous frontier BFS: each level is one join (frontier ×
-    adjacency) + one distinct + one anti-join against the visited set.
-    The per-level early-exit probe is a scalar count, the only driver
-    value in the loop; the frontier/visited tables never leave executors.
-    The source seed is itself a 1-row aggregate — no driver collect."""
-    edges = copurchase_edges(spark, sf_dir).select("src", "dst")
-    sym = _sym(edges).persist()
-    frontier = edges.agg(F.min("src").alias("node"))
+    adjacency) + one distinct + one anti-join against the visited set;
+    the frontier/visited tables never leave executors. The per-level
+    early-exit probe is a scalar count, the only driver value in the
+    loop — and it is LOAD-BEARING as the action that materializes each
+    level's persisted frontier before three downstream plans reference
+    it (r6, measured: the fully-declarative one-job variant recomputes
+    un-filled caches across levels, 12s → 65s at sf0.1; ``early_exit=
+    False`` keeps that shape for callers who want a single job on small
+    graphs). Reusable as a library call (seed/hops are arguments, r6 — the
+    registered query keeps the min-src contract for the oracle).
+
+    The adjacency persists HASH-PARTITIONED on its join key (r6,
+    measured): a plain ``persist`` caches rows but not a partitioning, so
+    every level's join re-exchanged the full 2·|E| adjacency; caching it
+    as hashpartitioning(a) makes the per-level exchange frontier-sized —
+    the Pregel co-location argument, and the difference between shuffling
+    the graph once vs. once per iteration at 100 TB."""
+    sym = _sym(edges).repartition("a").persist()
+    if source is None:
+        frontier = edges.agg(F.min("src").alias("node"))
+    else:
+        frontier = edges.sparkSession.createDataFrame([(source,)], "node long")
     visited = frontier.withColumn("hops", F.lit(0).cast("long")).persist()
     pinned = [sym, visited]
-    for h in range(1, BFS_MAX_HOPS + 1):
+    for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym, frontier["node"] == sym["a"])
             .select(F.col("b").alias("node"))
@@ -227,24 +377,35 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hops", F.lit(h).cast("long"))
         ).persist()
         pinned.append(nxt)
-        if nxt.limit(1).count() == 0:
+        if early_exit and nxt.limit(1).count() == 0:
             break
         visited = visited.unionAll(nxt).persist()
         pinned.append(visited)
         frontier = nxt.select("node")
-    from vectordb_from_scratch_spark.registry import track
-
-    for df in pinned[:-1]:
+    for df in pinned:
         track(df)
-    track(pinned[-1])
     return visited.select(F.col("node").alias("part_id"), "hops")
+
+
+@register("graph_bfs_hops", bfs_sql())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_hops(shared_edges(spark, sf_dir).select("src", "dst"))
 
 
 # --- PageRank ----------------------------------------------------------------
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(weighted: bool = False) -> str:
     d = PAGERANK_DAMPING
+    if weighted:
+        adj = """wsum AS (SELECT a AS node, sum(w0)::DOUBLE AS tot FROM sym GROUP BY 1),
+adjw AS (SELECT s.a, s.b, s.w0 / t.tot AS w FROM sym s JOIN wsum t ON t.node = s.a)"""
+        sym = """sym AS (SELECT src AS a, dst AS b, n_orders AS w0 FROM edges
+       UNION ALL SELECT dst, src, n_orders FROM edges)"""
+    else:
+        adj = """degs AS (SELECT a AS node, count(*)::DOUBLE AS outdeg FROM sym GROUP BY 1),
+adjw AS (SELECT s.a, s.b, 1.0/d.outdeg AS w FROM sym s JOIN degs d ON d.node = s.a)"""
+        sym = "sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges)"
     ctes = ["pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)"]
     for i in range(1, PAGERANK_ITERS + 1):
         ctes.append(
@@ -254,42 +415,69 @@ def _pagerank_sql() -> str:
         )
     return f"""
 WITH {_EDGES_CTE},
-sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+{sym},
 nodes AS (SELECT DISTINCT a AS node FROM sym),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-degs AS (SELECT a AS node, count(*)::DOUBLE AS outdeg FROM sym GROUP BY 1),
-adjw AS (SELECT s.a, s.b, 1.0/d.outdeg AS w FROM sym s JOIN degs d ON d.node = s.a),
+{adj},
 {",".join(ctes)}
 SELECT node AS part_id, round(r, 8) AS pagerank FROM pr{PAGERANK_ITERS}
 """
 
 
-@register("graph_pagerank", _pagerank_sql())
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(part_id, pagerank) after PAGERANK_ITERS power-method steps with
-    damping 0.85 over the symmetrized co-purchase graph.
+def pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+    weighted: bool = False,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(part_id, pagerank) after ``iters`` power-method steps over the
+    symmetrized co-purchase graph.
+
+    ``weighted=False``: the uniform random surfer, w(a→b) = 1/outdeg(a).
+    ``weighted=True``: the natural random surfer on a co-purchase graph —
+    w(a→b) = n_orders(a,b) / Σ_c n_orders(a,c), so a follower walks to
+    frequently-co-bought parts proportionally (VERDICT r6 #4: the edge
+    weights the derivation already computes stop being discarded).
 
     Fully declarative recurrence (no driver synchronization): the weighted
-    adjacency (a, b, 1/outdeg_a) is persisted once, and each iteration is
-    one join + one groupBy-sum over it, glued to the previous iteration's
-    ranks. The graph is symmetric, so every node has in- and out-edges —
-    no dangling-mass term. Node count enters the plan as a broadcast 1-row
-    aggregate, not a collected scalar. Output rounded to 8 dp on both
-    sides (double summation order differs across engines at ~1e-16
-    relative; ranks are ~1/N)."""
-    edges = copurchase_edges(spark, sf_dir).select("src", "dst")
-    sym = _sym(edges)
-    nodes = track_persist(sym.select(F.col("a").alias("node")).distinct())
+    adjacency is persisted once, and each iteration is one join + one
+    groupBy-sum over it, glued to the previous iteration's ranks. The
+    graph is symmetric, so every node has in- and out-edges — no
+    dangling-mass term. Node count enters the plan as a broadcast 1-row
+    aggregate, not a collected scalar. ``checkpoint_every=K`` truncates
+    lineage with a lazy ``localCheckpoint`` after every K iterations so
+    iteration counts well past 10 don't grow an unbounded chained plan
+    (analysis cost is linear in plan depth; the checkpoint trades one
+    re-materialization of the small (node, r) table per K steps). Output
+    rounded to 8 dp on both sides (double summation order differs across
+    engines at ~1e-16 relative; ranks are ~1/N)."""
+    # the adjacency persists hash-partitioned on the join key (see
+    # bfs_hops): each iteration then exchanges only the (node, r) ranks,
+    # never the 2·|E| edge table
+    if weighted:
+        sym = _sym_w(edges)
+        wsum = sym.groupBy("a").agg(F.sum("w0").cast("double").alias("tot"))
+        adjw = track_persist(
+            sym.join(wsum, "a")
+            .select("a", "b", (F.col("w0").cast("double") / F.col("tot")).alias("w"))
+            .repartition("a")
+        )
+    else:
+        sym = _sym(edges.select("src", "dst"))
+        degs = sym.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+        adjw = track_persist(
+            sym.join(degs, "a")
+            .select("a", "b", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+            .repartition("a")
+        )
+    nodes = track_persist(adjw.select(F.col("a").alias("node")).distinct())
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    degs = sym.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
-    adjw = track_persist(
-        sym.join(degs, "a").select("a", "b", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-    )
-    d = PAGERANK_DAMPING
+    d = damping
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(PAGERANK_ITERS):
+    for i in range(1, iters + 1):
         contrib = (
             adjw.join(ranks, adjw["a"] == ranks["node"])
             .groupBy("b")
@@ -299,6 +487,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("node"),
             (F.lit(1 - d) / F.col("n") + F.lit(d) * F.col("mass")).alias("r"),
         )
+        if checkpoint_every and i % checkpoint_every == 0 and i < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         F.col("node").alias("part_id"), F.round("r", 8).alias("pagerank")
     )
+
+
+@register("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(shared_edges(spark, sf_dir).select("src", "dst"))
+
+
+@register("graph_pagerank_weighted", _pagerank_sql(weighted=True))
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(shared_edges(spark, sf_dir), weighted=True)
+
+
+# The five edge-consuming queries share one warmer: the edge build runs
+# once per session, outside bench's timed regions (graph_edge_weights has
+# NO warmer — it is the measured derivation).
+for _q in (
+    "graph_triangle_counts",
+    "graph_components",
+    "graph_bfs_hops",
+    "graph_pagerank",
+    "graph_pagerank_weighted",
+):
+    registry.WARMERS[_q] = warm_graph
