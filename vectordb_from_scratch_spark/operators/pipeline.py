@@ -199,6 +199,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup, an eval-side broadcast for decon, scan-local quality, one
     small final groupBy. The corpus is never joined quadratically and
     never shuffled whole."""
+    clean = clean_corpus_docs(spark, sf_dir)
+    return clean.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept (doc_id, source, lang, n_tokens) rows after quality gate →
+    near-dup removal → eval decontamination — the shared chain behind
+    ``pipeline_clean_corpus`` and its classifier-gated variant."""
     docs = load_table(spark, sf_dir, "documents")
     bands = dedup.banded_signatures(spark, sf_dir)
     kept = prepare_training_corpus(spark, docs.filter(F.col("source") != "src0"), bands=bands)
@@ -217,7 +228,116 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 5)
         .select("doc_id")
     )
-    clean = kept.join(contaminated, "doc_id", "left_anti")
+    return kept.join(contaminated, "doc_id", "left_anti")
+
+
+# --- the classifier-gated pipeline -------------------------------------------
+#
+# r5 shipped the in-engine-trained logistic quality classifier BESIDE the
+# pipeline (quality_classifier_scores); this variant composes it INSIDE
+# (VERDICT r6 #6): train → score → gate → the existing dedup/decontaminate
+# chain, one plan, one oracle. The gate keeps batch documents scoring
+# ABOVE THE BATCH MEAN under the learned model — a self-calibrating cut
+# (the 3-iteration model's absolute scores sit near 0 on the imbalanced
+# fixture label, so a fixed 0.5 threshold would keep nothing). The
+# comparison is pure integer arithmetic (6dp score ×10⁶ as BIGINT;
+# si·n > Σsi avoids dividing), so gate membership is bit-exact across
+# engines — no float-boundary flakiness in WHICH docs pass.
+
+#: fixed-point scale for the gate comparison (scores are 6dp-rounded)
+CLS_GATE_SCALE = 1_000_000
+
+
+def _clean_cls_sql() -> str:
+    from vectordb_from_scratch_spark.operators import classifier
+
+    sig = (
+        "1.0 / (1.0 + exp(-(w.wb * f.b + w.w1 * f.f1 + w.w2 * f.f2 "
+        "+ w.w3 * f.f3 + w.w4 * f.f4)))"
+    )
+    return f"""
+WITH RECURSIVE {minhash.minhash_sig_sql()},
+bands AS ({minhash.bands_sql()}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+nonrep AS (SELECT node AS doc_id FROM comp WHERE component <> node),
+eval_sh AS (
+  SELECT DISTINCT unnest(list_distinct(
+           {texthash.word_shingles_sql('text', 6)})) AS s
+  FROM documents WHERE source = 'src0'),
+batch_sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           {texthash.word_shingles_sql('text', 6)})) AS s
+  FROM documents WHERE source <> 'src0'),
+contaminated AS (
+  SELECT doc_id FROM batch_sh JOIN eval_sh USING (s)
+  GROUP BY doc_id HAVING count(*) >= 5),
+{classifier._CTES},
+cls AS (
+  SELECT f.doc_id,
+         floor(round({sig}, 6) * {CLS_GATE_SCALE} + 0.5)::BIGINT AS si
+  FROM feat f CROSS JOIN {classifier._WFINAL} w
+  WHERE f.doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src0')),
+cstat AS (SELECT sum(si)::BIGINT AS ssum, count(*)::BIGINT AS n FROM cls),
+lowq AS (SELECT doc_id FROM cls CROSS JOIN cstat WHERE si * n <= ssum),
+q AS (SELECT doc_id, source, lang,
+             list_filter(string_split(text, ' '), w -> w != '') AS ws,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text) AS punct_ratio
+      FROM documents WHERE source <> 'src0'),
+kept AS (SELECT doc_id, source, lang, len(ws)::BIGINT AS n_tokens
+         FROM q
+         WHERE len(ws) >= 20
+           AND len(list_filter(ws, w -> list_contains({_STOP_LIST_SQL}, w))) * 1.0 / len(ws) > 0.01
+           AND punct_ratio < 0.2
+           AND doc_id NOT IN (SELECT doc_id FROM nonrep)
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+           AND doc_id NOT IN (SELECT doc_id FROM lowq))
+SELECT source, lang,
+       count(*)      AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM kept GROUP BY source, lang
+"""
+
+
+@register("pipeline_clean_corpus_classified", _clean_cls_sql())
+def pipeline_clean_corpus_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline_clean_corpus`` with the learned gate composed in: the
+    logistic model trains on the FULL corpus inside the plan (the same
+    T-iteration distributed GD as ``quality_classifier_scores``, weights
+    riding a broadcast 1-row frame), every batch document is scored, and
+    only above-batch-mean documents survive into the accounting. FULL
+    value oracle — the training arithmetic, the sigmoid, the fixed-point
+    gate, and the dedup/decontamination chain all replay in one DuckDB
+    query. Scale shape adds T corpus scans (partial-aggregated, zero data
+    shuffle) and one broadcast join to the clean-corpus plan."""
+    from vectordb_from_scratch_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = classifier.score_documents(docs).join(
+        docs.filter(F.col("source") != "src0").select("doc_id"), "doc_id", "left_semi"
+    ).select(
+        "doc_id",
+        F.floor(F.col("score") * CLS_GATE_SCALE + F.lit(0.5)).cast("long").alias("si"),
+    )
+    cstat = scores.agg(
+        F.sum("si").alias("ssum"), F.count(F.lit(1)).alias("n")
+    )
+    lowq = (
+        scores.crossJoin(F.broadcast(cstat))
+        .filter(F.col("si") * F.col("n") <= F.col("ssum"))
+        .select("doc_id")
+    )
+    clean = clean_corpus_docs(spark, sf_dir).join(lowq, "doc_id", "left_anti")
     return clean.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
