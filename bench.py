@@ -60,6 +60,8 @@ HEADLINE = [
     "dedup_canonical_keep_best",
     "dedup_winnow_overlaps",
     "pipeline_training_prep",
+    "pipeline_clean_corpus",
+    "pipeline_clean_corpus_classified",
     "pipeline_sequence_packing",
     "sampling_component_split",
     "text_quality_scores",
@@ -77,8 +79,11 @@ HEADLINE = [
     "pipeline_cut_dup_spans",
     "quality_classifier_scores",
     "sampling_domain_mixture",
+    "graph_edge_weights",
     "graph_triangle_counts",
+    "graph_components",
     "graph_pagerank",
+    "graph_pagerank_weighted",
     "graph_bfs_hops",
     "chunk_documents",
     "events_trailing_hour_window",

@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph
 """
 
 from __future__ import annotations
@@ -493,6 +493,117 @@ def run_dupspan(spark, n: int) -> None:
     )
 
 
+
+def run_graph(spark, n_orders: int) -> None:
+    """Graph-kernel battery at design point (VERDICT r6 #1) on a synthetic
+    order/part corpus WITH planted pathologies:
+
+    - a HUB part (pk=0) riding 1 in 5 orders — the degree-skew case the
+      degree-ordered triangle orientation exists for: under naive
+      id-ordering the minimum-id hub would anchor C(deg_hub, 2) wedges;
+    - 1-in-101 orders carry MAX_BASKET+16 distinct parts — past the
+      C(B,2) fanout cap, so the derivation must DROP them entirely.
+
+    The corpus is generated distributed (spark.range + hash expressions —
+    nothing proportional to the graph touches the driver). Reported: edge
+    derivation wall + the cap actually binding, measured wedge volume
+    under BOTH orientations (the hub-proofness number), and walls for
+    triangles / components / BFS / PageRank (10 iters, and 25 iters with
+    the checkpoint_every=8 lineage truncation)."""
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import dedup, graph
+
+    P = max(n_orders // 5, 1000)
+    big_basket = graph.MAX_BASKET + 16
+    orders = spark.range(n_orders).select(F.col("id").alias("ok"))
+    bsize = F.when(F.col("ok") % 101 == 0, F.lit(big_basket)).otherwise(
+        2 + F.pmod(F.xxhash64("ok"), F.lit(11))
+    )
+    items = orders.select(
+        "ok", F.explode(F.sequence(F.lit(0), bsize - F.lit(1))).alias("j")
+    ).select("ok", (1 + F.pmod(F.xxhash64("ok", "j"), F.lit(P))).alias("pk"))
+    hub = orders.filter(F.col("ok") % 5 == 0).select("ok", F.lit(0).alias("pk"))
+    items = items.unionAll(hub).repartition(32).persist()
+    n_items = items.count()
+
+    t0 = time.perf_counter()
+    edges = graph.copurchase_edges_from_items(items).persist()
+    m = edges.count()
+    t_edges = time.perf_counter() - t0
+
+    sizes = items.distinct().groupBy("ok").count()
+    kept_max = (
+        sizes.filter(F.col("count") <= graph.MAX_BASKET)
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    dropped = sizes.filter(F.col("count") > graph.MAX_BASKET).count()
+    hub_deg = (
+        graph._sym(edges.select("src", "dst"))
+        .filter(F.col("a") == 0)
+        .count()
+    )
+    print(
+        f"graph n_orders={n_orders} P={P}: {n_items} items -> {m} edges "
+        f"in {t_edges:6.2f}s (dropped {dropped} over-cap baskets, "
+        f"max kept basket {kept_max} <= {graph.MAX_BASKET}, hub degree {hub_deg})"
+    )
+
+    # wedge volume under both orientations: the number the degree-ordered
+    # formulation exists to bound. id-ordering puts the low-id hub at the
+    # apex of C(hub_deg, 2) wedges; degree-ordering orients the hub's
+    # edges INTO it.
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2)
+    w_deg = (
+        graph.oriented_edges(edges.select("src", "dst"))
+        .groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(c2("od")).cast("long"), F.max("od"))
+        .collect()[0]
+    )
+    w_id = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(c2("od")).cast("long"), F.max("od"))
+        .collect()[0]
+    )
+    print(
+        f"wedges degree-ordered: {w_deg[0]:,} (max outdeg {w_deg[1]}) vs "
+        f"id-ordered: {w_id[0]:,} (max outdeg {w_id[1]}) — "
+        f"{w_id[0] / max(w_deg[0], 1):.1f}x fanout avoided"
+    )
+
+    t0 = time.perf_counter()
+    nt = graph.triangle_counts(edges.select("src", "dst")).count()
+    print(f"triangles: {time.perf_counter() - t0:6.2f}s ({nt} nodes in triangles)")
+    registry.release_tracked()
+
+    t0 = time.perf_counter()
+    nc = dedup.connected_components(
+        edges.select("src", "dst"), a_col="src", b_col="dst"
+    ).count()
+    print(f"components: {time.perf_counter() - t0:6.2f}s ({nc} labeled nodes)")
+    registry.release_tracked()
+
+    t0 = time.perf_counter()
+    nb = graph.bfs_hops(edges.select("src", "dst")).count()
+    print(f"bfs(<= {graph.BFS_MAX_HOPS} hops): {time.perf_counter() - t0:6.2f}s ({nb} reached)")
+    registry.release_tracked()
+
+    t0 = time.perf_counter()
+    npr = graph.pagerank(edges, weighted=True).count()
+    print(f"pagerank 10 iters (weighted): {time.perf_counter() - t0:6.2f}s ({npr} nodes)")
+    registry.release_tracked()
+
+    t0 = time.perf_counter()
+    npr = graph.pagerank(
+        edges, iters=25, weighted=True,
+        checkpoint_every=graph.PAGERANK_CHECKPOINT_EVERY,
+    ).count()
+    print(f"pagerank 25 iters (ckpt/8): {time.perf_counter() - t0:6.2f}s ({npr} nodes)")
+    registry.release_tracked()
+    edges.unpersist()
+    items.unpersist()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -507,6 +618,8 @@ def main() -> None:
         return run_winnow(spark, n)
     if mode == "dupspan":
         return run_dupspan(spark, n)
+    if mode == "graph":
+        return run_graph(spark, n)
 
     rng = np.random.default_rng(42)
     # clustered data so IVF has structure to find
