@@ -599,6 +599,12 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # lazy localCheckpoint, not persist (r6): the changed-probe count
+        # below is the materializing action either way, but the checkpoint
+        # also TRUNCATES the logical plan — without it each iteration's
+        # lineage nests the previous one's, and driver-side analysis +
+        # cache-manager plan matching grow superlinearly with iteration
+        # count (measured on graph.bfs_hops: 54s/level by level 6)
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
@@ -607,7 +613,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        ).persist()
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

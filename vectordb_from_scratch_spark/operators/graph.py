@@ -40,11 +40,12 @@ Scale design (100 TB):
   ``dedup.connected_components``'s convergence probe); PageRank is fully
   declarative — ``iters`` chained join+agg stages over a persisted
   weighted adjacency, the same broadcast-glued recurrence style as
-  ``classifier.train_weights``. Past ~10 iterations the chained plan
-  itself becomes the bottleneck (analysis/codegen grow linearly), so the
-  kernel truncates lineage with a ``localCheckpoint`` every
-  ``checkpoint_every`` iterations — off for the registered fixed-10
-  queries, on in stress runs that push 25+.
+  ``classifier.train_weights``. Past a handful of iterations the chained
+  plan itself becomes the bottleneck (driver-side analysis and
+  cache-manager plan matching grow superlinearly in plan depth —
+  measured, see ``bfs_hops``), so the kernel truncates lineage with a
+  lazy ``localCheckpoint`` every ``checkpoint_every`` iterations
+  (default 8; value-neutral, pinned by test).
 """
 
 from __future__ import annotations
@@ -71,10 +72,12 @@ BFS_MAX_HOPS = 6
 PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 
-#: Default lineage-truncation cadence for long PageRank runs (see
-#: module docstring). Chosen so the default 10-iteration queries never
-#: checkpoint (their chained plan is fine) while a 25-50 iteration run
-#: pays at most ceil(iters/8) re-materializations of one (node, r) table.
+#: Default lineage-truncation cadence for PageRank (see module
+#: docstring): a run pays at most ceil(iters/8) re-materializations of
+#: one small (node, r) table — the default 10-iteration queries
+#: checkpoint once, a 25-50 iteration stress run three to six times.
+#: Measured at 400k orders: 2.6s/iteration WITH the cadence vs
+#: 5.5s/iteration fully chained (SCALE.md r6).
 PAGERANK_CHECKPOINT_EVERY = 8
 
 # Shared oracle CTE prefix: distinct (order, part) items, basket-size cap,
@@ -337,23 +340,25 @@ def bfs_hops(
     edges: DataFrame,
     source: int | None = None,
     max_hops: int = BFS_MAX_HOPS,
-    early_exit: bool = True,
 ) -> DataFrame:
     """(part_id, hops): minimum hop count from ``source`` (default: the
     lowest node id, as a 1-row aggregate — no driver collect) to every
     node reachable within ``max_hops`` — exact integer distances.
+    Reusable as a library call (seed/hops are arguments, r6 — the
+    registered query keeps the min-src contract for the oracle).
 
     Level-synchronous frontier BFS: each level is one join (frontier ×
     adjacency) + one distinct + one anti-join against the visited set;
-    the frontier/visited tables never leave executors. The per-level
-    early-exit probe is a scalar count, the only driver value in the
-    loop — and it is LOAD-BEARING as the action that materializes each
-    level's persisted frontier before three downstream plans reference
-    it (r6, measured: the fully-declarative one-job variant recomputes
-    un-filled caches across levels, 12s → 65s at sf0.1; ``early_exit=
-    False`` keeps that shape for callers who want a single job on small
-    graphs). Reusable as a library call (seed/hops are arguments, r6 — the
-    registered query keeps the min-src contract for the oracle).
+    the frontier/visited tables never leave executors. Each level's
+    frontier is an EAGER ``localCheckpoint``, not a persist (r6,
+    measured): iterative loops over persisted frames grow the LOGICAL
+    plan every level even though the data is cached, and driver-side
+    analysis + cache-manager plan matching go superlinear in that depth —
+    per-level wall grew 1.5s → 2.4s → 8s → 24s → 54s on EMPTY frontiers
+    at sf0.1 before the change, flat ~0.4s/level after. The checkpoint is
+    the level's materializing job, the early-exit probe is then a cheap
+    scalar count on checkpointed rows, and the visited set stays a union
+    of shallow checkpointed leaves (never re-persisted, never re-derived).
 
     The adjacency persists HASH-PARTITIONED on its join key (r6,
     measured): a plain ``persist`` caches rows but not a partitioning, so
@@ -366,8 +371,8 @@ def bfs_hops(
         frontier = edges.agg(F.min("src").alias("node"))
     else:
         frontier = edges.sparkSession.createDataFrame([(source,)], "node long")
-    visited = frontier.withColumn("hops", F.lit(0).cast("long")).persist()
-    pinned = [sym, visited]
+    visited = frontier.withColumn("hops", F.lit(0).cast("long")).localCheckpoint()
+    frontier = visited.select("node")
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym, frontier["node"] == sym["a"])
@@ -375,15 +380,12 @@ def bfs_hops(
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("long"))
-        ).persist()
-        pinned.append(nxt)
-        if early_exit and nxt.limit(1).count() == 0:
+        ).localCheckpoint()
+        if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).persist()
-        pinned.append(visited)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("node")
-    for df in pinned:
-        track(df)
+    track(sym)
     return visited.select(F.col("node").alias("part_id"), "hops")
 
 
@@ -429,7 +431,7 @@ def pagerank(
     iters: int = PAGERANK_ITERS,
     damping: float = PAGERANK_DAMPING,
     weighted: bool = False,
-    checkpoint_every: int | None = None,
+    checkpoint_every: int | None = PAGERANK_CHECKPOINT_EVERY,
 ) -> DataFrame:
     """(part_id, pagerank) after ``iters`` power-method steps over the
     symmetrized co-purchase graph.
