@@ -81,10 +81,12 @@ HEADLINE = [
     "sampling_domain_mixture",
     "graph_edge_weights",
     "graph_triangle_counts",
+    "graph_clustering_coeff",
     "graph_components",
     "graph_pagerank",
     "graph_pagerank_weighted",
     "graph_bfs_hops",
+    "graph_sssp_weighted",
     "chunk_documents",
     "events_trailing_hour_window",
     "events_ewma_by_user",

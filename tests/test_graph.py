@@ -124,6 +124,82 @@ def test_bfs_nondefault_seed_and_hops_match_oracle(spark, sf_oracle):
     registry.release_tracked()
 
 
+def test_clustering_coeff_closed_forms(spark):
+    """K4 (every neighborhood a clique → cc=1), a 6-cycle (no triangles →
+    cc=0 for all degree-2 nodes), and a paw graph (triangle 0-1-2 plus the
+    pendant 2-3): node 2 has degree 3 and exactly one closed pair → 1/3;
+    the pendant (degree 1) is excluded."""
+    k4 = list(itertools.combinations(range(4), 2))
+    got = {
+        r["part_id"]: (r["degree"], r["clustering_coeff"])
+        for r in graph.clustering_coeff(_edges_df(spark, k4)).collect()
+    }
+    registry.release_tracked()
+    assert got == {n: (3, 1.0) for n in range(4)}
+
+    cyc = [(i, i + 1) for i in range(5)] + [(0, 5)]
+    got = {
+        r["part_id"]: (r["degree"], r["clustering_coeff"])
+        for r in graph.clustering_coeff(_edges_df(spark, cyc)).collect()
+    }
+    registry.release_tracked()
+    assert got == {n: (2, 0.0) for n in range(6)}
+
+    paw = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    got = {
+        r["part_id"]: (r["degree"], r["clustering_coeff"])
+        for r in graph.clustering_coeff(_edges_df(spark, paw)).collect()
+    }
+    registry.release_tracked()
+    assert got == {
+        0: (2, 1.0),
+        1: (2, 1.0),
+        2: (3, pytest.approx(round(1 / 3, 8), abs=1e-9)),
+    }
+
+
+def test_sssp_two_hop_path_beats_direct_edge(spark):
+    """Edge cost is 1/n_orders: a heavily-co-bought 2-hop chain 0—1—2
+    (weight 5 each → cost 0.2+0.2) must beat the direct weak edge 0—2
+    (weight 1 → cost 1.0); node 3 hangs off 2 and its distance stacks one
+    more hop; hop-bounding at 1 degrades 2 back to the direct edge."""
+    edges = _edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)], weights=[5, 5, 1, 2])
+    got = {r["part_id"]: r["dist"] for r in graph.sssp_weighted(edges, source=0).collect()}
+    registry.release_tracked()
+    assert got == {
+        0: 0.0,
+        1: pytest.approx(0.2, abs=1e-9),
+        2: pytest.approx(0.4, abs=1e-9),
+        3: pytest.approx(0.9, abs=1e-9),
+    }
+    got1 = {
+        r["part_id"]: r["dist"]
+        for r in graph.sssp_weighted(edges, source=0, max_hops=1).collect()
+    }
+    registry.release_tracked()
+    assert got1 == {0: 0.0, 1: pytest.approx(0.2, abs=1e-9), 2: pytest.approx(1.0, abs=1e-9)}
+
+
+def test_sssp_nondefault_seed_and_hops_match_oracle(spark, sf_oracle):
+    """Bellman-Ford with a non-default seed and a tighter hop bound pinned
+    against the walk-enumeration CTE — same float discipline as the
+    registered query (identical left-to-right path sums)."""
+    edges = graph.copurchase_edges(spark, sf_oracle).persist()
+    seed = edges.agg(F.max("src").alias("m")).collect()[0]["m"]
+    got = {
+        (r["part_id"], r["dist"])
+        for r in graph.sssp_weighted(edges, source=seed, max_hops=2).collect()
+    }
+    con = duck_connection(sf_oracle)
+    want = {
+        (r[0], r[1])
+        for r in con.execute(graph.sssp_sql(source_expr=str(seed), max_hops=2)).fetchall()
+    }
+    assert got == want and (seed, 0.0) in got
+    edges.unpersist()
+    registry.release_tracked()
+
+
 def test_pagerank_uniform_on_regular_graph(spark):
     """On a k-regular graph (a cycle) PageRank is exactly uniform: the
     recurrence maps the uniform vector to itself, so every iterate stays
@@ -246,8 +322,10 @@ def test_graph_queries_share_one_edge_build(spark, sf_small, monkeypatch):
     try:
         for name in (
             "graph_triangle_counts",
+            "graph_clustering_coeff",
             "graph_components",
             "graph_bfs_hops",
+            "graph_sssp_weighted",
             "graph_pagerank",
             "graph_pagerank_weighted",
         ):
