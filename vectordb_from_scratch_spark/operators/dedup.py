@@ -7,7 +7,8 @@ the semantics are SQL-expressible (the hash-based ones all are, via the
 cross-engine md5 construction from ``functions.texthash``):
 
 1. exact         — hash-groupBy on text (one shuffle on the 60-bit hash)
-2. jaccard pairs — 3-word-shingle inverted-index self-join
+2. jaccard pairs — 3-word-shingle inverted-index self-join (capped), plus
+   the lossless PPJoin-style prefix-filtered variant (2b)
 3. MinHash+LSH   — signature → bands → bucket join (the scale path)
 4. SimHash       — 32-bit sign-aggregated fingerprints, Hamming pairing
 5. embedding     — cosine near-dup top-pairs over the vector column
@@ -172,6 +173,126 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(j >= 0.5)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
+
+
+# --- 2b. prefix-filtered Jaccard join (lossless) -----------------------------
+
+#: Jaccard threshold for the prefix-filtered join as an EXACT rational
+#: (tau = NUM/DEN = 0.5): the candidate bound ceil(tau*n) and the final
+#: threshold test both run in integer arithmetic on both engines, so no
+#: float-boundary pair can diverge between kernel and oracle.
+PREFIX_TAU_NUM = 1
+PREFIX_TAU_DEN = 2
+
+_PREFIX_JACCARD_SQL = f"""
+WITH sh AS (SELECT doc_id, unnest({_SH_SQL}) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(inter / (x.n + y.n - inter), 6) AS jaccard
+FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE inter * {PREFIX_TAU_DEN} >= {PREFIX_TAU_NUM} * (x.n + y.n - inter)
+"""
+
+
+def _ceil_frac(n, num: int, den: int):
+    """ceil(n * num / den) as a BIGINT Column (exact: the double division
+    is over integers far below 2^53 before the floor)."""
+    return F.floor((n * num + den - 1) / den)
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, tau_num: int = PREFIX_TAU_NUM, tau_den: int = PREFIX_TAU_DEN
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): EVERY pair with 3-shingle Jaccard >= tau —
+    exact and LOSSLESS, unlike ``dedup_jaccard_pairs`` whose hot-posting
+    cap trades the hottest shingles for boundedness. The scale guard here
+    is the PPJoin-style prefix filter (Bayardo et al. 2007, "Scaling Up
+    All Pairs Similarity Search"; Chaudhuri et al. 2006 SSJoin), which
+    prunes with zero recall loss:
+
+    - Order the shingle universe globally by (document frequency, shingle)
+      — rarest first. Within each doc, only the first
+      L = n - ceil(tau*n) + 1 shingles under that order form its PREFIX.
+    - If J(a,b) >= tau then |a ∩ b| >= ceil(tau*max(|a|,|b|)) (the union
+      is at least as large as either set), so a and b must share at least
+      one PREFIX shingle: if every common shingle sat outside a's prefix,
+      the overlap would be <= n_a - L_a = ceil(tau*n_a) - 1. Candidates
+      therefore come from joining prefix postings only.
+    - Frequent (boilerplate) shingles sort LAST, so they almost never
+      enter a prefix: the join's posting lists are the rare end of the df
+      distribution — self-capping where ``JACCARD_MAX_POSTING`` had to be
+      imposed (and paid for in recall). Size filter
+      min(n_a,n_b) >= ceil(tau*max(n_a,n_b)) prunes the remainder.
+    - Survivors are verified with an exact intersection count restricted
+      to candidate pairs (two doc-keyed joins — linear in candidate
+      posting volume, never all-pairs).
+
+    The oracle is the UNCAPPED quadratic textbook join: matching it at
+    sf0.01 checks the losslessness claim end-to-end, not just the pair
+    arithmetic. Both engines compare in integer cross-multiplied form.
+
+    Plan: df groupBy (one shuffle on s), per-doc rank window (one shuffle
+    on doc_id), prefix⨝prefix on s (rare-shingle postings only), then the
+    verify joins keyed on doc_id. Nothing quadratic in corpus size at any
+    stage; ``tools/stress.py prefixjoin`` measures the boilerplate case
+    the cap-based variant silently biases."""
+    # the exploded posting table feeds the df count, the ranking, and both
+    # verify joins — persist once instead of re-exploding the corpus 4×
+    sh = track_persist(_shingle_rows(docs))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(w_doc.orderBy("df", "s")).alias("r"),
+            F.count(F.lit(1)).over(w_doc).alias("n"),
+        )
+    )
+    minov = _ceil_frac(F.col("n"), tau_num, tau_den)
+    prefix = track_persist(
+        ranked.filter(F.col("r") <= F.col("n") - minov + 1).select("doc_id", "s", "n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    lo = F.least(F.col("a.n"), F.col("b.n"))
+    hi = F.greatest(F.col("a.n"), F.col("b.n"))
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(lo >= _ceil_frac(hi, tau_num, tau_den))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.filter(F.col("inter") * tau_den >= tau_num * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_jaccard_prefix", _PREFIX_JACCARD_SQL)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # --- 3. MinHash + LSH bands ------------------------------------------------------
