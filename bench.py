@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_canonical_keep_best",
     "dedup_winnow_overlaps",
     "dedup_jaccard_prefix",
+    "sampling_dsir_logweights",
     "pipeline_training_prep",
     "pipeline_clean_corpus",
     "pipeline_clean_corpus_classified",

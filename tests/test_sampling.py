@@ -216,3 +216,30 @@ def test_semantic_prune_bounded_subshards(spark, sf_oracle):
     assert {(r["vec_id"], r["action"], r["redundancy"]) for r in again} == {
         (r["vec_id"], r["action"], r["redundancy"]) for r in rows
     }
+
+
+def test_dsir_separates_target_like_documents(spark):
+    """DSIR log-weights must rank target-vocabulary docs above
+    off-target docs, with a mixed doc in between — the selection
+    behavior the estimator exists for (the arithmetic itself is
+    value-oracled in test_oracle_parity)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.sampling import dsir_log_weights
+
+    tvoc = "alpha beta gamma delta epsilon zeta eta theta"
+    ovoc = "uno dos tres cuatro cinco seis siete ocho"
+    rows = []
+    for i in range(10):
+        rows.append((i, "tgt", f"{tvoc} alpha beta {i}x"))
+    for i in range(10, 20):
+        rows.append((i, "raw", f"{ovoc} uno dos {i}y"))
+    rows.append((99, "raw", f"{tvoc} {ovoc}"))  # the mixed doc
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(docs, F.col("lang") == "tgt").collect()
+    }
+    tgt_min = min(w[i] for i in range(10))
+    raw_max = max(w[i] for i in range(10, 20))
+    assert tgt_min > w[99] > raw_max

@@ -17,11 +17,11 @@ REPRODUCIBLE and disjoint regardless of partitioning. Two primitives:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectordb_from_scratch_spark.functions import texthash
-from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.registry import register, track_persist
 from vectordb_from_scratch_spark.session import load_table
 
 SPLIT_BUCKETS = 100
@@ -365,3 +365,104 @@ def sampling_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle (all-integer); the within-one-doc budget accuracy and
     partitioning-independence are asserted in tests/test_sampling.py."""
     return domain_mixture_copies(load_table(spark, sf_dir, "documents"))
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+#: Hashed-feature dimensionality for the DSIR importance estimator. Small
+#: enough that the per-bucket log-ratio table always BROADCASTS (256 rows
+#: regardless of corpus size); collisions are the method's point — Xie et
+#: al. use 10^4 buckets at web scale, and the estimator only needs the
+#: bucket marginals, never the raw n-gram vocabulary.
+DSIR_BUCKETS = 256
+
+#: Target distribution for the registered query: English documents — the
+#: canonical DSIR setup (select raw web data that "looks like" a trusted
+#: target corpus; lang is the stand-in for the target here).
+DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         {texthash.hash60_sql("s")} % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest({texthash.word_shingles_sql("text", 2)}) AS s
+        FROM documents)),
+raw AS (SELECT b, count(*)::BIGINT AS cr FROM f GROUP BY b),
+tgt AS (SELECT b, count(*)::BIGINT AS ct FROM f WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM f)::DOUBLE AS tr,
+               (SELECT count(*) FROM f WHERE lang = '{DSIR_TARGET_LANG}')::DOUBLE AS tt),
+lr AS (SELECT r.b,
+              ln((coalesce(t.ct, 0) + 1)::DOUBLE / (tot.tt + {DSIR_BUCKETS}))
+            - ln((r.cr + 1)::DOUBLE / (tot.tr + {DSIR_BUCKETS})) AS logr
+       FROM raw r LEFT JOIN tgt t USING (b), tot)
+SELECT f.doc_id, f.lang, count(*)::BIGINT AS n_feats,
+       round(sum(lr.logr), 6) AS log_weight
+FROM f JOIN lr USING (b)
+GROUP BY f.doc_id, f.lang
+"""
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, lang, n_feats, log_weight): hashed n-gram importance
+    weights, Xie et al. 2023 ("Data Selection for Language Models via
+    Importance Resampling" — DSIR). Each document's features are its word
+    bigrams hashed into ``buckets``; the target and raw corpora induce two
+    smoothed multinomials over buckets, and a doc's log importance weight
+    is the sum over its feature OCCURRENCES of
+    ln(p_target(bucket)) - ln(p_raw(bucket)) (add-one smoothing). High
+    weight = looks like the target distribution; feed into
+    ``weighted_sample_topk`` (or a Gumbel resample) to select data.
+
+    Scale shape: two aggregations over the exploded bigram table (map-side
+    combinable, keyed on a 256-value bucket id — trivially balanced), the
+    corpus totals as a broadcast 1-row aggregate, the per-bucket log-ratio
+    table as a broadcast join back onto the features, then one groupBy on
+    doc_id. Nothing all-pairs, no vocabulary-sized state: the bucket
+    table is O(buckets) no matter the corpus."""
+    bigr = docs.select(
+        "doc_id", "lang", F.explode(texthash.word_shingles("text", 2)).alias("s")
+    )
+    feats = track_persist(
+        bigr.select(
+            "doc_id", "lang", (texthash.hash60("s") % buckets).alias("b"), target.alias("is_t")
+        )
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = feats.filter(F.col("is_t")).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tot = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("tr"),
+        F.count(F.when(F.col("is_t"), 1)).cast("double").alias("tt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt") + buckets))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + buckets))
+            ).alias("logr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("logr"), 6).alias("log_weight"),
+        )
+    )
+
+
+@register("sampling_dsir_logweights", _DSIR_SQL)
+def sampling_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against the English-document target
+    distribution. FULL value oracle: the whole estimator (hashed bigram
+    counts, smoothed bucket multinomials, per-doc log-weight sums) is
+    reproduced in DuckDB and compared at 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, F.col("lang") == DSIR_TARGET_LANG)
