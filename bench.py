@@ -89,6 +89,8 @@ HEADLINE = [
     "graph_pagerank_weighted",
     "graph_bfs_hops",
     "graph_sssp_weighted",
+    "graph_kcore",
+    "graph_ppr",
     "chunk_documents",
     "events_trailing_hour_window",
     "events_ewma_by_user",

@@ -344,3 +344,74 @@ def test_graph_cold_cache_raises_under_strict_serve(spark, sf_small):
     finally:
         registry.STRICT_SERVE = False
         graph._EDGES_CACHE.update(saved)
+
+
+def test_kcore_cascade_peeling(spark):
+    """The lollipop graph separates k-core from a single degree filter:
+    in triangle {1,2,3} + tail 3-4-5-6, the tail's interior nodes 4 and 5
+    have degree 2, so one HAVING pass keeps them — but removing leaf 6
+    cascades and the true 2-core is exactly the triangle. Asserts the
+    peel iterates to that fixpoint, with in-core degrees."""
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)]
+    got = {
+        r["part_id"]: r["core_degree"]
+        for r in graph.kcore(_edges_df(spark, pairs), k=2, rounds=8).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    registry.release_tracked()
+
+
+def test_kcore_bounded_rounds_match_oracle_truncation(spark):
+    """With rounds too small to converge, kernel and oracle must agree on
+    the TRUNCATED result (the bounded-round equality KCORE_ROUNDS relies
+    on): a 6-node path under k=2 peels one leaf pair per round."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    got = {
+        (r["part_id"], r["core_degree"])
+        for r in graph.kcore(_edges_df(spark, pairs), k=2, rounds=1).collect()
+    }
+    # one round: drop leaves 1 and 6, keep 2-3-4-5 path with its degrees
+    assert got == {(2, 1), (3, 2), (4, 2), (5, 1)}
+    registry.release_tracked()
+
+
+def test_ppr_nondefault_seed_matches_oracle(spark, sf_oracle):
+    """personalized_pagerank's seed argument pinned against the unrolled
+    CTE oracle with a literal seed (the BFS/SSSP discipline)."""
+    edges = graph.copurchase_edges(spark, sf_oracle).persist()
+    seed = edges.agg(F.max("src").alias("m")).collect()[0]["m"]
+    got = {
+        (r["part_id"], r["ppr"])
+        for r in graph.personalized_pagerank(edges, source=seed, iters=4).collect()
+    }
+    con = duck_connection(sf_oracle)
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            graph._ppr_sql(iters=4, source_expr=str(seed))
+        ).fetchall()
+    }
+    assert got == want
+    edges.unpersist()
+    registry.release_tracked()
+
+
+def test_ppr_localizes_around_seed(spark):
+    """On a path graph, restart mass must decay with distance from the
+    seed — the localization property that makes PPR a related-items
+    ranking rather than a global importance score."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    # run near convergence: a path is bipartite, so truncated power
+    # iterations carry a parity oscillation that masks the decay
+    got = {
+        r["part_id"]: r["ppr"]
+        for r in graph.personalized_pagerank(
+            _edges_df(spark, pairs), source=1, iters=60
+        ).collect()
+    }
+    # the degree-1 seed funnels ALL its mass to node 2, so r(2) > r(1) is
+    # correct at convergence; localization shows as decay from the seed's
+    # neighborhood outward, and the far end ranking below the seed
+    assert got[2] > got[3] > got[4] > got[5] > 0
+    assert got[1] > got[4]
+    registry.release_tracked()
