@@ -415,3 +415,59 @@ def test_ppr_localizes_around_seed(spark):
     assert got[2] > got[3] > got[4] > got[5] > 0
     assert got[1] > got[4]
     registry.release_tracked()
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star is the textbook disassortative graph: every edge pairs the
+    hub (degree n) with a leaf (degree 1), so the endpoint-degree
+    correlation over directed edge instances is exactly -1."""
+    pairs = [(0, i) for i in range(1, 5)]
+    row = graph.degree_assortativity(_edges_df(spark, pairs)).collect()[0]
+    assert row["n_dir_edges"] == 8
+    assert row["assortativity"] == -1.0
+    registry.release_tracked()
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """On a degree-regular graph (a 4-cycle) endpoint degrees have zero
+    variance — Pearson r is undefined and must surface as NULL, not 0 or
+    a crash (the same convention as SQL corr)."""
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    row = graph.degree_assortativity(_edges_df(spark, pairs)).collect()[0]
+    assert row["n_dir_edges"] == 8
+    assert row["assortativity"] is None
+    registry.release_tracked()
+
+
+def _bip_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "c long, p long")
+
+
+def test_hits_complete_bipartite_is_uniform(spark):
+    """On K_{2,2} every customer and every part is structurally
+    identical, so both score families are uniform at 1/sqrt(2)."""
+    e = _bip_edges(spark, [(1, 10), (1, 20), (2, 10), (2, 20)])
+    got = {(r["kind"], r["node_id"]): r["score"] for r in graph.hits(e).collect()}
+    import math
+
+    u = round(1 / math.sqrt(2), 8)
+    assert got == {
+        ("customer", 1): u,
+        ("customer", 2): u,
+        ("part", 10): u,
+        ("part", 20): u,
+    }
+    registry.release_tracked()
+
+
+def test_hits_hub_and_authority_ordering(spark):
+    """c2 buys both parts (the better hub); p10 is bought by both
+    customers (the better authority). HITS must rank them above c1/p20,
+    and hub scores must differ from authority scores (the directed
+    bipartite graph is where HITS does NOT degenerate — on a symmetric
+    adjacency hubs == authorities)."""
+    e = _bip_edges(spark, [(1, 10), (2, 10), (2, 20)])
+    got = {(r["kind"], r["node_id"]): r["score"] for r in graph.hits(e).collect()}
+    assert got[("customer", 2)] > got[("customer", 1)] > 0
+    assert got[("part", 10)] > got[("part", 20)] > 0
+    registry.release_tracked()

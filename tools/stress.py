@@ -494,9 +494,78 @@ def run_dupspan(spark, n: int) -> None:
 
 
 
-def run_graph(spark, n_orders: int) -> None:
-    """Graph-kernel battery at design point (VERDICT r6 #1) on a synthetic
-    order/part corpus WITH planted pathologies:
+def run_prefixjoin(spark, n: int) -> None:
+    """Lossless prefix-filtered Jaccard join + DSIR weights at corpus
+    scale, on the adversarial corpus shape the PPJoin filter exists for:
+    a 12-word boilerplate sentence in EVERY doc (df = n hot shingles — the
+    case JACCARD_MAX_POSTING was imposed to survive, at the price of
+    recall) plus 1-in-100 docs that near-copy their predecessor
+    (shingle Jaccard ~0.8 — the planted truth). Claims to verify:
+
+    - candidate volume ~ planted pairs (the hot boilerplate shingles sort
+      to the frequent end of the (df, s) order and never enter a prefix),
+      against a full inverted-index join that would be ~C(n,2)-ish;
+    - planted-pair recall = 100% with ZERO cap tuning;
+    - wall ~linear in n.
+
+    DSIR on the same corpus checks the other new selection operator:
+    hashed-bigram bucket aggregation + broadcast log-ratio join, ~linear.
+    """
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import dedup, sampling
+
+    boiler = " ".join(f"commonboiler{i}" for i in range(12))
+    rows = []
+    for i in range(n):
+        words = [f"w{i}x{j}" for j in range(48)]
+        if i % 100 == 1:  # near-copy of the previous doc: differs in 5 words
+            words = [f"w{i - 1}x{j}" for j in range(43)] + [
+                f"w{i}x{j}" for j in range(43, 48)
+            ]
+        rows.append(
+            (
+                i,
+                " ".join(words[:24]) + " " + boiler + " " + " ".join(words[24:]),
+                "en" if i % 3 == 0 else "de",
+            )
+        )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    path = f"/tmp/stress_docs_prefix_{n}"
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    docs.count()
+
+    t0 = time.perf_counter()
+    pairs = dedup.jaccard_prefix_pairs(docs).persist()
+    n_pairs = pairs.count()
+    t_join = time.perf_counter() - t0
+    planted = pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_b") % 100 == 1)
+    ).count()
+    n_planted = (n - 1) // 100 + (1 if (n - 1) % 100 >= 1 else 0)
+    jmin = pairs.agg(F.min("jaccard")).collect()[0][0]
+    pairs.unpersist()
+    from vectordb_from_scratch_spark import registry
+
+    registry.release_tracked()
+
+    t0 = time.perf_counter()
+    w = sampling.dsir_log_weights(docs, F.col("lang") == "en")
+    row = w.agg(F.count(F.lit(1)).alias("n"), F.avg("log_weight").alias("avg")).collect()[0]
+    t_dsir = time.perf_counter() - t0
+    registry.release_tracked()
+    print(
+        f"prefixjoin n={n}: join {t_join:6.2f}s -> {n_pairs} pairs "
+        f"(planted recall {planted}/{n_planted}, min jaccard {jmin:.3f}, "
+        f"boilerplate df={n} never joined); "
+        f"dsir {t_dsir:6.2f}s ({row['n']} docs, avg logw {row['avg']:.3f})"
+    )
+
+
+def _graph_corpus(spark, n_orders: int):
+    """Synthetic order/part corpus with BOTH graph pathologies planted
+    (shared by the ``graph`` and ``graph2`` modes):
 
     - a HUB part (pk=0) riding 1 in 5 orders — the degree-skew case the
       degree-ordered triangle orientation exists for: under naive
@@ -504,14 +573,10 @@ def run_graph(spark, n_orders: int) -> None:
     - 1-in-101 orders carry MAX_BASKET+16 distinct parts — past the
       C(B,2) fanout cap, so the derivation must DROP them entirely.
 
-    The corpus is generated distributed (spark.range + hash expressions —
-    nothing proportional to the graph touches the driver). Reported: edge
-    derivation wall + the cap actually binding, measured wedge volume
-    under BOTH orientations (the hub-proofness number), and walls for
-    triangles / components / BFS / PageRank (10 iters, and 25 iters with
-    the checkpoint_every=8 lineage truncation)."""
-    from vectordb_from_scratch_spark import registry
-    from vectordb_from_scratch_spark.operators import dedup, graph
+    Generated distributed (spark.range + hash expressions — nothing
+    proportional to the graph touches the driver). Returns the persisted
+    (items, edges) pair plus the edge-derivation wall."""
+    from vectordb_from_scratch_spark.operators import graph
 
     P = max(n_orders // 5, 1000)
     big_basket = graph.MAX_BASKET + 16
@@ -530,6 +595,19 @@ def run_graph(spark, n_orders: int) -> None:
     edges = graph.copurchase_edges_from_items(items).persist()
     m = edges.count()
     t_edges = time.perf_counter() - t0
+    return items, edges, P, n_items, m, t_edges
+
+
+def run_graph(spark, n_orders: int) -> None:
+    """Graph-kernel battery at design point (VERDICT r6 #1): edge
+    derivation wall + the cap actually binding, measured wedge volume
+    under BOTH orientations (the hub-proofness number), and walls for
+    triangles / components / BFS / PageRank (10 iters, and 25 iters with
+    the checkpoint_every=8 lineage truncation)."""
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import dedup, graph
+
+    items, edges, P, n_items, m, t_edges = _graph_corpus(spark, n_orders)
 
     sizes = items.distinct().groupBy("ok").count()
     kept_max = (
@@ -604,6 +682,97 @@ def run_graph(spark, n_orders: int) -> None:
     items.unpersist()
 
 
+def run_graph2(spark, n_orders: int) -> None:
+    """Round-6 additions to the graph family, on the same planted-hub /
+    oversized-basket corpus as ``run_graph``: clustering coefficients
+    (rides the triangle kernel — the marginal cost over triangles is one
+    degree aggregate + a join), weighted SSSP (Bellman-Ford, ≤3 hops),
+    k-core peeling (the cascade depth is the thing to watch: each round
+    is a degree agg + two semi-joins, and the planted hub survives every
+    round), and personalized PageRank (8 iters from the hub seed — the
+    seed with the worst fanout, since hop 1 reaches ~P nodes).
+
+    k for the k-core is derived from the corpus (median symmetric degree
+    ≈ avg basket spread), not the fixture constant, so peeling actually
+    cascades instead of deleting everything in round 1."""
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import graph
+
+    items, edges, P, n_items, m, t_edges = _graph_corpus(spark, n_orders)
+    print(
+        f"graph2 n_orders={n_orders} P={P}: {n_items} items -> {m} edges "
+        f"in {t_edges:6.2f}s"
+    )
+
+    t0 = time.perf_counter()
+    cc = graph.clustering_coeff(edges.select("src", "dst"))
+    row = cc.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("clustering_coeff").alias("avg")
+    ).collect()[0]
+    print(
+        f"clustering_coeff: {time.perf_counter() - t0:6.2f}s "
+        f"({row['n']} nodes, avg {row['avg']:.4f})"
+    )
+    registry.release_tracked()
+
+    t0 = time.perf_counter()
+    ns = graph.sssp_weighted(edges, source=0).count()
+    print(
+        f"sssp(<= {graph.SSSP_MAX_HOPS} hops, hub seed): "
+        f"{time.perf_counter() - t0:6.2f}s ({ns} reached)"
+    )
+    registry.release_tracked()
+
+    # k at the 25th degree percentile: low enough that a core SURVIVES
+    # (k = median peels this corpus to empty — every removal lowers a
+    # survivor's degree below the median in turn), high enough that the
+    # peeling actually cascades through multiple rounds. Also timed: the
+    # peel-to-empty worst case at k = median (maximum cascade depth).
+    degs = graph._sym(edges.select("src", "dst")).groupBy("a").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    k25, k50 = degs.agg(
+        F.expr("percentile_approx(deg, 0.25)"), F.expr("percentile_approx(deg, 0.5)")
+    ).collect()[0]
+    t0 = time.perf_counter()
+    nk = graph.kcore(edges.select("src", "dst"), k=int(k25)).count()
+    print(
+        f"kcore(k={int(k25)} = p25 degree, {graph.KCORE_ROUNDS} rounds max): "
+        f"{time.perf_counter() - t0:6.2f}s ({nk} core nodes)"
+    )
+    registry.release_tracked()
+    t0 = time.perf_counter()
+    nk = graph.kcore(edges.select("src", "dst"), k=int(k50)).count()
+    print(
+        f"kcore(k={int(k50)} = median degree, peel-to-empty worst case): "
+        f"{time.perf_counter() - t0:6.2f}s ({nk} core nodes)"
+    )
+    registry.release_tracked()
+
+    t0 = time.perf_counter()
+    npr = graph.personalized_pagerank(edges, source=0).count()
+    print(
+        f"ppr({graph.PPR_ITERS} iters, hub seed): "
+        f"{time.perf_counter() - t0:6.2f}s ({npr} nodes reached)"
+    )
+    registry.release_tracked()
+
+    # HITS on the raw bipartite order→part items (orders as "customers");
+    # the planted hub part rides 1 in 5 orders, so the authority
+    # distribution carries exactly the skew HITS concentrates on.
+    t0 = time.perf_counter()
+    nh = graph.hits(
+        items.select(F.col("ok").alias("c"), F.col("pk").alias("p"))
+    ).count()
+    print(
+        f"hits({graph.HITS_ITERS} iters, bipartite {n_orders}x{P}): "
+        f"{time.perf_counter() - t0:6.2f}s ({nh} scored nodes)"
+    )
+    registry.release_tracked()
+    edges.unpersist()
+    items.unpersist()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -620,6 +789,10 @@ def main() -> None:
         return run_dupspan(spark, n)
     if mode == "graph":
         return run_graph(spark, n)
+    if mode == "graph2":
+        return run_graph2(spark, n)
+    if mode == "prefixjoin":
+        return run_prefixjoin(spark, n)
 
     rng = np.random.default_rng(42)
     # clustered data so IVF has structure to find

@@ -238,14 +238,29 @@ def jaccard_prefix_pairs(
     on doc_id), prefix⨝prefix on s (rare-shingle postings only), then the
     verify joins keyed on doc_id. Nothing quadratic in corpus size at any
     stage; ``tools/stress.py prefixjoin`` measures the boilerplate case
-    the cap-based variant silently biases."""
+    the cap-based variant silently biases.
+
+    Every join here carries an explicit ``merge`` (sort-merge) hint: all
+    four touch a CORPUS-SIZED side (the df table, the prefix postings,
+    the two verify posting legs), and Catalyst's static size estimate for
+    these explode→window→filter lineages undershoots so badly that it
+    planned all four as BroadcastHashJoins — locked in before AQE can
+    measure a shuffle, since a static BHJ never demotes. Fine at fixture
+    scale; at 400k stress docs the ~GB hashed relation OOM-killed the
+    build (caught by ``tools/stress.py prefixjoin``, r6). Sort-merge
+    rather than shuffled-hash because only SMJ spills: SHJ's
+    per-partition build map is bounded by |corpus|/shuffle-partitions,
+    which at the same 400k point overran the per-task execution-memory
+    slice (the second OOM the stress caught). A posting join must never
+    broadcast and must always be able to spill; the hint makes both a
+    plan invariant."""
     # the exploded posting table feeds the df count, the ranking, and both
     # verify joins — persist once instead of re-exploding the corpus 4×
     sh = track_persist(_shingle_rows(docs))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(dfreq, "s")
+        sh.join(dfreq.hint("merge"), "s")
         .select(
             "doc_id",
             "s",
@@ -257,7 +272,7 @@ def jaccard_prefix_pairs(
     prefix = track_persist(
         ranked.filter(F.col("r") <= F.col("n") - minov + 1).select("doc_id", "s", "n")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    a, b = prefix.alias("a"), prefix.hint("merge").alias("b")
     lo = F.least(F.col("a.n"), F.col("b.n"))
     hi = F.greatest(F.col("a.n"), F.col("b.n"))
     cand = (
@@ -271,8 +286,8 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
-    ta = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    tb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "s").hint("merge")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "s").hint("merge")
     inter = (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "s"])

@@ -829,9 +829,191 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(shared_edges(spark, sf_dir))
 
 
-# The nine edge-consuming queries share one warmer: the edge build runs
-# once per session, outside bench's timed regions (graph_edge_weights has
-# NO warmer — it is the measured derivation).
+# --- degree assortativity ------------------------------------------------------
+
+_ASSORT_SQL = f"""
+WITH {_EDGES_CTE},
+sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT a AS node, count(*)::DOUBLE AS deg FROM sym GROUP BY 1)
+SELECT count(*) AS n_dir_edges, round(corr(x.deg, y.deg), 8) AS assortativity
+FROM sym s JOIN deg x ON x.node = s.a JOIN deg y ON y.node = s.b
+"""
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """(n_dir_edges, assortativity): the Pearson correlation of endpoint
+    degrees over the symmetrized edge list (Newman 2002) — positive when
+    high-degree parts co-purchase with other high-degree parts
+    (assortative mixing), negative for hub-and-spoke structure. One of
+    the cheapest whole-graph health numbers: two degree joins feeding a
+    single ``corr`` aggregate (Pearson over directed edge instances, each
+    undirected edge contributing both orientations — the standard
+    convention, mirrored in the oracle). No iteration, nothing on the
+    driver; the correlation is a map-side-combinable moment aggregate."""
+    sym = _sym(edges)
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    dx = deg.select(F.col("node").alias("_xa"), F.col("deg").alias("da"))
+    dy = deg.select(F.col("node").alias("_yb"), F.col("deg").alias("db"))
+    return (
+        sym.join(dx, sym["a"] == dx["_xa"])
+        .join(dy, sym["b"] == dy["_yb"])
+        .agg(
+            F.count(F.lit(1)).alias("n_dir_edges"),
+            F.covar_samp("da", "db").alias("_cov"),
+            F.stddev_samp("da").alias("_sa"),
+            F.stddev_samp("db").alias("_sb"),
+        )
+        # explicit Pearson assembly: under ANSI mode F.corr raises
+        # divide-by-zero on a degree-regular graph (zero variance) where
+        # SQL corr — and the DuckDB oracle — return NULL
+        .select(
+            "n_dir_edges",
+            F.round(
+                F.when(
+                    (F.col("_sa") > 0) & (F.col("_sb") > 0),
+                    F.col("_cov") / (F.col("_sa") * F.col("_sb")),
+                ),
+                8,
+            ).alias("assortativity"),
+        )
+    )
+
+
+@register("graph_assortativity", _ASSORT_SQL)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_assortativity(shared_edges(spark, sf_dir).select("src", "dst"))
+
+
+# --- HITS on the bipartite purchase graph ------------------------------------
+
+#: HITS power-iteration count (= the oracle's CTE unroll depth). The
+#: bipartite spectrum contracts fast (gap = (σ2/σ1)² of the purchase
+#: matrix); 6 double steps put successive-iterate movement below the
+#: 8 dp output round on every fixture sf.
+HITS_ITERS = 6
+
+# The purchase graph is DIRECTED bipartite (customer → part via
+# orders⋈lineitem), so hubs and authorities are distinct score families —
+# on the undirected co-purchase graph HITS would degenerate to hub ==
+# authority (the adjacency is symmetric and both iterations collapse to
+# power iteration on A²), which is why this kernel gets its own edge
+# derivation instead of ``shared_edges``.
+# MATERIALIZED: DuckDB inlines plain CTEs per reference — pedges appears
+# in 2·iters CTEs and each inline re-opens the parquet scans (fd
+# exhaustion at iters=6), and every a{i}r/h{i}r is referenced twice (the
+# select and its own L2-norm scalar subquery).
+_PEDGES_CTE = """
+pedges AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+"""
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    ctes = ["h0 AS (SELECT DISTINCT c AS node, 1.0::DOUBLE AS s FROM pedges)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT e.p AS node, sum(h.s) AS s FROM pedges e "
+            f"JOIN h{i - 1} h ON h.node = e.c GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT node, s / sqrt((SELECT sum(s*s) FROM a{i}r)) AS s FROM a{i}r)"
+        )
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT e.c AS node, sum(a.s) AS s FROM pedges e "
+            f"JOIN a{i} a ON a.node = e.p GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT node, s / sqrt((SELECT sum(s*s) FROM h{i}r)) AS s FROM h{i}r)"
+        )
+    return f"""
+WITH {_PEDGES_CTE.strip()},
+{",".join(ctes)}
+SELECT 'part' AS kind, node AS node_id, round(s, 8) AS score FROM a{iters}
+UNION ALL
+SELECT 'customer' AS kind, node AS node_id, round(s, 8) AS score FROM h{iters}
+"""
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c, p): the distinct customer→part purchase edges — the directed
+    bipartite graph HITS runs on."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(kind, node_id, score): HITS hub/authority scores (Kleinberg 1999)
+    after ``iters`` mutually-recursive power steps over a directed
+    bipartite (c, p) edge list, L2-normalized per half-step as in the
+    paper. Authorities are parts many well-connected customers buy; hubs
+    are customers whose baskets concentrate on authoritative parts.
+
+    Same declarative iteration discipline as :func:`pagerank`: the edge
+    table persists TWICE, hash-partitioned on each join key (``c`` for
+    the authority half-step, ``p`` for the hub half-step), so every
+    iteration exchanges only the (node, score) tables; the L2 norm enters
+    as a broadcast 1-row aggregate (never a collected scalar). Unlike
+    PageRank, each half-step's RAW score table is EAGERLY
+    ``localCheckpoint``-ed (the k-core discipline): the norm aggregate
+    and the normalized projection both consume it, and that double
+    reference doubles the LOGICAL PLAN every half-step — a 4^iters tree
+    that at iters=6 OOM-ed the driver merely STRINGIFYING the plan, which
+    a cache can't fix because caching dedups execution, not the plan.
+    The checkpoint replaces the subtree with a LogicalRDD, so plan size
+    stays constant per iteration; its cost is one materializing job per
+    half-step over a (node, score)-sized table. Scores round to 8 dp on
+    both engines (summation-order divergence is ~1e-15 relative)."""
+    e_c = track_persist(edges.repartition("c"))
+    e_p = track_persist(edges.repartition("p"))
+    hub = (
+        e_c.select(F.col("c").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("s"))
+    )
+    auth = None
+    for i in range(1, iters + 1):
+        ar = (
+            e_c.join(hub, e_c["c"] == hub["node"])
+            .groupBy("p")
+            .agg(F.sum("s").alias("m"))
+        ).localCheckpoint()
+        an = ar.agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm"))
+        auth = ar.crossJoin(F.broadcast(an)).select(
+            F.col("p").alias("node"), (F.col("m") / F.col("nrm")).alias("s")
+        )
+        hr = (
+            e_p.join(auth, e_p["p"] == auth["node"])
+            .groupBy("c")
+            .agg(F.sum("s").alias("m"))
+        ).localCheckpoint()
+        hn = hr.agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm"))
+        hub = hr.crossJoin(F.broadcast(hn)).select(
+            F.col("c").alias("node"), (F.col("m") / F.col("nrm")).alias("s")
+        )
+    out = lambda df, kind: df.select(
+        F.lit(kind).alias("kind"),
+        F.col("node").alias("node_id"),
+        F.round("s", 8).alias("score"),
+    )
+    return out(auth, "part").unionByName(out(hub, "customer"))
+
+
+@register("graph_hits", _hits_sql())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hits(purchase_edges(spark, sf_dir))
+
+
+# The ten co-purchase queries share one warmer: the edge build runs once
+# per session, outside bench's timed regions (graph_edge_weights has NO
+# warmer — it is the measured derivation; graph_hits derives its own
+# bipartite edge list inline, one join + distinct, and times it cold).
 for _q in (
     "graph_triangle_counts",
     "graph_clustering_coeff",
@@ -842,5 +1024,6 @@ for _q in (
     "graph_pagerank_weighted",
     "graph_kcore",
     "graph_ppr",
+    "graph_assortativity",
 ):
     registry.WARMERS[_q] = warm_graph
