@@ -471,3 +471,53 @@ def test_hits_hub_and_authority_ordering(spark):
     assert got[("customer", 2)] > got[("customer", 1)] > 0
     assert got[("part", 10)] > got[("part", 20)] > 0
     registry.release_tracked()
+
+
+def test_merge_edge_delta_equals_full_rebuild(spark):
+    """The additivity contract: deriving edges from two disjoint
+    whole-order batches and sum-merging equals one derivation over the
+    union — including an edge pair that exists in only one batch and a
+    pair whose count spans both."""
+    rows = [
+        # order 1 (base): parts 10,20,30 -> pairs (10,20)(10,30)(20,30)
+        (1, 10), (1, 20), (1, 30),
+        # order 2 (base): parts 10,20     -> pair (10,20)
+        (2, 10), (2, 20),
+        # order 3 (delta): parts 10,20,40 -> (10,20)(10,40)(20,40)
+        (3, 10), (3, 20), (3, 40),
+    ]
+    items = spark.createDataFrame(rows, "ok long, pk long")
+    base = graph.copurchase_edges_from_items(items.filter(F.col("ok") <= 2))
+    merged = {
+        (r["src"], r["dst"]): r["n_orders"]
+        for r in graph.merge_edge_delta(
+            base, items.filter(F.col("ok") == 3)
+        ).collect()
+    }
+    full = {
+        (r["src"], r["dst"]): r["n_orders"]
+        for r in graph.copurchase_edges_from_items(items).collect()
+    }
+    assert merged == full
+    assert merged[(10, 20)] == 3  # spans both batches
+    assert merged[(10, 40)] == 1  # delta-only edge
+    assert merged[(20, 30)] == 1  # base-only edge
+    registry.release_tracked()
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two triangles joined by one bridge edge: after 4 synchronous
+    steps with (count desc, min label) tie-breaks, each clique carries
+    one label and the bridge does not merge them — the behavior that
+    separates LPA communities from connected components (which would
+    return ONE component here). Hand-traced fixpoint: clique {1,2,3}
+    settles on label 1; clique {10,11,12} settles on label 3 (node 10
+    adopted the bridge neighbor's label in step 1 and its clique then
+    amplified it)."""
+    pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    got = {
+        r["part_id"]: r["community"]
+        for r in graph.lpa_communities(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+    registry.release_tracked()

@@ -203,6 +203,50 @@ def graph_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_edge_delta(base_edges: DataFrame, new_items: DataFrame) -> DataFrame:
+    """Incrementally maintain the co-purchase edge artifact: derive edges
+    from a batch of NEW orders only, then sum-merge them into the base
+    table. Co-purchase counts are ADDITIVE over disjoint order sets (the
+    per-order C(B,2) pair sets are independent, and ``MAX_BASKET`` applies
+    within each order), so the delta never has to re-touch the historical
+    item table — the contract is that ``new_items`` carries WHOLE orders
+    (an order split across base and delta would double-count its
+    within-order distinct pairs).
+
+    At 100 TB this is the nightly maintenance path: delta derivation is
+    proportional to the NEW orders, and the merge is one sum-aggregate
+    shuffle keyed on the edge — the same "append a delta, never rebuild"
+    discipline as the catalog's BM25/IVF segment deltas. Full-outer
+    semantics fall out of the union+groupBy shape (an edge present in
+    only one side keeps its count)."""
+    delta = copurchase_edges_from_items(new_items)
+    return (
+        base_edges.select("src", "dst", "n_orders")
+        .unionByName(delta)
+        .groupBy("src", "dst")
+        .agg(F.sum("n_orders").cast("long").alias("n_orders"))
+    )
+
+
+_EDGES_INCR_SQL = f"""
+WITH {_EDGES_CTE}
+SELECT src, dst, n_orders FROM edges
+"""
+
+
+@register("graph_edges_incremental", _EDGES_INCR_SQL)
+def graph_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the corpus into a base (90% of orders) and a delta batch
+    (orders with key % 10 == 0), maintain the edge artifact with
+    :func:`merge_edge_delta`, and return the merged table. The oracle is
+    the FULL re-derivation over all of lineitem — equality proves the
+    incremental arithmetic is exact, not approximately refreshed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    base = copurchase_edges_from_items(items.filter(F.col("ok") % 10 != 0))
+    return merge_edge_delta(base, items.filter(F.col("ok") % 10 == 0))
+
+
 # --- triangle counting -------------------------------------------------------
 
 # Per-node triangle counts as a reusable CTE suffix (consumed by the
@@ -373,6 +417,75 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component"),
         F.count(F.lit(1)).over(w).alias("component_size"),
     )
+
+
+# --- label-propagation communities --------------------------------------------
+
+#: Synchronous LPA iteration count (= the oracle's unroll depth). Fixed,
+#: not convergence-probed: synchronous LPA on near-bipartite regions can
+#: oscillate forever, so the kernel's contract is "the label state after
+#: exactly K deterministic steps" — the only version both engines can
+#: agree on exactly.
+LPA_ITERS = 4
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    ctes = ["l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS (SELECT node, label FROM (
+  SELECT s.a AS node, l.label AS label,
+         row_number() OVER (PARTITION BY s.a ORDER BY count(*) DESC, l.label) AS rk
+  FROM sym s JOIN l{i - 1} l ON l.node = s.b
+  GROUP BY s.a, l.label) t WHERE rk = 1)"""
+        )
+    return f"""
+WITH {_EDGES_CTE},
+sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+{",".join(ctes)}
+SELECT node AS part_id, label AS community FROM l{iters}
+"""
+
+
+def lpa_communities(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(part_id, community): synchronous label propagation (Raghavan et
+    al. 2007) — every node simultaneously adopts the most frequent label
+    among its neighbors, ties broken by the smaller label, starting from
+    identity labels. After K steps, labels approximate communities
+    (densely linked part clusters); unlike :func:`graph_components` this
+    splits a connected graph into cohesive regions rather than just
+    reachability classes.
+
+    Fully deterministic (the asynchronous/random-order variants are not)
+    and therefore FULL-value-oracle-able via an unrolled CTE. Each step
+    is one join against the hash-partitioned adjacency, one (node, label)
+    count aggregate, and one per-node top-1 window — Spark plans the
+    window as WindowGroupLimit, so only each node's best label survives
+    the final exchange. State is (node, label); nothing touches the
+    driver; lineage is one linear chain of K stages (no double
+    references, so no checkpoint needed at default depth)."""
+    sym = track_persist(_sym(edges).repartition("b"))
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        cnt = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(sym["a"].alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels.select(F.col("node").alias("part_id"), F.col("label").alias("community"))
+
+
+@register("graph_lpa_communities", _lpa_sql())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lpa_communities(shared_edges(spark, sf_dir).select("src", "dst"))
 
 
 # --- BFS shortest hops -------------------------------------------------------
@@ -1025,5 +1138,6 @@ for _q in (
     "graph_kcore",
     "graph_ppr",
     "graph_assortativity",
+    "graph_lpa_communities",
 ):
     registry.WARMERS[_q] = warm_graph
