@@ -521,3 +521,35 @@ def test_lpa_two_cliques_with_bridge(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
     registry.release_tracked()
+
+
+def test_edge_maintenance_stream_equals_batch(spark, tmp_path):
+    """Streaming twin: items arriving as whole-order micro-batches fold
+    into exactly the edge table the one-shot derivation builds — incl. an
+    over-cap basket (dropped identically on both paths) and an edge whose
+    count accumulates across batches."""
+    from vectordb_from_scratch_spark import streaming
+
+    big = [(99, p) for p in range(graph.MAX_BASKET + 5)]  # dropped by cap
+    batch1 = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20)]
+    batch2 = [(3, 10), (3, 20), (3, 40)] + big
+    src = tmp_path / "items"
+    src.mkdir()
+    spark.createDataFrame(batch1, "ok long, pk long").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(batch2, "ok long, pk long").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    got_df = streaming.edge_maintenance_stream(
+        spark, str(src / "*"), str(tmp_path / "ckpt")
+    )
+    got = {(r["src"], r["dst"]): r["n_orders"] for r in got_df.collect()}
+    want_df = graph.copurchase_edges_from_items(
+        spark.createDataFrame(batch1 + batch2, "ok long, pk long")
+    )
+    want = {(r["src"], r["dst"]): r["n_orders"] for r in want_df.collect()}
+    assert got == want
+    assert got[(10, 20)] == 3  # accumulated across batches
+    assert all(s != 99 and d != 99 for (s, d) in got)  # cap applied per batch
+    registry.release_tracked()

@@ -215,3 +215,112 @@ def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The standardized mean difference per dimension is the alarm
     statistic; its max over dims is what a threshold alert watches."""
     return embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- Matryoshka truncation eval ------------------------------------------------
+#
+# MRL-style dimensionality cuts (Kusupati et al. 2022, "Matryoshka
+# Representation Learning"): serve the first MRL_DIM of the stored dims
+# and measure what the cut costs — per query, the top-k overlap between
+# the truncated-space and full-space exact rankings, plus the fraction
+# of the query vector's L2 energy the prefix retains. Cosine is
+# scale-invariant, so "truncate + renormalize" ranks identically to
+# plain truncated cosine — the renorm is folded away rather than
+# computed. This is the measurement that decides how many dims a 100 TB
+# index actually needs before building it.
+
+MRL_DIM = 16
+MRL_Q = 20
+MRL_K = 10
+
+_MRL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id,
+                  embedding::DOUBLE[] AS qv,
+                  (embedding::DOUBLE[])[1:{MRL_DIM}] AS qt
+           FROM embeddings WHERE vec_id < {MRL_Q}),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+                  (embedding::DOUBLE[])[1:{MRL_DIM}] AS ct
+           FROM embeddings),
+     s AS (SELECT q.query_id, c.vec_id,
+                  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+                       THEN 0.0
+                       ELSE list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                  END AS sf,
+                  CASE WHEN sqrt(list_dot_product(qt, qt)) * sqrt(list_dot_product(ct, ct)) = 0
+                       THEN 0.0
+                       ELSE list_dot_product(qt, ct)
+                            / (sqrt(list_dot_product(qt, qt)) * sqrt(list_dot_product(ct, ct)))
+                  END AS st
+           FROM q CROSS JOIN c),
+     rf AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sf DESC, vec_id) AS rk
+            FROM s),
+     rt AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY st DESC, vec_id) AS rk
+            FROM s),
+     ov AS (SELECT f.query_id, count(*)::BIGINT AS overlap_at_k
+            FROM rf f JOIN rt t ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+            WHERE f.rk <= {MRL_K} AND t.rk <= {MRL_K}
+            GROUP BY 1)
+SELECT q.query_id, ov.overlap_at_k,
+       round(sqrt(list_dot_product(qt, qt)) / sqrt(list_dot_product(qv, qv)), 6)
+         AS energy_retained
+FROM q JOIN ov ON ov.query_id = q.query_id
+"""
+
+
+@register("eval_mrl_overlap", _MRL_SQL)
+def eval_mrl_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, overlap_at_k, energy_retained) for MRL_Q query vectors:
+    how much of the exact full-dimension top-k survives when scoring on
+    the first MRL_DIM dims only. Both rankings are exact brute-force
+    scans (this is an EVAL, run on a sampled query set, not the serving
+    path — the bounded ANN tiers serve); the plan is one broadcast of
+    the tiny query frame, one scored pass over the corpus feeding TWO
+    WindowGroupLimit top-k windows, and a per-(query, k) overlap join —
+    nothing but the scored pass is corpus-sized, and it shuffles only
+    the surviving top-k rows."""
+    from pyspark.sql import Window
+
+    from vectordb_from_scratch_spark.functions import linalg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < MRL_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, MRL_DIM).alias("qt"),
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("cv"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, MRL_DIM).alias("ct"),
+    )
+    s = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        linalg.cosine(F.col("qv"), F.col("cv")).alias("sf"),
+        linalg.cosine(F.col("qt"), F.col("ct")).alias("st"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("sf"), F.asc("vec_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("st"), F.asc("vec_id"))
+    topf = (
+        s.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= MRL_K)
+        .select("query_id", "vec_id")
+    )
+    topt = (
+        s.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= MRL_K)
+        .select("query_id", "vec_id")
+    )
+    ov = topf.join(topt, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("overlap_at_k")
+    )
+    energy = q.select(
+        "query_id",
+        F.round(linalg.l2_norm(F.col("qt")) / linalg.l2_norm(F.col("qv")), 6).alias(
+            "energy_retained"
+        ),
+    )
+    return ov.join(energy, "query_id")

@@ -465,3 +465,57 @@ def ewma_by_user_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def edge_maintenance_stream(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming twin of :func:`operators.graph.merge_edge_delta`: a
+    file-source stream of (ok, pk) order items where each micro-batch
+    carries WHOLE orders (the additivity contract — one file per order
+    batch, one file per trigger), folded into the co-purchase edge
+    artifact by the same sum-merge the batch path uses. Returns the final
+    edge DataFrame; equality with the one-shot derivation over the union
+    of all batches is asserted by test (the same stream==batch register
+    equality discipline as the sketch twins).
+
+    Each merge eagerly ``localCheckpoint``-s: the accumulated artifact
+    must not keep lineage into transient micro-batch frames (a batch
+    DataFrame is only valid inside its foreachBatch call), and the
+    checkpoint also bounds plan depth across an unbounded stream. At
+    scale the same fold writes MERGE deltas to the edge table's storage
+    instead of holding a checkpointed frame."""
+    from pyspark.sql import types as T
+
+    from vectordb_from_scratch_spark import sources
+    from vectordb_from_scratch_spark.operators import graph
+
+    schema = T.StructType(
+        [
+            T.StructField("ok", T.LongType()),
+            T.StructField("pk", T.LongType()),
+        ]
+    )
+    stream = sources.read_stream(spark, src_dir, schema=schema)
+    state: dict = {"edges": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if state["edges"] is None:
+            state["edges"] = graph.copurchase_edges_from_items(
+                batch_df
+            ).localCheckpoint()
+        else:
+            state["edges"] = graph.merge_edge_delta(
+                state["edges"], batch_df
+            ).localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["edges"]
