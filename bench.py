@@ -91,6 +91,12 @@ HEADLINE = [
     "graph_sssp_weighted",
     "graph_kcore",
     "graph_ppr",
+    "graph_hits",
+    "graph_lpa_communities",
+    "graph_assortativity",
+    "graph_cf_cosine",
+    "graph_triangle_estimate",
+    "graph_edges_incremental",
     "chunk_documents",
     "events_trailing_hour_window",
     "events_ewma_by_user",
@@ -123,6 +129,7 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "sketch_countmin_estimate",
     "eval_ann_ndcg",
+    "eval_mrl_overlap",
     "embedding_drift",
     "profile_orders",
     "events_value_outliers",

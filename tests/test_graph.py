@@ -553,3 +553,33 @@ def test_edge_maintenance_stream_equals_batch(spark, tmp_path):
     assert got[(10, 20)] == 3  # accumulated across batches
     assert all(s != 99 and d != 99 for (s, d) in got)  # cap applied per batch
     registry.release_tracked()
+
+
+def test_triangle_estimate_full_sample_equals_exact(spark):
+    """mod=1 keeps every edge and scales by 1 — the estimator must then
+    equal the exact kernel (the full-probe==exact discipline ANN tiers
+    pin); on K5 that is C(5,3)=10 triangles over 10 edges."""
+    k5 = list(itertools.combinations(range(5), 2))
+    row = graph.triangle_estimate(_edges_df(spark, k5), mod=1).collect()[0]
+    assert (
+        row["n_sampled_edges"],
+        row["sampled_triangles"],
+        row["est_total_triangles"],
+    ) == (10, 10, 10)
+    registry.release_tracked()
+
+
+def test_cf_cosine_closed_form(spark):
+    """Path 1—2—3 with a strong and a weak edge: S1=4, S2=5, S3=1, so
+    cf(1,2)=4/√20 and cf(2,3)=1/√5 — the weak edge ranks HIGHER than raw
+    n_orders would put it relative to its parts' popularity."""
+    edges = _edges_df(spark, [(1, 2), (2, 3)], weights=[4, 1])
+    got = {
+        (r["src"], r["dst"]): r["cf_cosine"]
+        for r in graph.cf_cosine_pairs(edges).collect()
+    }
+    assert got == {
+        (1, 2): pytest.approx(round(4 / (20 ** 0.5), 6), abs=1e-9),
+        (2, 3): pytest.approx(round(1 / (5 ** 0.5), 6), abs=1e-9),
+    }
+    registry.release_tracked()
