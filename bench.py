@@ -65,6 +65,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "pipeline_clean_corpus_classified",
     "pipeline_sequence_packing",
+    "pipeline_curriculum_bins",
     "sampling_component_split",
     "text_quality_scores",
     "text_char_entropy",

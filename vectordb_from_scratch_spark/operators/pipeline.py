@@ -412,3 +412,84 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --- curriculum binning --------------------------------------------------------
+#
+# Curriculum schedules feed a model progressively harder/cleaner data;
+# the data-side operator is "split the corpus into K phases by a quality
+# signal". The scale-correct form of ntile: GLOBAL quantile THRESHOLDS
+# (one aggregate, a 3-value broadcast) and a comparison per row — never a
+# global-order window, which would serialize the corpus through one
+# partition. Spark's percentile() and DuckDB's quantile_cont both
+# interpolate, and both engines compute them over the 6dp-ROUNDED quality
+# score, so the thresholds are bit-identical.
+
+CURRICULUM_PHASES = 4
+
+_CURR_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         round(0.4 * least(len(ws) / 100.0, 1.0)
+               + 0.4 * least(len(list_filter(ws, w -> list_contains({_STOP_LIST_SQL}, w))) * 5.0 / len(ws), 1.0)
+               + 0.2 * (1.0 - n_punct * 1.0 / n_chars), 6) AS quality
+  FROM t),
+th AS (SELECT quantile_cont(quality, 0.25) AS t1,
+              quantile_cont(quality, 0.50) AS t2,
+              quantile_cont(quality, 0.75) AS t3
+       FROM m)
+SELECT (1 + CASE WHEN quality > t1 THEN 1 ELSE 0 END
+          + CASE WHEN quality > t2 THEN 1 ELSE 0 END
+          + CASE WHEN quality > t3 THEN 1 ELSE 0 END)::BIGINT AS phase,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(min(quality), 6) AS min_quality,
+       round(max(quality), 6) AS max_quality
+FROM m CROSS JOIN th
+GROUP BY 1
+"""
+
+
+@register("pipeline_curriculum_bins", _CURR_SQL)
+def pipeline_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(phase, n_docs, total_tokens, min_quality, max_quality): the
+    corpus cut into CURRICULUM_PHASES quality quartiles — phase 1 is the
+    lowest-quality quarter, phase 4 the cleanest (train order is the
+    scheduler's choice; the operator's job is the deterministic cut).
+    Thresholds come from one percentile aggregate broadcast back over the
+    scan (two passes over a scan-local projection, zero wide shuffles
+    except the final 4-group aggregate)."""
+    from vectordb_from_scratch_spark.operators.textstats import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words, _, _, quality = quality_score_col()
+    m = docs.select(
+        n_words.cast("long").alias("n_tokens"), quality.alias("quality")
+    )
+    th = m.agg(
+        F.percentile("quality", F.lit(0.25)).alias("t1"),
+        F.percentile("quality", F.lit(0.50)).alias("t2"),
+        F.percentile("quality", F.lit(0.75)).alias("t3"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("quality") > F.col("t1")).cast("int")
+        + (F.col("quality") > F.col("t2")).cast("int")
+        + (F.col("quality") > F.col("t3")).cast("int")
+    ).cast("long")
+    return (
+        m.crossJoin(F.broadcast(th))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+        )
+    )

@@ -152,12 +152,11 @@ FROM m
 """
 
 
-@register("text_quality_scores", _QUALITY_SQL)
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document-quality score: length saturation + stopword
-    density + punctuation penalty (the C4/CCNet-style filter family),
-    plus a boolean keep-flag — the shape of a pretraining quality gate."""
-    d = load_table(spark, sf_dir, "documents")
+def quality_score_col() -> "tuple[F.Column, F.Column, F.Column, F.Column]":
+    """(n_words, stop_ratio, punct_ratio, quality): the C4/CCNet-style
+    heuristic score pieces as reusable Columns over a ``text`` column —
+    shared by the quality query and the curriculum binning so both rank
+    on bit-identical 6dp scores."""
     ws = texthash.words("text")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_words = F.size(ws)
@@ -169,6 +168,16 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.4 * length_score + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0)) + 0.2 * (1.0 - punct_ratio),
         6,
     )
+    return n_words, stop_ratio, punct_ratio, quality
+
+
+@register("text_quality_scores", _QUALITY_SQL)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score: length saturation + stopword
+    density + punctuation penalty (the C4/CCNet-style filter family),
+    plus a boolean keep-flag — the shape of a pretraining quality gate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words, stop_ratio, punct_ratio, quality = quality_score_col()
     return d.select(
         "doc_id",
         "lang",
