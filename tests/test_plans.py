@@ -548,3 +548,17 @@ def test_bigq_search_plans_never_collect_and_match_driver_path(spark, sf_oracle,
     for df in (bigq_ivf, bigq_lsh):
         p = plans.physical_plan(df)
         assert "MapInPandas" in p
+
+
+def test_prefix_jaccard_join_never_broadcasts(q):
+    """The four corpus-sized joins in dedup_jaccard_prefix (df table,
+    prefix self-join, both verify posting legs) are pinned to SORT-MERGE:
+    Catalyst's static size estimate under the explode→window→filter
+    lineage planned them all as BroadcastHashJoins (never demoted by AQE)
+    and the ~GB hashed relations OOM-ed at the 400k stress point;
+    shuffled-hash then overran the per-task build-map slice because SHJ
+    cannot spill. A posting join must never hash-build (SCALE.md r6)."""
+    df = q("dedup_jaccard_prefix")
+    p = plans.physical_plan(df)
+    assert "BroadcastHashJoin" not in p and "ShuffledHashJoin" not in p
+    assert "SortMergeJoin" in p

@@ -757,6 +757,23 @@ def run_graph2(spark, n_orders: int) -> None:
     )
     registry.release_tracked()
 
+    t0 = time.perf_counter()
+    nl = graph.lpa_communities(edges.select("src", "dst")).count()
+    print(
+        f"lpa({graph.LPA_ITERS} iters): {time.perf_counter() - t0:6.2f}s "
+        f"({nl} labeled nodes)"
+    )
+    registry.release_tracked()
+
+    t0 = time.perf_counter()
+    row = graph.triangle_estimate(edges).collect()[0]
+    print(
+        f"triangle_estimate(p=1/{graph.TRI_SAMPLE_MOD}): "
+        f"{time.perf_counter() - t0:6.2f}s (est {row['est_total_triangles']:,} "
+        f"from {row['n_sampled_edges']:,} sampled edges)"
+    )
+    registry.release_tracked()
+
     # HITS on the raw bipartite order→part items (orders as "customers");
     # the planted hub part rides 1 in 5 orders, so the authority
     # distribution carries exactly the skew HITS concentrates on.
