@@ -318,14 +318,23 @@ def test_exact_links_tie_rule_is_deterministic(seed, reps):
     the boundary rule must resolve it by LOWEST node id, identically on
     every run — two builds over a corpus of repeated vectors agree
     edge-for-edge, and each selection is the lexicographically first
-    (sim DESC, node ASC) top-m set."""
+    (sim DESC, node ASC) top-m set.
+
+    INTEGER-valued vectors on purpose (the repo's duplicate-tie rule —
+    see the SQ8/Hamming kernels): with gaussians, the kernel's sgemm and
+    this test's reference matvec can disagree by 1 ulp on IDENTICAL
+    duplicated rows (blocking-dependent accumulation), turning an exact
+    tie into a phantom ordering and failing the compare on ties the
+    kernel actually resolves correctly (hypothesis found seed=2643
+    reps=5). Integer dots are exactly representable on every BLAS path,
+    so ties are real ties in both computations."""
     import numpy as np
 
     from vectordb_from_scratch_spark.operators import hnsw
 
     rng = np.random.default_rng(seed)
-    base = rng.standard_normal((6, 4))
-    X = hnsw._normalize(np.repeat(base, reps, axis=0))
+    base = rng.integers(-3, 4, size=(6, 4)).astype("float64")
+    X = np.repeat(base, reps, axis=0)
     Xf = np.ascontiguousarray(X, dtype=np.float32)
     lo = len(X) - 3
     a = hnsw._exact_links_batch(Xf, lo, len(X), m=4)
