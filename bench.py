@@ -96,6 +96,7 @@ HEADLINE = [
     "graph_lpa_communities",
     "graph_assortativity",
     "graph_cf_cosine",
+    "graph_recommendations",
     "graph_triangle_estimate",
     "graph_edges_incremental",
     "chunk_documents",

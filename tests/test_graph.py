@@ -583,3 +583,26 @@ def test_cf_cosine_closed_form(spark):
         (2, 3): pytest.approx(round(1 / (5 ** 0.5), 6), abs=1e-9),
     }
     registry.release_tracked()
+
+
+def test_recommendations_closed_form(spark):
+    """Path 1—2—3 (weights 4, 1): a customer owning {1} is recommended 2
+    (the only model neighbor of 1) with score floor(4/√20·1e6+0.5); a
+    customer owning {1,2} is NOT re-recommended either owned part and
+    gets 3 via 2's neighborhood. Integer micro-scores make the check
+    exact."""
+    edges = _edges_df(spark, [(1, 2), (2, 3)], weights=[4, 1])
+    purchases = spark.createDataFrame(
+        [(10, 1), (20, 1), (20, 2)], "c long, p long"
+    )
+    got = {
+        (r["custkey"], r["part_id"]): (r["score_micro"], r["n_paths"], r["rk"])
+        for r in graph.recommend_parts(purchases, edges).collect()
+    }
+    s12 = int(4 / (20 ** 0.5) * 1e6 + 0.5)  # 894427
+    s23 = int(1 / (5 ** 0.5) * 1e6 + 0.5)  # 447214
+    assert got == {
+        (10, 2): (s12, 1, 1),
+        (20, 3): (s23, 1, 1),
+    }
+    registry.release_tracked()
