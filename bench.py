@@ -135,6 +135,7 @@ HEADLINE = [
     "embedding_drift",
     "profile_orders",
     "events_value_outliers",
+    "events_mad_outliers",
     "events_salted_skew_join",
     "events_rollup_incremental",
     "sql_api_top_customers_window",

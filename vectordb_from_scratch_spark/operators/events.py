@@ -630,3 +630,60 @@ def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+# --- robust (MAD) outlier screen ------------------------------------------------
+
+#: Modified z-score threshold (Iglewicz & Hoaglin's 3.5) and the
+#: 0.6745 normal-consistency constant that makes MAD comparable to σ.
+MAD_Z_THRESHOLD = 3.5
+MAD_CONSISTENCY = 0.6745
+
+_MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, m.med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1, 2)
+SELECT e.event_id, e.event_type,
+       round(e.value, 2) AS value,
+       round({MAD_CONSISTENCY} * (e.value - m.med) / m.mad, 4) AS robust_z
+FROM events e JOIN mad m USING (event_type)
+WHERE abs({MAD_CONSISTENCY} * (e.value - m.med) / m.mad) > {MAD_Z_THRESHOLD}
+"""
+
+
+@register("events_mad_outliers", _MAD_OUTLIERS_SQL)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per event type (Iglewicz & Hoaglin
+    modified z-score) — the screen that survives what breaks the 3σ one:
+    heavy outliers inflate the mean AND the stddev, masking themselves;
+    the median and the median absolute deviation have a 50% breakdown
+    point, so a poisoned feed cannot hide its own anomalies. Same
+    two-pass shape as ``events_value_outliers``: two tiny per-type
+    percentile aggregates broadcast back onto the scan (Spark
+    percentile == DuckDB quantile_cont, both interpolate), filter stays
+    in codegen, only outliers survive."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    rz = F.lit(MAD_CONSISTENCY) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > MAD_Z_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )
