@@ -136,6 +136,7 @@ HEADLINE = [
     "profile_orders",
     "events_value_outliers",
     "events_mad_outliers",
+    "events_mad_outliers_sketch",
     "events_salted_skew_join",
     "events_rollup_incremental",
     "sql_api_top_customers_window",

@@ -200,3 +200,61 @@ def test_countmin_counters_merge_algebra(spark, sf_oracle):
         for kb, c in part.items():
             merged[kb] = merged.get(kb, 0) + c
     assert merged == counters(ev)
+
+
+def test_mad_sketch_stats_within_bin_error(spark, sf_oracle):
+    """mad_sketch_stats vs the exact percentile-based median/MAD: the
+    sketch median is a bin lower edge, so med_exact - wv <= med_s <=
+    med_exact (wv = value-bin width); the sketch MAD measures deviations
+    from med_s, and the median is 1-Lipschitz under a uniform input
+    shift, so |mad_s - mad_exact| <= wd + wv. The screens themselves can
+    then disagree only on rows whose modified z straddles 3.5 within
+    that error (subset sanity asserted)."""
+    from vectordb_from_scratch_spark.operators.events import (
+        MAD_SKETCH_BINS,
+        mad_outliers_sketch,
+        mad_sketch_stats,
+    )
+
+    ev = load_table(spark, sf_oracle, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("med"))
+        .join(ev, "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+        .collect()
+    }
+    spans = {
+        r["event_type"]: r["mx"] - r["mn"]
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    got = {r["event_type"]: r for r in mad_sketch_stats(ev).collect()}
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        wv = spans[et] / MAD_SKETCH_BINS
+        # dmax <= span, so the deviation-bin width is <= wv as well
+        assert exact[et]["med"] - wv <= r["med"] <= exact[et]["med"] + wv, et
+        assert abs(r["mad"] - exact[et]["mad"]) <= 2 * wv + 1e-9, et
+
+    # screen-level sanity: the strongest exact outliers (z over threshold
+    # with slack beyond any bin-error effect) are all flagged by the sketch
+    flagged = {
+        r["event_id"] for r in mad_outliers_sketch(ev).select("event_id").collect()
+    }
+    assert flagged, "sketch screen returned no outliers on the fixture"
+    from vectordb_from_scratch_spark.operators.events import events_mad_outliers
+
+    strong = {
+        r["event_id"]
+        for r in events_mad_outliers(spark, sf_oracle)
+        .filter(F.abs(F.col("robust_z")) > 5.0)
+        .select("event_id")
+        .collect()
+    }
+    assert strong <= flagged, sorted(strong - flagged)[:10]

@@ -790,6 +790,128 @@ def run_graph2(spark, n_orders: int) -> None:
     items.unpersist()
 
 
+def run_recsys(spark, n_orders: int) -> None:
+    """Item-item CF + per-customer recommendations at design point, on
+    the planted-hub / oversized-basket corpus: customers own ~10 orders
+    each, so ~89% of customers own the hub part — the hot key the
+    truncated item-kNN model's |owned|·k candidate bound has to absorb
+    (an untruncated model would fan the hub's ~P neighbors out to every
+    one of those customers: |owned|·degree ≈ P per customer).
+
+    Measured: model size vs its O(parts·k) bound, candidate volume vs
+    the Σ|owned|·k bound, and the walls for cf_cosine and the full
+    recommendation pipeline."""
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import graph
+
+    items, edges, P, n_items, m, t_edges = _graph_corpus(spark, n_orders)
+    C = max(n_orders // 10, 100)
+    purchases = (
+        items.select(F.pmod(F.col("ok"), F.lit(C)).alias("c"), F.col("pk").alias("p"))
+        .distinct()
+        .persist()
+    )
+    n_pur = purchases.count()
+    hub_owners = purchases.filter(F.col("p") == 0).count()
+    print(
+        f"recsys n_orders={n_orders} P={P} C={C}: {m} edges, "
+        f"{n_pur} (customer, part) purchases, hub owned by {hub_owners} "
+        f"({100.0 * hub_owners / C:.0f}% of customers)"
+    )
+
+    t0 = time.perf_counter()
+    top = graph.cf_cosine_pairs(edges).collect()
+    print(
+        f"cf_cosine top-{graph.CF_TOP}: {time.perf_counter() - t0:6.2f}s "
+        f"(best {top[0]['cf_cosine']:.4f})"
+    )
+    registry.release_tracked()
+
+    # model + candidate volumes: the two bounds that make item-kNN serve
+    t0 = time.perf_counter()
+    recs = graph.recommend_parts(purchases, edges).persist()
+    n_recs = recs.count()
+    t_recs = time.perf_counter() - t0
+    n_cust = recs.select("custkey").distinct().count()
+    cand_bound = n_pur * graph.REC_MODEL_K
+    print(
+        f"recommendations: {t_recs:6.2f}s ({n_recs} rows for {n_cust} "
+        f"customers; candidate fanout bound |purchases|*k = {cand_bound:,}, "
+        f"model bound parts*k = {P * graph.REC_MODEL_K:,})"
+    )
+    recs.unpersist()
+    registry.release_tracked()
+    purchases.unpersist()
+    edges.unpersist()
+    items.unpersist()
+
+
+def run_robust(spark, n_rows: int) -> None:
+    """The MAD family at row scale: exact percentile-based MAD
+    (events_mad_outliers' shape — per-group aggregation state holds every
+    distinct value, the documented percentile shortcoming) vs the
+    histogram-sketch twin (mad_outliers_sketch — O(bins) state, four
+    linear scans). Synthetic heavy-tailed feed, 4 event types, planted
+    gross outliers at 1-in-10k (the poisoned-feed case MAD exists for:
+    the outliers are far enough out to drag a mean/stddev screen's own
+    threshold). Reports both walls and the screens' agreement."""
+    from vectordb_from_scratch_spark.operators import events as ev_ops
+
+    # heavy-tailed base: value = exp(z) with z ~ N(0,1)-ish from a hash
+    # (Irwin-Hall 4-fold sum approximates the normal well enough for a
+    # wall-clock harness); 1-in-10k rows get a 1e4 multiplier (gross).
+    u = lambda salt: (
+        F.pmod(F.xxhash64(F.col("id") + F.lit(salt)), F.lit(1_000_000)) / 1_000_000.0
+    )
+    z = (u(1) + u(2) + u(3) + u(4) - 2.0) * 1.732  # var 1/3 per term
+    base = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), F.pmod(F.col("id"), F.lit(4)).cast("string")).alias(
+            "event_type"
+        ),
+        (
+            F.exp(z)
+            * F.when(F.pmod(F.xxhash64("id"), F.lit(10_000)) == 0, 1e4).otherwise(1.0)
+        ).alias("value"),
+    )
+    evt = base.repartition(32).persist()
+    n = evt.count()
+    print(f"robust n_rows={n}: 4 event types, 1-in-10k gross outliers")
+
+    t0 = time.perf_counter()
+    med = evt.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        evt.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+    )
+    rz = (
+        F.lit(ev_ops.MAD_CONSISTENCY)
+        * (F.col("value") - F.col("med"))
+        / F.col("mad")
+    )
+    n_exact = (
+        evt.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > ev_ops.MAD_Z_THRESHOLD)
+        .count()
+    )
+    t_exact = time.perf_counter() - t0
+    print(f"exact percentile MAD screen: {t_exact:6.2f}s ({n_exact} outliers)")
+
+    t0 = time.perf_counter()
+    n_sketch = ev_ops.mad_outliers_sketch(evt).count()
+    t_sketch = time.perf_counter() - t0
+    print(
+        f"histogram-sketch MAD screen: {t_sketch:6.2f}s ({n_sketch} outliers, "
+        f"{100.0 * abs(n_sketch - n_exact) / max(n_exact, 1):.2f}% count delta)"
+    )
+    evt.unpersist()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -810,6 +932,10 @@ def main() -> None:
         return run_graph2(spark, n)
     if mode == "prefixjoin":
         return run_prefixjoin(spark, n)
+    if mode == "recsys":
+        return run_recsys(spark, n)
+    if mode == "robust":
+        return run_robust(spark, n)
 
     rng = np.random.default_rng(42)
     # clustered data so IVF has structure to find

@@ -687,3 +687,173 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 4).alias("robust_z"),
         )
     )
+
+
+# --- sketch-based (mergeable) MAD outlier screen ---------------------------------
+#
+# events_mad_outliers is exact but rides F.percentile, whose aggregation
+# state is every distinct value per group — per-group memory proportional
+# to the DATA, the documented single-node shortcut of the percentile
+# family (see events_value_percentiles). This twin is the 100 TB exit:
+# median and MAD both come from the equi-width histogram sketch
+# (sketches.hist_bin_expr — integer bin arithmetic both engines reproduce
+# bit-for-bit), so every aggregation is mergeable with O(bins) state per
+# group and the screen is four linear scans total:
+#
+#   pass 1  per-type min/max/count               (exact, mergeable)
+#   pass 2  value histogram -> med_est           (bin lower edge at 50%)
+#   pass 3  |v - med_est| histogram -> mad_est   (deviation bins span
+#           [0, dmax] where dmax = greatest(med-vmin, vmax-med) comes
+#           FROM PASS-1 STATS — no extra scan for the deviation range)
+#   pass 4  filter |0.6745·(v-med)/mad| > 3.5    (codegen, outliers only)
+#
+# Estimates are bin lower edges, so med_est/mad_est sit within one bin
+# width of the exact statistics (asserted vs the exact screen in
+# tests/test_events.py); the flagged set differs from the exact screen
+# only for rows whose modified z-score straddles the threshold within
+# that error. Fully value-oracled: both engines run the identical IEEE
+# bin/edge arithmetic.
+
+MAD_SKETCH_BINS = 1024
+
+
+def mad_sketch_stats(events: DataFrame, bins: int = MAD_SKETCH_BINS) -> DataFrame:
+    """(event_type, med, mad): the histogram-sketch median and MAD —
+    passes 1-3 of the screen (see section comment). Estimates are bin
+    lower edges: med within one value-bin width of the exact median, mad
+    within one deviation-bin width plus one value-bin width of the exact
+    MAD (the deviation histogram measures |v - med_est|, and the median
+    is 1-Lipschitz under a uniform shift of its input)."""
+    from vectordb_from_scratch_spark.operators.sketches import hist_bin_expr
+
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vbin = (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "bin", hist_bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), bins)
+        )
+        .groupBy("event_type", "vmin", "vmax", "n", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    edge = F.col("vmin") + F.col("bin") * (F.col("vmax") - F.col("vmin")) / bins
+    med = (
+        vbin.withColumn("cum", F.sum("c").over(w))
+        .groupBy("event_type", "vmin", "vmax", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * 50, edge)
+            ).alias("med")
+        )
+        .select(
+            "event_type",
+            "n",
+            "med",
+            F.greatest(
+                F.col("med") - F.col("vmin"), F.col("vmax") - F.col("med")
+            ).alias("dmax"),
+        )
+    )
+    dbin = (
+        events.join(F.broadcast(med), "event_type")
+        .withColumn(
+            "bin",
+            hist_bin_expr(
+                F.abs(F.col("value") - F.col("med")), F.lit(0.0), F.col("dmax"), bins
+            ),
+        )
+        .groupBy("event_type", "med", "dmax", "n", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        dbin.withColumn("cum", F.sum("c").over(w))
+        .groupBy("event_type", "med", "dmax", "n")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("n") * 50,
+                    F.col("bin") * F.col("dmax") / bins,
+                )
+            ).alias("mad")
+        )
+        .select("event_type", "med", "mad")
+    )
+
+
+def mad_outliers_sketch(events: DataFrame, bins: int = MAD_SKETCH_BINS) -> DataFrame:
+    """(event_id, event_type, value, robust_z): the histogram-sketch
+    robust outlier screen — same output contract as the exact
+    ``events_mad_outliers``, mergeable-state plan (see section comment)."""
+    mad = mad_sketch_stats(events, bins)
+    rz = F.lit(MAD_CONSISTENCY) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > MAD_Z_THRESHOLD))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )
+
+
+_MAD_SKETCH_SQL = f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type),
+vbin AS (
+  SELECT e.event_type, s.vmin, s.vmax, s.n,
+         CASE WHEN s.vmax = s.vmin THEN 0
+              ELSE least({MAD_SKETCH_BINS - 1},
+                         floor((e.value - s.vmin) / (s.vmax - s.vmin) * {MAD_SKETCH_BINS}))
+         END::BIGINT AS bin,
+         count(*)::BIGINT AS c
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY 1, 2, 3, 4, 5),
+vcum AS (
+  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM vbin),
+med AS (
+  SELECT event_type, n, med, greatest(med - vmin, vmax - med) AS dmax
+  FROM (SELECT event_type, vmin, vmax, n,
+               min(CASE WHEN cum * 100 >= n * 50
+                        THEN vmin + bin * (vmax - vmin) / {MAD_SKETCH_BINS} END) AS med
+        FROM vcum GROUP BY 1, 2, 3, 4)),
+dbin AS (
+  SELECT e.event_type, m.med, m.dmax, m.n,
+         CASE WHEN m.dmax = 0 THEN 0
+              ELSE least({MAD_SKETCH_BINS - 1},
+                         floor(abs(e.value - m.med) / m.dmax * {MAD_SKETCH_BINS}))
+         END::BIGINT AS bin,
+         count(*)::BIGINT AS c
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1, 2, 3, 4, 5),
+dcum AS (
+  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM dbin),
+mad AS (
+  SELECT event_type, med,
+         min(CASE WHEN cum * 100 >= n * 50
+                  THEN bin * dmax / {MAD_SKETCH_BINS} END) AS mad
+  FROM dcum GROUP BY 1, 2)
+SELECT e.event_id, e.event_type,
+       round(e.value, 2) AS value,
+       round({MAD_CONSISTENCY} * (e.value - m.med) / m.mad, 4) AS robust_z
+FROM events e JOIN mad m USING (event_type)
+WHERE m.mad > 0
+  AND abs({MAD_CONSISTENCY} * (e.value - m.med) / m.mad) > {MAD_Z_THRESHOLD}
+"""
+
+
+@register("events_mad_outliers_sketch", _MAD_SKETCH_SQL)
+def events_mad_outliers_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-state twin of ``events_mad_outliers`` (see the
+    section comment: four linear scans, O(bins) per-group state, median
+    and MAD from the cross-engine histogram sketch)."""
+    return mad_outliers_sketch(load_table(spark, sf_dir, "events"))
