@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
 spark = (
-    SparkSession.builder.master("local[4]")
+    SparkSession.builder.master("local[8]")
     .appName("vanilla-driver-like")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
@@ -61,7 +61,9 @@ def test_load_events_under_vanilla_session():
         [sys.executable, "-c", _SCRIPT],
         capture_output=True,
         text=True,
-        timeout=300,
+        # ~200 registered queries × a couple seconds of sf0.001 smoke each:
+        # the surface outgrew the original 300s budget at ~180 queries
+        timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "VANILLA_OK" in proc.stdout
