@@ -173,3 +173,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Bucketed tables are layout artifacts: bench times the exchange-free
+# join, not the one-time bucketed write (tests/test_bucketing.py owns the
+# layout's physical assertions).
+from vectordb_from_scratch_spark import registry as _registry
+
+_registry.WARMERS["join_bucketed_colocated"] = (
+    lambda spark, sf_dir: ensure_bucketed(spark, sf_dir)
+)

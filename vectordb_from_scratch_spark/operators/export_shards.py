@@ -143,3 +143,13 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     column read back from the directory layout must equal the hash rule)."""
     path = export_training_shards(spark, sf_dir)
     return _manifest_from(spark.read.parquet(path))
+
+
+# The shard export is a disk artifact like the layout/ANN builds: bench
+# times the manifest-from-files read, not the one-time export write (the
+# export itself is physically tested in tests/test_export_shards.py).
+from vectordb_from_scratch_spark import registry as _registry
+
+_registry.WARMERS["export_shard_manifest"] = (
+    lambda spark, sf_dir: export_training_shards(spark, sf_dir)
+)

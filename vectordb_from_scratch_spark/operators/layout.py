@@ -166,14 +166,10 @@ GROUP BY 1, 2
 """
 
 
-@register("events_rollup_incremental", _ROLLUP_INC_SQL)
-def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full-history rollup built INCREMENTALLY: base load (days
-    before the first split), then two successive delta refreshes — and
-    the result must equal the one-shot batch aggregate, which is exactly
-    what the DuckDB oracle computes from the flat table. Incremental ==
-    batch is the entire correctness contract of view maintenance, so the
-    oracle check IS the invariant."""
+def ensure_rollup_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently materialize the incrementally-built day rollup for
+    ``sf_dir`` (base load + two delta refreshes; see
+    :func:`events_rollup_incremental`) and return its path."""
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
     path = _ROLLUP_CACHE.get(key)
@@ -204,6 +200,18 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             refresh_day_rollup(spark, tmp, ev.filter(day >= F.lit(s1)))
             os.rename(tmp, path)
         _ROLLUP_CACHE[key] = path
+    return path
+
+
+@register("events_rollup_incremental", _ROLLUP_INC_SQL)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-history rollup built INCREMENTALLY: base load (days
+    before the first split), then two successive delta refreshes — and
+    the result must equal the one-shot batch aggregate, which is exactly
+    what the DuckDB oracle computes from the flat table. Incremental ==
+    batch is the entire correctness contract of view maintenance, so the
+    oracle check IS the invariant."""
+    path = ensure_rollup_incremental(spark, sf_dir)
     return spark.read.parquet(path).select(
         F.col("day").cast("date").alias("day"),
         "event_type",
@@ -348,3 +356,25 @@ def events_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# Disk layouts are INDEX ARTIFACTS over the corpus (the same regime as the
+# ANN build caches): bench must time the query against the layout, not the
+# one-time materialization — which otherwise lands in whichever query
+# first touches a freshly regenerated sf_dir (the driver rewrites testdata
+# between rounds, so the first bench of a round paid the build in its
+# timed region while every later run served warm: a 14x phantom
+# "regression" in BENCH comparisons). The builds themselves stay measured
+# where they are load-bearing: tests/test_zorder.py (layout write + file
+# skipping) and the refresh tests (delta-scoped rewrites, inode-asserted).
+from vectordb_from_scratch_spark import registry as _registry
+
+_registry.WARMERS["events_partition_pruned_rollup"] = (
+    lambda spark, sf_dir: ensure_day_partitioned(spark, sf_dir)
+)
+_registry.WARMERS["events_rollup_incremental"] = (
+    lambda spark, sf_dir: ensure_rollup_incremental(spark, sf_dir)
+)
+_registry.WARMERS["events_zorder_box"] = (
+    lambda spark, sf_dir: ensure_zorder(spark, sf_dir)
+)
