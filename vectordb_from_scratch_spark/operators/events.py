@@ -695,100 +695,133 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state is every distinct value per group — per-group memory proportional
 # to the DATA, the documented single-node shortcut of the percentile
 # family (see events_value_percentiles). This twin is the 100 TB exit:
-# median and MAD both come from the equi-width histogram sketch
-# (sketches.hist_bin_expr — integer bin arithmetic both engines reproduce
-# bit-for-bit), so every aggregation is mergeable with O(bins) state per
-# group and the screen is four linear scans total:
+# median and MAD come from BRACKET-REFINED equi-width histograms, so every
+# aggregation is mergeable with O(bins) state per group and every pass is
+# one linear scan.
 #
-#   pass 1  per-type min/max/count               (exact, mergeable)
-#   pass 2  value histogram -> med_est           (bin lower edge at 50%)
-#   pass 3  |v - med_est| histogram -> mad_est   (deviation bins span
-#           [0, dmax] where dmax = greatest(med-vmin, vmax-med) comes
-#           FROM PASS-1 STATS — no extra scan for the deviation range)
-#   pass 4  filter |0.6745·(v-med)/mad| > 3.5    (codegen, outliers only)
+# Why refinement and not one histogram: a single equi-width pass
+# COLLAPSES under exactly the poisoned feed MAD exists for. With gross
+# 1e4× outliers stretching the range, the entire bulk lands in bin 0 —
+# med_est = vmin, mad_est = 0, and the screen returns NOTHING
+# (tools/stress.py robust caught this at 10M rows: 0 flagged vs the exact
+# screen's 790k — this repo's recurring lesson that plans must be
+# measured under planted pathologies). The fix: after each histogram
+# pass, zoom the bracket [lo, hi) into the one bin holding the target
+# order statistic and re-bin. L passes localize the median to
+# (hi0-lo0)/bins^L — at 1024 bins and 3 levels, a 2^-30 of the range,
+# below any screening-relevant error — while per-pass state stays
+# O(bins) and out-of-bracket rows cost one comparison (bins -1/B catch
+# them, and the cumulative-rank arithmetic stays exact).
 #
-# Estimates are bin lower edges, so med_est/mad_est sit within one bin
-# width of the exact statistics (asserted vs the exact screen in
-# tests/test_events.py); the flagged set differs from the exact screen
-# only for rows whose modified z-score straddles the threshold within
-# that error. Fully value-oracled: both engines run the identical IEEE
-# bin/edge arithmetic.
+#   pass 1        per-type min/max/count (exact, mergeable)
+#   passes 2..L+1 value ladder -> med_est
+#   passes ..2L+1 |v - med_est| ladder -> mad_est (the deviation range
+#                 needs NO extra scan: dmax = greatest(med-vmin, vmax-med)
+#                 falls out of pass-1 stats)
+#   final pass    filter |0.6745·(v-med)/mad| > 3.5 (codegen)
+#
+# Fully value-oracled: both engines run the identical IEEE bin/edge/
+# bracket arithmetic, CTE-per-level in the oracle.
 
 MAD_SKETCH_BINS = 1024
+MAD_SKETCH_LEVELS = 3
 
 
-def mad_sketch_stats(events: DataFrame, bins: int = MAD_SKETCH_BINS) -> DataFrame:
-    """(event_type, med, mad): the histogram-sketch median and MAD —
-    passes 1-3 of the screen (see section comment). Estimates are bin
-    lower edges: med within one value-bin width of the exact median, mad
-    within one deviation-bin width plus one value-bin width of the exact
-    MAD (the deviation histogram measures |v - med_est|, and the median
-    is 1-Lipschitz under a uniform shift of its input)."""
-    from vectordb_from_scratch_spark.operators.sketches import hist_bin_expr
+def _refine_bracket(events, br, dev, bins: int, levels: int) -> DataFrame:
+    """One median-localizing ladder. ``br`` is the per-type bracket frame
+    (event_type, lo, hi, n, [med]); ``dev()`` builds the measured Column
+    against the (events ⋈ br) frame. The target order statistic (the
+    smallest rank r with 2r >= n) lies in [lo, hi] at every level — rows
+    below/above the bracket land in sentinel bins -1/``bins`` so the
+    cumulative rank stays exact — hence the final ``lo`` is within
+    (hi0-lo0)/bins^levels of it."""
+    w = Window.partitionBy("event_type").orderBy("bin")
+    carry = [c for c in br.columns if c != "event_type"]
+    extra = [c for c in carry if c not in ("lo", "hi")]
+    for _ in range(levels):
+        v = dev()
+        bin_ = (
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .when(v < F.col("lo"), F.lit(-1))
+            .when(v >= F.col("hi"), F.lit(bins))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo")) * bins),
+                )
+            )
+            .cast("long")
+        )
+        g = (
+            events.join(F.broadcast(br), "event_type")
+            .withColumn("bin", bin_)
+            .groupBy("event_type", *carry, "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            g.withColumn("cum", F.sum("c").over(w))
+            .groupBy("event_type", *carry)
+            .agg(
+                F.min(
+                    F.when(F.col("cum") * 100 >= F.col("n") * 50, F.col("bin"))
+                ).alias("mbin")
+            )
+        )
+        width = (F.col("hi") - F.col("lo")) / bins
+        br = picked.select(
+            "event_type",
+            (F.col("lo") + F.col("mbin") * width).alias("lo"),
+            (F.col("lo") + (F.col("mbin") + F.lit(1)) * width).alias("hi"),
+            *extra,
+        )
+    return br
 
+
+def mad_sketch_stats(
+    events: DataFrame,
+    bins: int = MAD_SKETCH_BINS,
+    levels: int = MAD_SKETCH_LEVELS,
+) -> DataFrame:
+    """(event_type, med, mad): bracket-refined histogram median and MAD —
+    passes 1..2L+1 of the screen (see section comment). Each estimate is
+    its final bracket's lower edge, within (range)/bins^levels of the
+    exact order statistic."""
     stats = events.groupBy("event_type").agg(
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
         F.count(F.lit(1)).alias("n"),
     )
-    vbin = (
-        events.join(F.broadcast(stats), "event_type")
-        .withColumn(
-            "bin", hist_bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), bins)
-        )
-        .groupBy("event_type", "vmin", "vmax", "n", "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
+    vbr = stats.select(
+        "event_type", F.col("vmin").alias("lo"), F.col("vmax").alias("hi"), "n"
     )
-    w = Window.partitionBy("event_type").orderBy("bin")
-    edge = F.col("vmin") + F.col("bin") * (F.col("vmax") - F.col("vmin")) / bins
-    med = (
-        vbin.withColumn("cum", F.sum("c").over(w))
-        .groupBy("event_type", "vmin", "vmax", "n")
-        .agg(
-            F.min(
-                F.when(F.col("cum") * 100 >= F.col("n") * 50, edge)
-            ).alias("med")
-        )
+    vbr = _refine_bracket(events, vbr, lambda: F.col("value"), bins, levels)
+    medt = (
+        stats.join(vbr.select("event_type", F.col("lo").alias("med")), "event_type")
         .select(
             "event_type",
-            "n",
-            "med",
+            F.lit(0.0).alias("lo"),
             F.greatest(
                 F.col("med") - F.col("vmin"), F.col("vmax") - F.col("med")
-            ).alias("dmax"),
+            ).alias("hi"),
+            "n",
+            "med",
         )
     )
-    dbin = (
-        events.join(F.broadcast(med), "event_type")
-        .withColumn(
-            "bin",
-            hist_bin_expr(
-                F.abs(F.col("value") - F.col("med")), F.lit(0.0), F.col("dmax"), bins
-            ),
-        )
-        .groupBy("event_type", "med", "dmax", "n", "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
+    dbr = _refine_bracket(
+        events, medt, lambda: F.abs(F.col("value") - F.col("med")), bins, levels
     )
-    return (
-        dbin.withColumn("cum", F.sum("c").over(w))
-        .groupBy("event_type", "med", "dmax", "n")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cum") * 100 >= F.col("n") * 50,
-                    F.col("bin") * F.col("dmax") / bins,
-                )
-            ).alias("mad")
-        )
-        .select("event_type", "med", "mad")
-    )
+    return dbr.select("event_type", "med", F.col("lo").alias("mad"))
 
 
-def mad_outliers_sketch(events: DataFrame, bins: int = MAD_SKETCH_BINS) -> DataFrame:
+def mad_outliers_sketch(
+    events: DataFrame,
+    bins: int = MAD_SKETCH_BINS,
+    levels: int = MAD_SKETCH_LEVELS,
+) -> DataFrame:
     """(event_id, event_type, value, robust_z): the histogram-sketch
     robust outlier screen — same output contract as the exact
     ``events_mad_outliers``, mergeable-state plan (see section comment)."""
-    mad = mad_sketch_stats(events, bins)
+    mad = mad_sketch_stats(events, bins, levels)
     rz = F.lit(MAD_CONSISTENCY) * (F.col("value") - F.col("med")) / F.col("mad")
     return (
         events.join(F.broadcast(mad), "event_type")
@@ -802,58 +835,74 @@ def mad_outliers_sketch(events: DataFrame, bins: int = MAD_SKETCH_BINS) -> DataF
     )
 
 
-_MAD_SKETCH_SQL = f"""
-WITH stats AS (
+def _mad_sketch_sql(
+    bins: int = MAD_SKETCH_BINS, levels: int = MAD_SKETCH_LEVELS
+) -> str:
+    """CTE-per-level oracle mirroring :func:`_refine_bracket` literally."""
+
+    def ladder(prefix: str, v: str, extra: str) -> list[str]:
+        ctes = []
+        for i in range(1, levels + 1):
+            src = f"{prefix}br{i - 1}"
+            ctes.append(
+                f"""{prefix}b{i} AS (
+  SELECT e.event_type, b.lo, b.hi, b.n{extra},
+         CASE WHEN b.hi = b.lo THEN 0
+              WHEN {v} < b.lo THEN -1
+              WHEN {v} >= b.hi THEN {bins}
+              ELSE least({bins - 1}, floor(({v} - b.lo) / (b.hi - b.lo) * {bins}))
+         END::BIGINT AS bin,
+         count(*)::BIGINT AS c
+  FROM events e JOIN {src} b USING (event_type)
+  GROUP BY ALL)"""
+            )
+            ctes.append(
+                f"""{prefix}c{i} AS (
+  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM {prefix}b{i})"""
+            )
+            ctes.append(
+                f"""{prefix}br{i} AS (
+  SELECT event_type,
+         lo + mbin * ((hi - lo) / {bins}) AS lo,
+         lo + (mbin + 1) * ((hi - lo) / {bins}) AS hi,
+         n{extra.replace('b.', '')}
+  FROM (SELECT event_type, lo, hi, n{extra.replace('b.', '')},
+               min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS mbin
+        FROM {prefix}c{i} GROUP BY ALL))"""
+            )
+        return ctes
+
+    ctes = [
+        """stats AS (
   SELECT event_type, min(value) AS vmin, max(value) AS vmax,
          count(*)::BIGINT AS n
-  FROM events GROUP BY event_type),
-vbin AS (
-  SELECT e.event_type, s.vmin, s.vmax, s.n,
-         CASE WHEN s.vmax = s.vmin THEN 0
-              ELSE least({MAD_SKETCH_BINS - 1},
-                         floor((e.value - s.vmin) / (s.vmax - s.vmin) * {MAD_SKETCH_BINS}))
-         END::BIGINT AS bin,
-         count(*)::BIGINT AS c
-  FROM events e JOIN stats s USING (event_type)
-  GROUP BY 1, 2, 3, 4, 5),
-vcum AS (
-  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
-  FROM vbin),
-med AS (
-  SELECT event_type, n, med, greatest(med - vmin, vmax - med) AS dmax
-  FROM (SELECT event_type, vmin, vmax, n,
-               min(CASE WHEN cum * 100 >= n * 50
-                        THEN vmin + bin * (vmax - vmin) / {MAD_SKETCH_BINS} END) AS med
-        FROM vcum GROUP BY 1, 2, 3, 4)),
-dbin AS (
-  SELECT e.event_type, m.med, m.dmax, m.n,
-         CASE WHEN m.dmax = 0 THEN 0
-              ELSE least({MAD_SKETCH_BINS - 1},
-                         floor(abs(e.value - m.med) / m.dmax * {MAD_SKETCH_BINS}))
-         END::BIGINT AS bin,
-         count(*)::BIGINT AS c
-  FROM events e JOIN med m USING (event_type)
-  GROUP BY 1, 2, 3, 4, 5),
-dcum AS (
-  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
-  FROM dbin),
-mad AS (
-  SELECT event_type, med,
-         min(CASE WHEN cum * 100 >= n * 50
-                  THEN bin * dmax / {MAD_SKETCH_BINS} END) AS mad
-  FROM dcum GROUP BY 1, 2)
+  FROM events GROUP BY event_type)""",
+        "vbr0 AS (SELECT event_type, vmin AS lo, vmax AS hi, n FROM stats)",
+        *ladder("v", "e.value", ""),
+        f"""dbr0 AS (
+  SELECT s.event_type, 0.0::DOUBLE AS lo,
+         greatest(m.lo - s.vmin, s.vmax - m.lo) AS hi,
+         s.n, m.lo AS med
+  FROM stats s JOIN vbr{levels} m USING (event_type))""",
+        *ladder("d", "abs(e.value - b.med)", ", b.med"),
+        f"madt AS (SELECT event_type, med, lo AS mad FROM dbr{levels})",
+    ]
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
 SELECT e.event_id, e.event_type,
        round(e.value, 2) AS value,
        round({MAD_CONSISTENCY} * (e.value - m.med) / m.mad, 4) AS robust_z
-FROM events e JOIN mad m USING (event_type)
+FROM events e JOIN madt m USING (event_type)
 WHERE m.mad > 0
   AND abs({MAD_CONSISTENCY} * (e.value - m.med) / m.mad) > {MAD_Z_THRESHOLD}
 """
 
 
-@register("events_mad_outliers_sketch", _MAD_SKETCH_SQL)
+@register("events_mad_outliers_sketch", _mad_sketch_sql())
 def events_mad_outliers_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-state twin of ``events_mad_outliers`` (see the
-    section comment: four linear scans, O(bins) per-group state, median
-    and MAD from the cross-engine histogram sketch)."""
+    section comment: 2·levels+2 linear scans, O(bins) per-group state,
+    median and MAD from bracket-refined cross-engine histograms)."""
     return mad_outliers_sketch(load_table(spark, sf_dir, "events"))
