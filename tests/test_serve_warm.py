@@ -68,3 +68,61 @@ def test_warm_then_serve_does_not_train(
     # bm25 serve must read the persisted postings, never re-tokenize documents
     monkeypatch.setattr(textstats, "load_table", boom)
     assert registry.QUERIES[name](spark, sf_small).count() > 0
+
+
+def test_graph_artifacts_raise_cold_under_strict(spark, sf_small, strict_serve):
+    """The r6 graph-store artifacts (adjacencies, purchase table) carry
+    the same warm/serve contract as the ANN build caches: under
+    STRICT_SERVE an artifact-consuming query must refuse to derive its
+    adjacency inside the timed region."""
+    from vectordb_from_scratch_spark.operators import graph
+
+    saved_e = dict(graph._EDGES_CACHE)
+    saved_a = dict(graph._ART_CACHE)
+    saved_p = dict(graph._PURCHASES_CACHE)
+    graph._EDGES_CACHE.clear()
+    graph._ART_CACHE.clear()
+    graph._PURCHASES_CACHE.clear()
+    try:
+        for name in ("graph_pagerank", "graph_bfs_hops", "graph_hits"):
+            with pytest.raises(RuntimeError, match="cold build cache"):
+                registry.QUERIES[name](spark, sf_small)
+    finally:
+        graph._EDGES_CACHE.update(saved_e)
+        graph._ART_CACHE.update(saved_a)
+        graph._PURCHASES_CACHE.update(saved_p)
+
+
+def test_graph_artifacts_warm_then_serve(spark, sf_small, strict_serve, monkeypatch):
+    """After warm_graph, the artifact consumers serve without re-deriving
+    anything corpus-shaped: the edge/purchase derivations are
+    monkeypatched to explode."""
+    from vectordb_from_scratch_spark.operators import graph
+
+    registry.WARMERS["graph_pagerank"](spark, sf_small)
+
+    def boom(*a, **k):
+        raise AssertionError("serve path re-derived a graph artifact")
+
+    monkeypatch.setattr(graph, "copurchase_edges", boom)
+    monkeypatch.setattr(graph, "purchase_edges", boom)
+    monkeypatch.setattr(graph, "oriented_edges", boom)
+    monkeypatch.setattr(graph, "_adj_from", boom)
+    for name in (
+        "graph_pagerank",
+        "graph_pagerank_weighted",
+        "graph_ppr",
+        "graph_bfs_hops",
+        "graph_lpa_communities",
+        "graph_kcore",
+        "graph_sssp_weighted",
+        "graph_triangle_counts",
+        "graph_hits",
+        "graph_recommendations",
+    ):
+        n = registry.QUERIES[name](spark, sf_small).count()
+        # kcore legitimately peels the sf0.001 graph to empty (K=80 is
+        # calibrated to the bigger fixtures); the serve contract here is
+        # "ran without touching a derivation", not non-emptiness
+        assert n > 0 or name == "graph_kcore", name
+        registry.release_tracked()
