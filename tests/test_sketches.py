@@ -258,3 +258,33 @@ def test_mad_sketch_stats_within_bin_error(spark, sf_oracle):
         .collect()
     }
     assert strong <= flagged, sorted(strong - flagged)[:10]
+
+
+def test_mad_sketch_degenerate_and_shifted_groups(spark):
+    """Bracket refinement must survive the paths the fixture never hits:
+    a constant-valued type (hi == lo at every level -> mad 0 -> excluded
+    from the screen entirely) and a heavy-outlier type where a SINGLE
+    equi-width pass collapses (the bulk in bin 0 — the defect
+    tools/stress.py robust caught; refinement must still localize the
+    median/MAD and flag the gross outlier)."""
+    from vectordb_from_scratch_spark.operators.events import (
+        mad_outliers_sketch,
+        mad_sketch_stats,
+    )
+
+    rows = [(i, "const", 7.0) for i in range(50)]
+    # bulk at 10.0 +/- 1, one poisoned value stretching the range 1000x
+    rows += [(100 + i, "tail", 10.0 + (i % 3) - 1) for i in range(99)]
+    rows += [(999, "tail", 10000.0)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    stats = {r["event_type"]: r for r in mad_sketch_stats(ev).collect()}
+    assert stats["const"]["mad"] == 0.0
+    assert abs(stats["const"]["med"] - 7.0) < 1e-9
+    # exact median 10.0, exact MAD 1.0 (33 of 99 at 9, 33 at 10, 33 at 11)
+    assert abs(stats["tail"]["med"] - 10.0) < 0.1, stats["tail"]
+    assert abs(stats["tail"]["mad"] - 1.0) < 0.1, stats["tail"]
+
+    flagged = mad_outliers_sketch(ev).collect()
+    assert all(r["event_type"] == "tail" for r in flagged)
+    assert any(r["event_id"] == 999 for r in flagged), flagged
