@@ -423,7 +423,11 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # global-order window, which would serialize the corpus through one
 # partition. Spark's percentile() and DuckDB's quantile_cont both
 # interpolate, and both engines compute them over the 6dp-ROUNDED quality
-# score, so the thresholds are bit-identical.
+# score, so the thresholds are bit-identical. The rounding also BOUNDS
+# the exact percentile's aggregation state — ≤ 10^6+1 distinct values in
+# [0, 1] regardless of corpus size — so unlike the raw-value percentile
+# family (see events_value_percentiles), this exact path is scale-safe
+# as-is and needs no sketch exit.
 
 CURRICULUM_PHASES = 4
 
