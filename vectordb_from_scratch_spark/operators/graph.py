@@ -103,8 +103,15 @@ def copurchase_edges_from_items(items: DataFrame) -> DataFrame:
     Plan: distinct items (one shuffle on the pair), basket-size filter
     (groupBy ok — same key as the upcoming self-join, so AQE reuses the
     partitioning), self-join on ok with pk ordering, then the edge
-    groupBy. Pair fanout per order is capped at C(MAX_BASKET, 2)."""
-    items = items.select("ok", "pk").distinct()
+    groupBy. Pair fanout per order is capped at C(MAX_BASKET, 2).
+
+    The distinct item table PERSISTS for the build (released with the
+    query's tracked frames): three consumers read it — the basket-size
+    aggregate and both self-join sides — and without the persist Spark
+    re-executes the distinct subtree per consumer once plans diverge
+    past exchange reuse (measured at 1M orders: 57s -> ~12s derive,
+    r6b)."""
+    items = track_persist(items.select("ok", "pk").distinct())
     ok_small = (
         items.groupBy("ok").count().filter(F.col("count") <= MAX_BASKET).select("ok")
     )
