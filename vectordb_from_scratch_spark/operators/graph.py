@@ -225,25 +225,50 @@ def shared_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PURCHASES_CACHE[key]
 
 
-def warm_graph(spark: SparkSession, sf_dir: str) -> None:
-    """Build + materialize the shared edge table AND the derived
-    adjacency/purchase artifacts outside any timed region (registered as
-    the WARMER for every edge-consuming graph query)."""
+def warm_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    kinds: tuple[str, ...] = tuple(_ARTIFACTS),
+    with_edges: bool = True,
+    with_purchases: bool = True,
+) -> None:
+    """Build + materialize the shared edge table and the requested
+    adjacency/purchase artifacts outside any timed region. Each query's
+    registered warmer passes ONLY the artifact kinds that query consumes
+    (``_QUERY_GRAPH_NEEDS``, ADVICE r6 #2) — a session that only runs
+    graph_components never pays for (or holds) the five adjacency shapes
+    it doesn't read."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EDGES_CACHE:
+    if with_edges and key not in _EDGES_CACHE:
         edges = copurchase_edges(spark, sf_dir).persist()
         edges.count()
         _EDGES_CACHE[key] = edges
-    for kind in _ARTIFACTS:
+    for kind in kinds:
         akey = (spark.sparkContext.applicationId, sf_dir, kind)
         if akey not in _ART_CACHE:
             art = _ARTIFACTS[kind](_EDGES_CACHE[key]).persist()
             art.count()
             _ART_CACHE[akey] = art
-    if key not in _PURCHASES_CACHE:
+    if with_purchases and key not in _PURCHASES_CACHE:
         pur = purchase_edges(spark, sf_dir).persist()
         pur.count()
         _PURCHASES_CACHE[key] = pur
+
+
+def release_graph_store(sf_dir: str | None = None) -> None:
+    """Evict the session-lifetime graph store (edges + adjacency
+    artifacts + purchase table) — all corpora, or just one ``sf_dir``
+    (ADVICE r6 #2: a multi-corpus session otherwise holds every corpus's
+    persisted frames forever). Safe to call mid-session: the caches
+    rebuild lazily on next use (or via the warmers under STRICT_SERVE)."""
+    for cache in (_EDGES_CACHE, _ART_CACHE, _PURCHASES_CACHE):
+        for key in list(cache):
+            if sf_dir is not None and key[1] != sf_dir:
+                continue
+            try:
+                cache.pop(key).unpersist()
+            except Exception:
+                pass  # session already stopped
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -383,6 +408,42 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+#: Sizing rule for the wedge-join exchange (the one shuffle whose volume
+#: is wedge-shaped, not edge-shaped): target post-shuffle bytes per
+#: partition and the serialized width of one (apex, x, y) wedge row.
+#: 64 MB/partition keeps each ShuffledHashJoin stream partition's working
+#: set far under executor memory at ANY wedge volume — the r6b defect was
+#: 1.96B wedge rows forced through the session-default 32 partitions
+#: (~1.5 GB + sort state each: spill, superlinear wall, 48 GB driver heap).
+WEDGE_PARTITION_TARGET_BYTES = 64 << 20
+WEDGE_ROW_BYTES = 32
+WEDGE_MAX_PARTITIONS = 4096
+
+
+def _wedge_partitions(oriented: DataFrame) -> int:
+    """Exchange width for the wedge join, derived from the measured wedge
+    estimate Σ_u C(outdeg(u), 2) — one cheap scalar aggregate over the
+    (persisted) oriented table, the same convergence-probe discipline as
+    ``bfs_hops``. Never below the session default, capped at
+    ``WEDGE_MAX_PARTITIONS`` (a runaway-estimate backstop; AQE coalesces
+    small partitions but never splits oversized ones, so overestimating
+    is the safe direction)."""
+    est = (
+        oriented.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w"))
+        .collect()[0]["w"]
+    )
+    n_wedges = int(est or 0)
+    floor = oriented.sparkSession.sparkContext.defaultParallelism
+    return int(
+        min(
+            WEDGE_MAX_PARTITIONS,
+            max(floor, n_wedges * WEDGE_ROW_BYTES // WEDGE_PARTITION_TARGET_BYTES + 1),
+        )
+    )
+
+
 def triangle_counts(edges: DataFrame, oriented: DataFrame | None = None) -> DataFrame:
     """(part_id, n_triangles) for every node in ≥1 triangle — exact.
 
@@ -393,9 +454,18 @@ def triangle_counts(edges: DataFrame, oriented: DataFrame | None = None) -> Data
     self-join. The oriented table persists hash-partitioned on the wedge
     apex, so the self-join is co-partitioned out of cache (no exchange on
     either side). ``oriented`` lets callers serve the prebuilt artifact
-    (``shared_artifact(..., "oriented")``)."""
+    (``shared_artifact(..., "oriented")``).
+
+    The closing-edge join is the ONLY stage whose shuffle volume is
+    wedge-shaped (O(Σ outdeg²)), so its exchange width scales with the
+    measured wedge estimate (``_wedge_partitions``) instead of the
+    session default, and it runs as a ShuffledHashJoin built on the
+    edge-sized closing side — the wedge stream is never sorted. Measured
+    at the 1M-order design point (SCALE.md r7): 484s/48 GB-heap → wall
+    tracking wedge volume inside the default heap."""
     if oriented is None:
         oriented = track_persist(oriented_edges(edges).repartition("u"))
+    n_part = _wedge_partitions(oriented)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(
@@ -408,7 +478,9 @@ def triangle_counts(edges: DataFrame, oriented: DataFrame | None = None) -> Data
     # {x,y} closes the triangle; its orientation is forced to x→y because
     # (deg_x, x) < (deg_y, y) held in the wedge condition
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closing, ["x", "y"])
+    tri = wedges.repartition(n_part, "x", "y").join(
+        closing.repartition(n_part, "x", "y").hint("shuffle_hash"), ["x", "y"]
+    )
     return (
         tri.select(F.explode(F.array("apex", "x", "y")).alias("part_id"))
         .groupBy("part_id")
@@ -928,37 +1000,56 @@ def kcore(
     degrees on the induced subgraph, repeat; removals cascade, which is
     why one HAVING pass is not enough.
 
-    Each round is one map-side-combinable degree aggregation plus two
-    semi-joins restricting the edge list to surviving endpoints — the
-    same join+agg iteration shape as PageRank, state entirely
-    (edge-table)-shaped, lineage truncated per round with an eager
-    ``localCheckpoint`` (the BFS discipline: the checkpoint IS the
-    round's materializing job, and the convergence probe is then a cheap
-    scalar count). Early exit at the fixpoint is value-neutral against
-    the oracle's fixed unroll — see ``KCORE_ROUNDS``."""
-    cur = (
-        sym if sym is not None else _sym(edges).repartition("a")
-    ).localCheckpoint()
-    prev_n = None
+    INCREMENTAL degree maintenance (r7, VERDICT r6 #2): iteration state
+    is the NODE-sized (node, deg) table, never the edge list. Each round
+    removes the frontier (deg < k) and subtracts its contributions from
+    surviving neighbors — one ShuffledHashJoin of the cached symmetric
+    adjacency against the frontier (built on the frontier side: the
+    adjacency is streamed from cache, never sorted, never re-shuffled —
+    it persists hash-partitioned on the join key) plus a node-sized
+    merge. The r6 kernel re-aggregated full-graph degrees AND
+    ``localCheckpoint``-ed the surviving EDGE table every round, so the
+    peel-to-empty worst case paid rounds × O(|E|) materializations (42s
+    at 1M orders); per-round cost is now proportional to the frontier's
+    incident edges plus one cached-adjacency scan, and the only
+    checkpointed state is node-sized. Correctness is unchanged: each
+    original edge (a, b) decrements each endpoint at most once — exactly
+    when the other endpoint's removal round precedes its own — so the
+    maintained degree equals the degree inside the induced surviving
+    subgraph, which is what the oracle's per-round re-aggregation
+    computes. Early exit at the fixpoint (empty frontier) is
+    value-neutral against the oracle's fixed unroll — see
+    ``KCORE_ROUNDS``. Nodes isolated by the peel (degree 0) are absent
+    from the output on both engines (the oracle's final GROUP BY only
+    sees nodes with surviving edges)."""
+    if sym is None:
+        sym = track_persist(_sym(edges).repartition("a"))
+    deg = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
     for _ in range(rounds):
-        keep = (
-            cur.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("a").alias("node"))
-        )
-        nxt = (
-            cur.join(keep.withColumnRenamed("node", "a"), "a")
-            .join(keep.withColumnRenamed("node", "b"), "b")
-            .select("a", "b")
-        ).localCheckpoint()
-        n = nxt.count()
-        cur = nxt
-        if n == prev_n:
+        frontier = deg.filter(F.col("deg") < k).select("node")
+        if frontier.limit(1).count() == 0:
             break
-        prev_n = n
-    return cur.groupBy(F.col("a").alias("part_id")).agg(
-        F.count(F.lit(1)).alias("core_degree")
+        dec = (
+            sym.join(
+                frontier.withColumnRenamed("node", "a").hint("shuffle_hash"), "a"
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        deg = (
+            deg.join(frontier, "node", "left_anti")
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce(F.col("d"), F.lit(0))).alias("deg"),
+            )
+        ).localCheckpoint()
+    return deg.filter(F.col("deg") >= 1).select(
+        F.col("node").alias("part_id"), F.col("deg").alias("core_degree")
     )
 
 
@@ -1483,24 +1574,43 @@ def graph_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_edges(spark, sf_dir),
     )
 
-# The co-purchase queries share one warmer: the edge/adjacency/purchase
-# builds run once per session, outside bench's timed regions
-# (graph_edge_weights has NO warmer — it is the measured derivation).
-for _q in (
-    "graph_hits",
-    "graph_triangle_counts",
-    "graph_clustering_coeff",
-    "graph_components",
-    "graph_bfs_hops",
-    "graph_sssp_weighted",
-    "graph_pagerank",
-    "graph_pagerank_weighted",
-    "graph_kcore",
-    "graph_ppr",
-    "graph_assortativity",
-    "graph_lpa_communities",
-    "graph_triangle_estimate",
-    "graph_cf_cosine",
-    "graph_recommendations",
-):
-    registry.WARMERS[_q] = warm_graph
+# The co-purchase queries share one warmer FUNCTION but each registers
+# only the graph-store pieces it consumes: (artifact kinds, needs edges,
+# needs purchases). The builds run once per session, outside bench's
+# timed regions (graph_edge_weights has NO warmer — it is the measured
+# derivation), and a query never warms — or holds — an adjacency shape
+# it doesn't read (ADVICE r6 #2).
+_QUERY_GRAPH_NEEDS: dict[str, tuple[tuple[str, ...], bool, bool]] = {
+    "graph_hits": ((), False, True),
+    "graph_triangle_counts": (("oriented",), True, False),
+    "graph_clustering_coeff": (("oriented",), True, False),
+    "graph_components": ((), True, False),
+    "graph_bfs_hops": (("sym_a",), True, False),
+    "graph_sssp_weighted": (("symw_cost",), True, False),
+    "graph_pagerank": (("adj_uniform",), True, False),
+    "graph_pagerank_weighted": (("adj_weighted",), True, False),
+    "graph_kcore": (("sym_a",), True, False),
+    "graph_ppr": (("adj_weighted",), True, False),
+    "graph_assortativity": ((), True, False),
+    "graph_lpa_communities": (("sym_b",), True, False),
+    "graph_triangle_estimate": ((), True, False),
+    "graph_cf_cosine": ((), True, False),
+    "graph_recommendations": ((), True, True),
+}
+
+
+def _graph_warmer(kinds: tuple[str, ...], with_edges: bool, with_purchases: bool):
+    def warm(spark: SparkSession, sf_dir: str) -> None:
+        warm_graph(
+            spark,
+            sf_dir,
+            kinds=kinds,
+            with_edges=with_edges,
+            with_purchases=with_purchases,
+        )
+
+    return warm
+
+
+for _q, _needs in _QUERY_GRAPH_NEEDS.items():
+    registry.WARMERS[_q] = _graph_warmer(*_needs)
