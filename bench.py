@@ -125,6 +125,7 @@ HEADLINE = [
     "hnsw_search_bigq",
     "hnsw_search_routed_bigq",
     "knn_cascade",
+    "knn_cascade_bigq",
     "knn_radius_search",
     "knn_mmr_diversified",
     "sketch_hll_estimate",
@@ -141,6 +142,7 @@ HEADLINE = [
     "events_rollup_incremental",
     "sql_api_top_customers_window",
     "text_heavy_hitters",
+    "multimodal_jpeg_decode",
     "multimodal_image_ahash",
     "multimodal_image_neardup",
     "multimodal_audio_neardup",
@@ -184,6 +186,27 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Persist the COMPLETE per-query record in-repo (VERDICT r6 #6): the
+    # driver's tail capture truncates long stdout (only 65 of 129 r6
+    # timings were recoverable), so round-over-round regressions need a
+    # durable file. One file per run, keyed by a monotonic-ish stamp.
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+    os.makedirs(bdir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    full = {
+        "metric": "headline_queries_detail",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "stamp": stamp,
+    }
+    with open(os.path.join(bdir, f"bench_full_{stamp}.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    with open(os.path.join(bdir, "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
     # Full record first (per-query timings), then a FINAL minimal line.
     # The driver's tail capture keeps the END of stdout, so when the full
     # line outgrows the capture window its truncated FRONT loses "metric"/

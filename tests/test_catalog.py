@@ -493,9 +493,10 @@ def test_version_log_seam_is_pluggable(spark, tmp_path):
     published = []
 
     class RecordingLog(FileVersionLog):
-        def publish(self, version, keep):
+        def commit(self, stage_dir, expect):
+            version = super().commit(stage_dir, expect)
             published.append((self.dir.rsplit("/", 1)[-1], version))
-            super().publish(version, keep)
+            return version
 
     cat = VectorCatalog(spark, str(tmp_path / "cat"), log_factory=RecordingLog)
     assert isinstance(cat.chunks.log, RecordingLog)
@@ -761,3 +762,114 @@ def test_hybrid_batch_matches_single_queries(spark, tmp_path):
     assert all(
         int(r.chunk_id[1:]) % 2 == 1 for res in batch_f for r in res
     )
+
+
+def test_concurrent_writers_cas_lose_and_retry(spark, tmp_path):
+    """The concurrent-writer contract (the reference's concurrency e2e,
+    tests-mongo/test_e2e_mongo.py:523-572, races chunk creates via
+    asyncio.gather): two threads race ``add_chunks`` on ONE library
+    through a barrier-synchronized log, so BOTH derive their mutation
+    from the same live version. Exactly one commit wins the CAS; the
+    loser gets CommitConflictError, re-derives on the new live version
+    (``_cas_retry``), and both writers' chunks are present afterward —
+    the pointer swap can never silently drop a committed version."""
+    import threading
+
+    from vectordb_from_scratch_spark.catalog import (
+        CommitConflictError,
+        FileVersionLog,
+    )
+
+    barrier = threading.Barrier(2)
+    state = {"race": False, "waited": 0, "conflicts": 0}
+    lock = threading.Lock()
+
+    class RacingLog(FileVersionLog):
+        def commit(self, stage_dir, expect):
+            if state["race"] and self.dir.endswith("chunks"):
+                with lock:
+                    wait = state["waited"] < 2
+                    if wait:
+                        state["waited"] += 1
+                if wait:
+                    barrier.wait(timeout=60)
+            try:
+                return super().commit(stage_dir, expect)
+            except CommitConflictError:
+                with lock:
+                    state["conflicts"] += 1
+                raise
+
+    cat = VectorCatalog(spark, str(tmp_path / "cat"), log_factory=RacingLog)
+    lib_id = cat.create_library("race", DIMS)
+    doc_id = cat.create_document(lib_id, "doc-1")
+    vecs = _vectors(8)
+    state["race"] = True
+    errors = []
+
+    def writer(tag, lo, hi):
+        try:
+            cat.add_chunks(
+                lib_id,
+                doc_id,
+                [
+                    {"text": f"{tag} {i}", "embedding": vecs[i].tolist()}
+                    for i in range(lo, hi)
+                ],
+                ids=[f"{tag}{i:02d}" for i in range(lo, hi)],
+            )
+        except Exception as exc:  # surfaced after join
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=("a", 0, 4))
+    t2 = threading.Thread(target=writer, args=("b", 4, 8))
+    t1.start()
+    t2.start()
+    t1.join(120)
+    t2.join(120)
+    state["race"] = False
+    assert not errors
+    assert state["conflicts"] >= 1, "the race never happened — barrier bug"
+    got = {c["id"] for c in cat.list_chunks(lib_id)}
+    want = {f"a{i:02d}" for i in range(4)} | {f"b{i:02d}" for i in range(4, 8)}
+    assert got == want
+
+
+def test_txn_log_end_to_end_history_and_conflict(spark, tmp_path):
+    """The Delta-shaped commit-log adapter (TxnVersionLog) is a REAL
+    second VersionLog: full CRUD + search e2e runs against it unchanged
+    (proving the catalog holds no hidden pointer-file assumptions),
+    ``history()`` replays commits, a fresh catalog instance resolves the
+    live version from the log alone, and a stale-expect commit raises
+    CommitConflictError leaving the log unchanged."""
+    import os
+
+    from vectordb_from_scratch_spark.catalog import (
+        CommitConflictError,
+        TxnVersionLog,
+    )
+
+    cat = VectorCatalog(spark, str(tmp_path / "cat"), log_factory=TxnVersionLog)
+    assert isinstance(cat.chunks.log, TxnVersionLog)
+    lib_id, doc_id, ids = _populate(cat, "txn-log")
+    res = cat.search(lib_id, _vectors()[0].tolist(), k=1)
+    assert res[0].chunk_id == ids[0]
+    # no mutable pointer anywhere — the commit log IS the source of truth
+    assert not os.path.exists(os.path.join(str(tmp_path / "cat"), "chunks", "_LATEST"))
+    hist = cat.chunks.log.history()
+    assert hist and hist[-1]["version"] == cat.chunks.log.latest()
+    assert [h["n"] for h in hist] == sorted(h["n"] for h in hist)
+    # mutation continues to work and advances the log
+    cat.update_chunk(lib_id, ids[0], text="patched")
+    assert cat.get_chunk(lib_id, ids[0])["text"] == "patched"
+    # a fresh instance over the same root resolves from the log
+    cat2 = VectorCatalog(spark, str(tmp_path / "cat"), log_factory=TxnVersionLog)
+    assert {c["id"] for c in cat2.list_chunks(lib_id)} == set(ids)
+    # stale expect = CAS conflict; live version untouched, stage removed
+    stage = cat2.chunks._stage_dir()
+    os.makedirs(stage)
+    before = cat2.chunks.log.latest()
+    with pytest.raises(CommitConflictError):
+        cat2.chunks.log.commit(stage, expect=None)
+    assert cat2.chunks.log.latest() == before
+    assert not os.path.exists(stage)

@@ -606,3 +606,33 @@ def test_recommendations_closed_form(spark):
         (20, 3): (s23, 1, 1),
     }
     registry.release_tracked()
+
+
+def test_graph_store_warms_per_query_and_releases(spark, sf_small):
+    """ADVICE r6 #2: a query's warmer builds ONLY the graph-store pieces
+    that query consumes (graph_components needs just the edge table;
+    graph_pagerank adds adj_uniform; graph_hits only the purchase
+    table), and release_graph_store evicts a corpus's artifacts so a
+    multi-corpus session doesn't hold every corpus forever."""
+    graph.release_graph_store(sf_small)
+    app = spark.sparkContext.applicationId
+
+    def art_kinds():
+        return {k[2] for k in graph._ART_CACHE if k[0] == app and k[1] == sf_small}
+
+    registry.WARMERS["graph_components"](spark, sf_small)
+    assert (app, sf_small) in graph._EDGES_CACHE
+    assert art_kinds() == set()
+    assert (app, sf_small) not in graph._PURCHASES_CACHE
+
+    registry.WARMERS["graph_pagerank"](spark, sf_small)
+    assert art_kinds() == {"adj_uniform"}
+
+    registry.WARMERS["graph_hits"](spark, sf_small)
+    assert (app, sf_small) in graph._PURCHASES_CACHE
+    assert art_kinds() == {"adj_uniform"}  # hits added no adjacency shape
+
+    graph.release_graph_store(sf_small)
+    assert (app, sf_small) not in graph._EDGES_CACHE
+    assert art_kinds() == set()
+    assert (app, sf_small) not in graph._PURCHASES_CACHE

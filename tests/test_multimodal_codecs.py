@@ -132,3 +132,78 @@ def test_wav_decoder_rejects_truncated_header(spark):
     df = spark.createDataFrame([(1, wav)], "asset_id long, wav binary")
     with pytest.raises(Exception):
         mm.decode_wav_features(df).collect()
+
+
+def test_jpeg_roundtrip_reconstructs_exact_block_pixels():
+    """The baseline-JFIF codec must round-trip EXACTLY on block-constant
+    images (DC quantized losslessly at step 8): every 8x8 block decodes
+    to its source byte, through real Huffman entropy coding + IDCT."""
+    pix = TEXT.encode()
+    img = mm._decode_jpeg_gray(mm.encode_jpeg_gray_blocks(pix))
+    hb = (len(pix) + mm.JPEG_BLOCKS_W - 1) // mm.JPEG_BLOCKS_W
+    assert img.shape == (hb * 8, mm.JPEG_WIDTH)
+    blocks = list(pix.ljust(hb * mm.JPEG_BLOCKS_W, b"\x00"))
+    for b, v in enumerate(blocks):
+        rb, cb = divmod(b, mm.JPEG_BLOCKS_W)
+        assert (img[rb * 8 : rb * 8 + 8, cb * 8 : cb * 8 + 8] == v).all()
+    assert int(img.sum()) == 64 * sum(pix)
+
+
+def test_jpeg_decoder_rejects_corrupt_payloads():
+    """Real decoder, not a byte-pattern fake: bad SOI, truncation, a
+    non-baseline frame marker, and a garbled entropy stream all raise."""
+    good = mm.encode_jpeg_gray_blocks(TEXT.encode())
+    with pytest.raises(ValueError):
+        mm._decode_jpeg_gray(b"\x00\x01" + good[2:])  # bad SOI
+    with pytest.raises(ValueError):
+        mm._decode_jpeg_gray(good[: len(good) // 3])  # truncated pre-scan
+    # SOF0 -> SOF2 (progressive): must be rejected, not mis-decoded
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        mm._decode_jpeg_gray(prog)
+    # flip a byte in the entropy-coded data: Huffman stream garbles into
+    # an invalid code / marker / overrun — never a silent wrong image
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm._decode_jpeg_gray(bytes(bad))
+
+
+def test_jpeg_decoder_handles_general_ac_symbols():
+    """The decoder implements FULL baseline AC decoding (run/size,
+    ZRL, EOB), not just the EOB path our encoder emits: a hand-built
+    scan with a real AC coefficient and a ZRL run decodes per spec."""
+    import struct
+
+    import numpy as np
+
+    # tables: DC cat 0..1 (bits len1: sym0, len2... keep standard), use
+    # the module's DC table; AC table with symbols EOB(0x00), 0x01
+    # (run 0, size 1) and 0xF0 (ZRL)
+    ac_bits = (1, 2) + (0,) * 14
+    ac_vals = (0x00, 0x01, 0xF0)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # quant 1: identity
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(mm._JPEG_DC_BITS) + bytes(mm._JPEG_DC_VALS))
+    dht += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = mm._JpegBitWriter()
+    dc_codes = mm._huff_encode_table(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    ac_codes = mm._huff_encode_table(ac_bits, ac_vals)
+    w.put(*dc_codes[0])            # DC diff 0 -> dc = 0
+    w.put(*ac_codes[0xF0])         # ZRL: skip 16 zero coefficients
+    w.put(*ac_codes[0x01])         # run 0, size 1 at zigzag k=17
+    w.put(1, 1)                    # amplitude bit -> coefficient +1
+    w.put(*ac_codes[0x00])         # EOB
+    data = b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
+    img = mm._decode_jpeg_gray(data)
+    # expected: S[zigzag 17] = 1 (natural (2,4) per the zigzag table),
+    # everything else 0 -> IDCT basis product + 128 level shift
+    S = np.zeros((8, 8))
+    S[mm._ZIGZAG[17] // 8, mm._ZIGZAG[17] % 8] = 1.0
+    want = np.clip(np.round(mm._idct_2d(S)) + 128, 0, 255).astype("int64")
+    assert (img == want).all()

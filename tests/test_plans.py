@@ -164,6 +164,23 @@ def test_pq_bigq_cogroups_and_matches_closure_path(spark, sf_oracle):
     assert igot == iwant and len(igot) > 0
 
 
+def test_cascade_bigq_cogroups_and_matches_driver_path(spark, sf_oracle):
+    """The cascade funnel's large-batch exit (VERDICT r6 #5): queries
+    ride the plan as a DataFrame (FlatMapCoGroupsInPandas, no toPandas /
+    no query matrix in a closure), with results EQUAL to the driver-path
+    cascade — both paths share the same unit kernel and the same global
+    (hamming, sq8, exact) windows over exact integer scores, so blocking
+    cannot perturb the result."""
+    df = registry.QUERIES["knn_cascade_bigq"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert "FlatMapCoGroupsInPandas" in p
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, registry.QUERIES["knn_cascade"](spark, sf_oracle).collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_bm25_prebuilt_prunes_postings_partitions(spark, sf_oracle):
     """The materialized-index serve path must read only the query terms'
     hash buckets of the postings layout: PartitionFilters on term_bucket

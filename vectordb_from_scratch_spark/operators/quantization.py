@@ -327,92 +327,248 @@ def knn_sq8_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_funnel_arrays(Q):
+    """(qbits, qcodes, qn2_safe) for a query matrix — the tier-1 packed
+    sign bits and tier-2 SQ8 codes, shared by both cascade kernels so the
+    arithmetic is literally the same code."""
+    import numpy as np
+
+    qbits = np.packbits(Q > 0, axis=1, bitorder="little")  # (Q, ceil(d/8)) uint8
+    qamax = np.abs(Q).max(axis=1, keepdims=True)
+    qsafe = np.where(qamax == 0, 1.0, qamax)
+    qcodes = np.floor(Q / qsafe * SQ_MAX + 0.5)
+    qnorm2 = np.einsum("ij,ij->i", qcodes, qcodes)
+    return qbits, qcodes, np.where(qnorm2 == 0, 1.0, qnorm2)
+
+
+def _funnel_unit(ids, X, qids, qbits, qcodes, qn2_safe, prefilter, id_col):
+    """Tiers 1+2 of the cascade over one UNIT of corpus rows (a physical
+    partition on the driver path, a cogrouped block pair on the bigq
+    path): Hamming over packed sign bits, per-query local
+    top-``prefilter`` with the pinned tie order, SQ8 integer-dot cosine
+    for the survivors. Emits (query_id, id, hamming, sq8).
+
+    Unit-invariance is what makes the two cascade paths EQUAL, not
+    merely equivalent: the local cut is a superset of the global
+    top-``prefilter``'s members in the unit (so the global tier-1 window
+    sees the same set under any partitioning/blocking), and both scores
+    are exact — Hamming is integer, and SQ8 dots/norms are
+    integer-valued doubles (≤ 64·127² terms, far under 2⁵³), so no
+    summation-order ulp can differ across blockings (the gotcha that
+    rules out raw-float scores here)."""
+    import numpy as np
+
+    popcnt = np.unpackbits(np.arange(256, dtype="uint8")[:, None], axis=1).sum(1)
+    # tier 1: (n, Q, w) xor via broadcasting, popcount via table lookup
+    xbits = np.packbits(X > 0, axis=1, bitorder="little")  # (n, w)
+    ham = popcnt[xbits[:, None, :] ^ qbits[None, :, :]].sum(axis=2)
+    # tier-2 codes for the whole unit once (encoding is per-row, so the
+    # per-query survivor slices below reuse it)
+    amax = np.abs(X).max(axis=1, keepdims=True)
+    safe = np.where(amax == 0, 1.0, amax)
+    codes = np.floor(X / safe * SQ_MAX + 0.5)
+    n2 = np.einsum("ij,ij->i", codes, codes)
+    n2s = np.where(n2 == 0, 1.0, n2)
+    keep_n = min(prefilter, ham.shape[0])
+    rows = []
+    for j, qid in enumerate(qids):
+        # the pinned total order (score desc, id asc) via
+        # knn.local_topk_indices — a bare argpartition makes shortlist
+        # membership at a tie depend on row order within the unit
+        # (ADVICE r3 #1)
+        sel = knn.local_topk_indices(-ham[:, j].astype("float64"), ids, keep_n)
+        s = (codes[sel] @ qcodes[j]) / np.sqrt(n2s[sel] * qn2_safe[j])
+        s[n2[sel] == 0] = 0.0
+        rows.append(
+            pd.DataFrame(
+                {
+                    "query_id": int(qid),
+                    id_col: ids[sel],
+                    "hamming": ham[sel, j].astype("int64"),
+                    "sq8": s,
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
+def _cascade_tail(
+    cand: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    prefilter: int,
+    rerank_n: int,
+    id_col: str,
+    vec_col: str,
+    score_fn,
+) -> DataFrame:
+    """Global tiers of the cascade, shared by both paths: window the
+    per-unit candidates down to the global Hamming top-``prefilter``,
+    then the global SQ8 top-``rerank_n``, then exact-rerank top-``k``.
+    Because every cut is a global window over exact scores with the
+    (score, id) tie order, the result is independent of how tier 1/2 ran
+    — per-partition closure kernel or cogrouped block pairs."""
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sq8").desc(), F.col(id_col).asc()
+    )
+    short = (
+        cand.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= prefilter)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= rerank_n)
+        .select("query_id", id_col)
+    )
+    cand_vec = short.join(corpus.select(id_col, vec_col), id_col)
+    rerank = score_fn(cand_vec)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def cascade_search(
     corpus: DataFrame,
     queries_pdf,
     k: int = 10,
     prefilter: int = 200,
+    rerank_n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The full compression cascade as ONE operator — the production
     serving funnel every large vector store runs:
 
-    1. **binary tier** (512×): Hamming prefilter keeps each partition's
-       ``prefilter`` best candidates per query — bit_count(xor) over two
-       BIGINT words, inside the same Arrow pass as tier 2;
-    2. **SQ8 tier** (8×): integer-dot cosine rescores the survivors and
-       keeps the per-partition top-k;
-    3. **exact tier** (1×): the tiny global merge reranks O(partitions·
-       Q·k) survivors against the raw floats.
+    1. **binary tier** (512×): Hamming prefilter — bit_count(xor) over
+       packed sign words, cut to the global per-query ``prefilter`` best
+       (per-unit local top + one global window);
+    2. **SQ8 tier** (8×): integer-dot cosine rescores those survivors,
+       cut to the global per-query ``rerank_n`` best (default 4·k);
+    3. **exact tier** (1×): reranks the ``rerank_n`` survivors against
+       the raw floats.
 
     Each tier reads only what the previous one let through, so the bytes
     touched per tier shrink 512× → 8× → (candidates only). At 100 TB the
-    binary scan is the only full pass. Recall vs the exact scan is pinned
-    in tests/test_ann_recall.py; approximation comes only from the two
-    pruning stages (prefilter == corpus reproduces the exact scan, also
-    asserted)."""
+    binary scan is the only full pass. Every cut is GLOBAL (r7): the
+    result is a pure function of (corpus, queries, k, prefilter,
+    rerank_n), independent of physical partitioning — which is what lets
+    ``cascade_search_blockjoin`` assert exact equality. Recall vs the
+    exact scan is pinned in tests/test_ann_recall.py; approximation
+    comes only from the two pruning tiers (prefilter == corpus keeps
+    tier 1 total, also asserted)."""
     import numpy as np
 
+    rerank_n = rerank_n if rerank_n is not None else max(4 * k, 40)
     qids = queries_pdf["query_id"].to_numpy()
     Q = np.stack(queries_pdf["query_vec"].to_list()).astype("float64")
-    qbits = np.packbits(Q > 0, axis=1, bitorder="little")  # (Q, ceil(d/8)) uint8
-    qamax = np.abs(Q).max(axis=1, keepdims=True)
-    qsafe = np.where(qamax == 0, 1.0, qamax)
-    qcodes = np.floor(Q / qsafe * SQ_MAX + 0.5)
-    qnorm2 = np.einsum("ij,ij->i", qcodes, qcodes)
-    qn2_safe = np.where(qnorm2 == 0, 1.0, qnorm2)
+    qbits, qcodes, qn2_safe = _query_funnel_arrays(Q)
 
     def funnel(batches):
-        import pandas as pd
-
-        popcnt = np.unpackbits(np.arange(256, dtype="uint8")[:, None], axis=1).sum(1)
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy()
             X = np.stack(pdf[vec_col].to_list()).astype("float64")
-            # tier 1: Hamming over packed sign bits
-            xbits = np.packbits(X > 0, axis=1, bitorder="little")  # (n, w)
-            # (n, Q, w) xor via broadcasting, popcount via table lookup
-            ham = popcnt[xbits[:, None, :] ^ qbits[None, :, :]].sum(axis=2)
-            keep_n = min(prefilter, ham.shape[0])
-            rows = []
-            for j, qid in enumerate(qids):
-                # Both cutoffs use the pinned total order (score desc, id
-                # asc) via knn.local_topk_indices — a bare argpartition
-                # makes shortlist membership at a tie depend on row order
-                # within the partition (ADVICE r3 #1).
-                sel = knn.local_topk_indices(-ham[:, j].astype("float64"), ids, keep_n)
-                # tier 2: SQ8 integer-dot cosine on the survivors
-                Xs = X[sel]
-                amax = np.abs(Xs).max(axis=1, keepdims=True)
-                safe = np.where(amax == 0, 1.0, amax)
-                codes = np.floor(Xs / safe * SQ_MAX + 0.5)
-                n2 = np.einsum("ij,ij->i", codes, codes)
-                n2s = np.where(n2 == 0, 1.0, n2)
-                s = (codes @ qcodes[j]) / np.sqrt(n2s * qn2_safe[j])
-                s[n2 == 0] = 0.0
-                top = knn.local_topk_indices(s, ids[sel], k)
-                rows.append(
-                    pd.DataFrame({"query_id": qid, id_col: ids[sel][top]})
-                )
-            yield pd.concat(rows, ignore_index=True)
+            yield _funnel_unit(
+                ids, X, qids, qbits, qcodes, qn2_safe, prefilter, id_col
+            )
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    shortlist = corpus.select(id_col, vec_col).mapInPandas(
-        funnel, schema=f"query_id long, {id_col} {id_type}"
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        funnel, schema=f"query_id long, {id_col} {id_type}, hamming long, sq8 double"
     )
-    # tier 3: exact rerank of the merged survivors (knn is the module-level
-    # import — a local re-import here would turn `knn` into an unbound
-    # closure cell inside `funnel`, which is serialized before this line)
-    cand_vec = shortlist.join(corpus.select(id_col, vec_col), id_col)
-    rerank = knn.score_pairs_pandas(cand_vec, queries_pdf, id_col=id_col, vec_col=vec_col)
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        rerank.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "score", "rank")
+    # tier 3 rerank kernel: queries ride the closure (knn is the
+    # module-level import — a local re-import here would turn `knn` into
+    # an unbound closure cell inside `funnel`, serialized before this line)
+    return _cascade_tail(
+        cand,
+        corpus,
+        k,
+        prefilter,
+        rerank_n,
+        id_col,
+        vec_col,
+        lambda cv: knn.score_pairs_pandas(cv, queries_pdf, id_col=id_col, vec_col=vec_col),
+    )
+
+
+def cascade_search_blockjoin(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefilter: int = 200,
+    rerank_n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_corpus_hint: int | None = None,
+    n_queries_hint: int | None = None,
+    rows_per_block: int = 65536,
+    queries_per_block: int = 4096,
+) -> DataFrame:
+    """The cascade for UNBOUNDED query batches (VERDICT r6 #5 — the last
+    search family whose queries had to fit the driver): the block-join
+    layout of ``knn.topk_blockjoin``/``pq.search_blockjoin`` applied to
+    the funnel. Queries stay a DataFrame end to end — corpus rows and
+    query rows are hash-blocked, every (corpus block × query block) pair
+    cogroups into the SAME ``_funnel_unit`` kernel as the driver path,
+    and the global windows + in-plan rerank (``knn.score_pairs_joined``)
+    produce results EQUAL to ``cascade_search`` (asserted in
+    tests/test_plans.py): the cuts are global and both tier scores are
+    exact integers, so blocking cannot perturb them."""
+    import numpy as np
+
+    rerank_n = rerank_n if rerank_n is not None else max(4 * k, 40)
+    n_c = n_corpus_hint if n_corpus_hint is not None else corpus.count()
+    n_q = n_queries_hint if n_queries_hint is not None else queries.count()
+    ncb = max(1, -(-int(n_c) // rows_per_block))
+    nqb = max(1, -(-int(n_q) // queries_per_block))
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(ncb)).cast("int").alias("cblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
+    )
+    q = queries.select(
+        "query_id",
+        "query_vec",
+        F.pmod(F.xxhash64(F.col("query_id")), F.lit(nqb)).cast("int").alias("qblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(ncb - 1))).alias("cblk"),
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def pair_funnel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "hamming": [], "sq8": []}
+            ).astype({"query_id": "int64", "hamming": "int64", "sq8": "float64"})
+        ids = left[id_col].to_numpy()
+        X = np.stack(left[vec_col].to_list()).astype("float64")
+        qids = right["query_id"].to_numpy()
+        Q = np.stack(right["query_vec"].to_list()).astype("float64")
+        qbits, qcodes, qn2_safe = _query_funnel_arrays(Q)
+        return _funnel_unit(ids, X, qids, qbits, qcodes, qn2_safe, prefilter, id_col)
+
+    cand = (
+        c.groupBy("cblk", "qblk")
+        .cogroup(q.groupBy("cblk", "qblk"))
+        .applyInPandas(
+            pair_funnel,
+            schema=f"query_id long, {id_col} {id_type}, hamming long, sq8 double",
+        )
+    )
+    return _cascade_tail(
+        cand,
+        corpus,
+        k,
+        prefilter,
+        rerank_n,
+        id_col,
+        vec_col,
+        lambda cv: knn.score_pairs_joined(cv, queries, id_col=id_col, vec_col=vec_col),
     )
 
 
@@ -424,6 +580,36 @@ def knn_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qpdf, _ = knn.fixture_query_set(spark, sf_dir, 10)
     res = cascade_search(emb, qpdf, k=10)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+@register("knn_cascade_bigq")  # rows-only: multi-tier pruning is not SQL-shaped
+def knn_cascade_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade's large-batch exit (completing the bigq family:
+    ivf/lsh/pq/ivfpq/hnsw/blockjoin): no toPandas of the batch, no query
+    matrix in any closure — shrunken block targets on the fixture
+    exercise the multi-block merge exactly like pq_search_bigq."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, queries = knn.fixture_query_set(spark, sf_dir, 10)
+    from vectordb_from_scratch_spark.operators.dedup import embedding_corpus_stats
+
+    n, _d = embedding_corpus_stats(sf_dir)
+    res = cascade_search_blockjoin(
+        emb,
+        queries,
+        k=10,
+        n_corpus_hint=n,
+        n_queries_hint=10,
+        rows_per_block=2048,
+        queries_per_block=4,
+    )
     return res.select(
         "query_id",
         "vec_id",
