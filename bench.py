@@ -91,6 +91,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "graph_sssp_weighted",
     "graph_kcore",
+    "graph_ktruss",
     "graph_ppr",
     "graph_hits",
     "graph_lpa_communities",

@@ -636,3 +636,54 @@ def test_graph_store_warms_per_query_and_releases(spark, sf_small):
     assert (app, sf_small) not in graph._EDGES_CACHE
     assert art_kinds() == set()
     assert (app, sf_small) not in graph._PURCHASES_CACHE
+
+
+def test_ktruss_k4_keeps_clique_drops_pendant_triangle(spark):
+    """K4 plus a vertex-disjoint triangle: every K4 edge has support 2
+    (two common neighbors) so it survives k=4; triangle edges have
+    support 1 and peel in round 1. Survivor supports are measured
+    INSIDE the truss."""
+    k4 = list(itertools.combinations(range(4), 2))
+    tri = [(10, 11), (10, 12), (11, 12)]
+    out = {
+        (r["src"], r["dst"]): r["support"]
+        for r in graph.ktruss(_edges_df(spark, k4 + tri), k=4, rounds=3).collect()
+    }
+    assert out == {e: 2 for e in k4}
+
+
+def test_ktruss_cascade_and_bounded_round_truncation(spark):
+    """Diamond (two triangles sharing edge (2,3)): at k=4 round 1 peels
+    the four support-1 edges, round 2 peels the now-support-0 shared
+    edge — the cascade the per-round re-count exists for. rounds=1 must
+    TRUNCATE exactly like the oracle's fixed unroll: (2,3) survives
+    round 1 with support 0 measured in the surviving graph."""
+    diamond = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    full = graph.ktruss(_edges_df(spark, diamond), k=4, rounds=3).collect()
+    assert full == []
+    one = {
+        (r["src"], r["dst"]): r["support"]
+        for r in graph.ktruss(_edges_df(spark, diamond), k=4, rounds=1).collect()
+    }
+    assert one == {(2, 3): 0}
+
+
+def test_ktruss_fixture_oracle_parity_nondefault_args(spark, sf_oracle):
+    """The registered query's oracle runs in test_oracle_parity; here a
+    NON-default (k, rounds) is pinned against the unrolled CTE oracle on
+    the fixture graph, proving the SQL generator and kernel agree away
+    from the registered constants."""
+    k, rounds = 6, 2
+    got = sorted(
+        map(
+            tuple,
+            graph.ktruss(
+                graph.copurchase_edges(spark, sf_oracle).select("src", "dst"),
+                k=k,
+                rounds=rounds,
+            ).collect(),
+        )
+    )
+    with duck_connection(sf_oracle) as con:
+        want = sorted(map(tuple, con.execute(graph._ktruss_sql(k, rounds)).fetchall()))
+    assert got == want and len(got) > 0

@@ -55,6 +55,13 @@ def main() -> None:
     )
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
 
+    if "kernel" in variants:
+        t0 = time.perf_counter()
+        nt = graph.triangle_counts(
+            edges.select("src", "dst"), oriented=oriented
+        ).count()
+        print(f"K kernel (bloom prefilter): {time.perf_counter() - t0:6.2f}s ({nt} nodes)")
+
     if "base" in variants:
         print(f"A wedge gen -> noop: {_noop(wedges):6.2f}s")
         print(

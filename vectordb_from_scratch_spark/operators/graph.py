@@ -420,21 +420,33 @@ WEDGE_ROW_BYTES = 32
 WEDGE_MAX_PARTITIONS = 4096
 
 
-def _wedge_partitions(oriented: DataFrame) -> int:
-    """Exchange width for the wedge join, derived from the measured wedge
-    estimate Σ_u C(outdeg(u), 2) — one cheap scalar aggregate over the
-    (persisted) oriented table, the same convergence-probe discipline as
-    ``bfs_hops``. Never below the session default, capped at
-    ``WEDGE_MAX_PARTITIONS`` (a runaway-estimate backstop; AQE coalesces
-    small partitions but never splits oversized ones, so overestimating
-    is the safe direction)."""
-    est = (
+def _wedge_stats(oriented: DataFrame) -> tuple[int, int]:
+    """(wedge estimate Σ_u C(outdeg(u), 2), edge count) — one cheap
+    scalar aggregate over the (persisted) oriented table, the same
+    convergence-probe discipline as ``bfs_hops``."""
+    row = (
         oriented.groupBy("u")
         .agg(F.count(F.lit(1)).alias("od"))
-        .agg(F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w"))
-        .collect()[0]["w"]
+        .agg(
+            F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w"),
+            F.sum("od").alias("m"),
+        )
+        .collect()[0]
     )
-    n_wedges = int(est or 0)
+    return int(row["w"] or 0), int(row["m"] or 0)
+
+
+def _wedge_partitions(oriented: DataFrame, n_wedges: int | None = None) -> int:
+    """Exchange width for the wedge join, derived from the measured wedge
+    estimate. Never below the session default, capped at
+    ``WEDGE_MAX_PARTITIONS`` (a runaway-estimate backstop; AQE coalesces
+    small partitions but never splits oversized ones, so overestimating
+    is the safe direction). Deliberately sized on the UNFILTERED wedge
+    volume even when the bloom prefilter is active — the filter's pass
+    rate is corpus-dependent, and overpartitioning a small stream is
+    benign where underpartitioning a large one spills."""
+    if n_wedges is None:
+        n_wedges, _ = _wedge_stats(oriented)
     floor = oriented.sparkSession.sparkContext.defaultParallelism
     return int(
         min(
@@ -442,6 +454,43 @@ def _wedge_partitions(oriented: DataFrame) -> int:
             max(floor, n_wedges * WEDGE_ROW_BYTES // WEDGE_PARTITION_TARGET_BYTES + 1),
         )
     )
+
+
+#: Bloom-bitmap prefilter sizing for the wedge-closing join: the bitmap
+#: is a (word_idx, 64-bit word) table of ``≈ n_edges/4`` words (16 bits
+#: per edge → ~6% false-positive rate at k=1), capped at 8M words
+#: (512 Mbit ≈ a 64 MB broadcast of bit payload). Past the cap the
+#: achievable false-positive rate degrades with |E|; when it can no
+#: longer beat ``TRI_BLOOM_MAX_FPP`` the filter is SKIPPED — the kernel
+#: falls back to the plain (exact) shuffle rather than paying a
+#: broadcast + per-wedge probe that filters nothing.
+TRI_BLOOM_WORDS_CAP = 8 << 20
+TRI_BLOOM_MIN_WORDS = 1 << 12
+TRI_BLOOM_MAX_FPP = 0.25
+
+
+def _closing_bitmap(closing: DataFrame, n_edges: int) -> tuple[DataFrame, int] | None:
+    """Broadcastable k=1 bloom bitmap over the closing-edge set, as a
+    (w_idx, word) table: word index = xxhash64(x,y) mod n_words, bit =
+    xxhash64(y,x) mod 64 (the swapped-argument hash is an independent
+    draw). Returns (bitmap, n_words), or None when the capped bitmap
+    cannot reach a useful false-positive rate for this edge count."""
+    if n_edges <= 0:
+        return None
+    n_words = min(TRI_BLOOM_WORDS_CAP, max(TRI_BLOOM_MIN_WORDS, n_edges // 4))
+    if n_edges / (64.0 * n_words) > TRI_BLOOM_MAX_FPP:
+        return None
+    bitmap = (
+        closing.select(
+            F.pmod(F.xxhash64("x", "y"), F.lit(n_words)).alias("w_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(y, x), 64) AS INT))"
+            ).alias("w_bit"),
+        )
+        .groupBy("w_idx")
+        .agg(F.expr("bit_or(w_bit)").alias("word"))
+    )
+    return bitmap, n_words
 
 
 def triangle_counts(edges: DataFrame, oriented: DataFrame | None = None) -> DataFrame:
@@ -457,15 +506,43 @@ def triangle_counts(edges: DataFrame, oriented: DataFrame | None = None) -> Data
     (``shared_artifact(..., "oriented")``).
 
     The closing-edge join is the ONLY stage whose shuffle volume is
-    wedge-shaped (O(Σ outdeg²)), so its exchange width scales with the
-    measured wedge estimate (``_wedge_partitions``) instead of the
-    session default, and it runs as a ShuffledHashJoin built on the
-    edge-sized closing side — the wedge stream is never sorted. Measured
-    at the 1M-order design point (SCALE.md r7): 484s/48 GB-heap → wall
-    tracking wedge volume inside the default heap."""
+    wedge-shaped (O(Σ outdeg²)); two measures keep it linear in wedge
+    volume and inside default heap (SCALE.md r7 — the r6b run needed a
+    48 GB driver and grew 4.2× wall for 2.5× wedges):
+
+    - **bloom-bitmap prefilter** (the big one): only wedges whose {x,y}
+      is an actual edge survive the join — 5% on the design corpus —
+      so a k=1 bloom bitmap over the closing-edge set, broadcast-joined
+      into the wedge stream BEFORE the exchange (``_closing_bitmap``),
+      cuts the shuffled volume to closure-rate + false positives. The
+      broadcast join preserves the cached co-partitioning (no extra
+      exchange), every probe is whole-stage-codegen integer work, and
+      false positives are eliminated by the real equi-join — the filter
+      is value-neutral by construction, which is why the oracle needs
+      no change.
+    - **exchange width scaled by the measured wedge estimate**
+      (``_wedge_partitions``) instead of the session default, and the
+      join runs as a ShuffledHashJoin built on the edge-sized closing
+      side — the wedge stream is never sorted."""
     if oriented is None:
         oriented = track_persist(oriented_edges(edges).repartition("u"))
-    n_part = _wedge_partitions(oriented)
+    tri = triangle_enum(oriented)
+    return (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def triangle_enum(oriented: DataFrame) -> DataFrame:
+    """Every triangle exactly once as (apex, x, y) — apex the minimum-
+    (degree, id) corner, (deg_x, x) < (deg_y, y). The shared enumeration
+    under :func:`triangle_counts` and :func:`ktruss` (see
+    ``triangle_counts`` for the linearity measures: bloom-bitmap
+    prefilter, estimate-scaled exchange, sort-free closing join).
+    ``oriented`` should be persisted hash-partitioned on ``u``."""
+    n_wedges, n_edges = _wedge_stats(oriented)
+    n_part = _wedge_partitions(oriented, n_wedges)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(
@@ -478,13 +555,24 @@ def triangle_counts(edges: DataFrame, oriented: DataFrame | None = None) -> Data
     # {x,y} closes the triangle; its orientation is forced to x→y because
     # (deg_x, x) < (deg_y, y) held in the wedge condition
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.repartition(n_part, "x", "y").join(
+    bm = _closing_bitmap(closing, n_edges)
+    if bm is not None:
+        bitmap, n_words = bm
+        wedges = (
+            wedges.join(
+                F.broadcast(bitmap),
+                F.pmod(F.xxhash64("x", "y"), F.lit(n_words)) == F.col("w_idx"),
+            )
+            .filter(
+                F.expr(
+                    "(word & shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(pmod(xxhash64(y, x), 64) AS INT))) != 0"
+                )
+            )
+            .select("apex", "x", "y")
+        )
+    return wedges.repartition(n_part, "x", "y").join(
         closing.repartition(n_part, "x", "y").hint("shuffle_hash"), ["x", "y"]
-    )
-    return (
-        tri.select(F.explode(F.array("apex", "x", "y")).alias("part_id"))
-        .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
 
@@ -1061,6 +1149,129 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-truss -------------------------------------------------------------------
+
+#: Support threshold for the registered k-truss query: an edge survives
+#: while it closes ≥ k-2 triangles in the surviving subgraph. Calibrated
+#: against the fixture support distribution (sf0.01 per-edge support
+#: p25 = 8, median 10): k=10 peels a real boundary (~25% of edges in
+#: round 1, then cascades) where k ≤ 4 removes almost nothing.
+TRUSS_K = 10
+
+#: Peeling-round bound shared by kernel and oracle — the same
+#: identical-truncation contract as ``KCORE_ROUNDS``: the kernel
+#: early-exits at the fixpoint, the oracle unrolls exactly this many
+#: rounds, and the two agree on ANY graph by construction.
+TRUSS_ROUNDS = 3
+
+
+def _ktruss_sql(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
+    # MATERIALIZED for the same reason as _kcore_sql: t{i} is referenced
+    # by y{i+1}, s{i+1} and t{i+1} — default CTE inlining would expand
+    # the chain exponentially. Support of edge (src, dst) = count of
+    # common neighbors c: one join leg per endpoint over the
+    # symmetrized view.
+    ctes = ["t0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"y{i} AS MATERIALIZED (SELECT src AS a, dst AS b FROM t{i - 1} "
+            f"UNION ALL SELECT dst, src FROM t{i - 1}),\n"
+            f"s{i} AS MATERIALIZED (SELECT e.src, e.dst, count(*)::BIGINT AS sup "
+            f"FROM t{i - 1} e JOIN y{i} n1 ON n1.a = e.src "
+            f"JOIN y{i} n2 ON n2.a = e.dst AND n2.b = n1.b "
+            f"GROUP BY e.src, e.dst),\n"
+            f"t{i} AS MATERIALIZED (SELECT e.src, e.dst FROM t{i - 1} e "
+            f"LEFT JOIN s{i} s ON s.src = e.src AND s.dst = e.dst "
+            f"WHERE coalesce(s.sup, 0) >= {k - 2})"
+        )
+    fin = (
+        f"yf AS MATERIALIZED (SELECT src AS a, dst AS b FROM t{rounds} "
+        f"UNION ALL SELECT dst, src FROM t{rounds}),\n"
+        f"sf AS (SELECT e.src, e.dst, count(*)::BIGINT AS sup "
+        f"FROM t{rounds} e JOIN yf n1 ON n1.a = e.src "
+        f"JOIN yf n2 ON n2.a = e.dst AND n2.b = n1.b GROUP BY e.src, e.dst)"
+    )
+    return f"""
+WITH {_EDGES_CTE},
+{",".join(ctes)},
+{fin}
+SELECT e.src, e.dst, coalesce(s.sup, 0) AS support
+FROM t{rounds} e LEFT JOIN sf s ON s.src = e.src AND s.dst = e.dst
+"""
+
+
+def edge_support(cur: DataFrame, oriented: DataFrame | None = None) -> DataFrame:
+    """(src, dst, sup): per-edge triangle support over an id-ordered
+    (src < dst) edge list — every edge that closes at least one
+    triangle, counted by the shared enumeration (:func:`triangle_enum`,
+    bloom prefilter and all) with each triangle exploded to its three
+    normalized edges. Edges in no triangle are absent (callers coalesce
+    to 0)."""
+    if oriented is None:
+        oriented = track_persist(oriented_edges(cur).repartition("u"))
+    tri = triangle_enum(oriented)
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("apex", "x").alias("s"), F.greatest("apex", "x").alias("d")
+                ),
+                F.struct(
+                    F.least("apex", "y").alias("s"), F.greatest("apex", "y").alias("d")
+                ),
+                F.struct(F.least("x", "y").alias("s"), F.greatest("x", "y").alias("d")),
+            )
+        ).alias("e")
+    ).select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("sup"))
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = TRUSS_K,
+    rounds: int = TRUSS_ROUNDS,
+    oriented0: DataFrame | None = None,
+) -> DataFrame:
+    """(src, dst, support): the edges of the k-truss — the maximal
+    subgraph where every edge participates in ≥ k-2 triangles — with
+    each survivor's support measured INSIDE the truss (Cohen 2008).
+    Iterative peeling, the edge-centric sibling of :func:`kcore`:
+    per round one triangle enumeration over the surviving subgraph (the
+    bloom-prefiltered wedge kernel — each round's cost is wedge-shaped
+    in the SURVIVING graph, which only shrinks), one per-edge support
+    aggregate, one filter; survivors localCheckpoint per round (edge-
+    sized state, bounded rounds). Early exit at the fixpoint is
+    value-neutral against the oracle's fixed unroll (``TRUSS_ROUNDS``
+    contract). ``oriented0`` lets round 1 serve the prebuilt full-graph
+    orientation artifact."""
+    cur = edges.select("src", "dst")
+    prev_n = None
+    for i in range(rounds):
+        sup = edge_support(cur, oriented=oriented0 if i == 0 else None)
+        nxt = (
+            cur.join(sup, ["src", "dst"], "left")
+            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
+            .select("src", "dst")
+        ).localCheckpoint()
+        n = nxt.count()
+        cur = nxt
+        if n == prev_n:
+            break
+        prev_n = n
+    final = edge_support(cur)
+    return cur.join(final, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce(F.col("sup"), F.lit(0)).alias("support")
+    )
+
+
+@register("graph_ktruss", _ktruss_sql())
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ktruss(
+        shared_edges(spark, sf_dir).select("src", "dst"),
+        oriented0=shared_artifact(spark, sf_dir, "oriented"),
+    )
+
+
 # --- personalized PageRank ---------------------------------------------------
 
 #: Power-iteration count for PPR (also the oracle's CTE unroll depth).
@@ -1590,6 +1801,7 @@ _QUERY_GRAPH_NEEDS: dict[str, tuple[tuple[str, ...], bool, bool]] = {
     "graph_pagerank": (("adj_uniform",), True, False),
     "graph_pagerank_weighted": (("adj_weighted",), True, False),
     "graph_kcore": (("sym_a",), True, False),
+    "graph_ktruss": (("oriented",), True, False),
     "graph_ppr": (("adj_weighted",), True, False),
     "graph_assortativity": ((), True, False),
     "graph_lpa_communities": (("sym_b",), True, False),

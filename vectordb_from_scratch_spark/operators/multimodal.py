@@ -275,8 +275,6 @@ def decode_bmp_features(bmp_df: DataFrame) -> DataFrame:
     fails the value check."""
     import struct
 
-    import numpy as np
-
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
@@ -284,22 +282,15 @@ def decode_bmp_features(bmp_df: DataFrame) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["bmp"]):
                 data = bytes(payload)
-                magic, _fsize, _r1, _r2, offbits = struct.unpack("<2sIHHI", data[:14])
-                assert magic == b"BM", "bad BMP signature"
-                hdr_size, width, height, planes, bpp, comp = struct.unpack(
-                    "<IiiHHI", data[14:34]
+                hdr_size, width, height, planes = struct.unpack(
+                    "<IiiH", data[14:28]
                 )
                 assert hdr_size == 40 and planes == 1, "bad BITMAPINFOHEADER"
-                assert bpp == 8 and comp == 0, "not uncompressed 8bpp"
                 assert height >= 0, "top-down BMP not emitted by our encoder"
-                if height == 0:
+                img = _decode_bmp_gray(data)  # shared with image_ahash
+                if img is None:
                     rows.append((int(aid), int(width), 0, None, None, None))
                     continue
-                stride = (width + 3) & ~3
-                arr = np.frombuffer(
-                    data, dtype=np.uint8, count=stride * height, offset=offbits
-                ).reshape(height, stride)
-                img = arr[::-1, :width].astype("int64")  # un-flip, drop padding
                 rows.append(
                     (
                         int(aid),
