@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | recsys | robust | prefixjoin
 """
 
 from __future__ import annotations
@@ -790,6 +790,44 @@ def run_graph2(spark, n_orders: int) -> None:
     items.unpersist()
 
 
+def run_truss(spark, n_orders: int) -> None:
+    """k-truss at design point (r7), on the planted-hub corpus: the peel
+    runs one bloom-prefiltered triangle enumeration PER ROUND over the
+    surviving subgraph, so the number to watch is whether later rounds
+    get cheaper as the graph shrinks (they must — the enumeration is
+    wedge-shaped in the survivors). k is derived from the measured
+    support quartile so the peel actually cascades."""
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import graph
+
+    items, edges, P, n_items, m, t_edges = _graph_corpus(spark, n_orders)
+    print(f"truss n_orders={n_orders} P={P}: {m} edges in {t_edges:6.2f}s")
+
+    t0 = time.perf_counter()
+    sup = graph.edge_support(edges.select("src", "dst")).persist()
+    n_sup = sup.count()
+    k25, k50 = sup.agg(
+        F.expr("percentile_approx(sup, 0.25)"), F.expr("percentile_approx(sup, 0.5)")
+    ).collect()[0]
+    print(
+        f"support pass: {time.perf_counter() - t0:6.2f}s "
+        f"({n_sup} edges in triangles, p25 {k25}, p50 {k50})"
+    )
+    sup.unpersist()
+    registry.release_tracked()
+
+    for kk, label in ((int(k25) + 2, "p25 support"), (int(k50) + 2, "median support")):
+        t0 = time.perf_counter()
+        nt = graph.ktruss(edges.select("src", "dst"), k=kk).count()
+        print(
+            f"ktruss(k={kk} = {label}+2, {graph.TRUSS_ROUNDS} rounds max): "
+            f"{time.perf_counter() - t0:6.2f}s ({nt} surviving edges)"
+        )
+        registry.release_tracked()
+    edges.unpersist()
+    items.unpersist()
+
+
 def run_recsys(spark, n_orders: int) -> None:
     """Item-item CF + per-customer recommendations at design point, on
     the planted-hub / oversized-basket corpus: customers own ~10 orders
@@ -930,6 +968,8 @@ def main() -> None:
         return run_graph(spark, n)
     if mode == "graph2":
         return run_graph2(spark, n)
+    if mode == "truss":
+        return run_truss(spark, n)
     if mode == "prefixjoin":
         return run_prefixjoin(spark, n)
     if mode == "recsys":

@@ -1246,6 +1246,7 @@ def ktruss(
     orientation artifact."""
     cur = edges.select("src", "dst")
     prev_n = None
+    final = None
     for i in range(rounds):
         sup = edge_support(cur, oriented=oriented0 if i == 0 else None)
         nxt = (
@@ -1256,9 +1257,14 @@ def ktruss(
         n = nxt.count()
         cur = nxt
         if n == prev_n:
+            # fixpoint: the filter removed nothing, so this round's sup was
+            # measured on exactly the surviving edge set — reuse it instead
+            # of paying one more enumeration
+            final = sup
             break
         prev_n = n
-    final = edge_support(cur)
+    if final is None:
+        final = edge_support(cur)
     return cur.join(final, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce(F.col("sup"), F.lit(0)).alias("support")
     )

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectordb_from_scratch_spark.registry import register
-from vectordb_from_scratch_spark.session import load_table
+from vectordb_from_scratch_spark.session import load_table, spread
 
 FRAME_BYTES = 32
 MAX_FRAMES = 4
@@ -1007,9 +1007,16 @@ def _decode_jpeg_gray(data: bytes):
     dc_tab, ac_tab = dc_tables[comp_dc], ac_tables[comp_ac]
     wb, hb = (width + 7) // 8, (height + 7) // 8
     r = _JpegBitReader(data, scan_at)
-    img = np.zeros((hb * 8, wb * 8), dtype=np.int64)
+    n_blocks = hb * wb
+    # entropy-decode all blocks first (bit-serial, inherently sequential),
+    # then dequant + IDCT every block in ONE vectorized einsum — per-block
+    # 8×8 numpy calls were overhead-dominated (measured ~3× the decode)
+    zr = np.array([z // 8 for z in _ZIGZAG])
+    zc = np.array([z % 8 for z in _ZIGZAG])
+    qarr = np.asarray(q, dtype=np.float64)
+    S_all = np.zeros((n_blocks, 8, 8))
     prev = 0
-    for b in range(hb * wb):
+    for b in range(n_blocks):
         zz = [0] * 64
         size = r.huff(dc_tab)
         prev += _jpeg_extend(r.bits(size), size)
@@ -1030,12 +1037,16 @@ def _decode_jpeg_gray(data: bytes):
                 raise ValueError("AC coefficient overrun")
             zz[k] = _jpeg_extend(r.bits(ssss), ssss)
             k += 1
-        S = np.zeros((8, 8))
-        for i in range(64):
-            S[_ZIGZAG[i] // 8, _ZIGZAG[i] % 8] = zz[i] * q[i]
-        block = np.clip(np.round(_idct_2d(S)) + 128, 0, 255).astype(np.int64)
-        rb, cb = b // wb, b % wb
-        img[rb * 8 : rb * 8 + 8, cb * 8 : cb * 8 + 8] = block
+        S_all[b, zr, zc] = np.asarray(zz, dtype=np.float64) * qarr
+    if _IDCT_BASIS is None:
+        _idct_2d(np.zeros((8, 8)))  # initialize the cached basis
+    B = _IDCT_BASIS
+    blocks = np.clip(
+        np.round(np.einsum("ui,buv,vj->bij", B, S_all, B)) + 128, 0, 255
+    ).astype(np.int64)
+    img = (
+        blocks.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+    )
     return img[:height, :width]
 
 
@@ -1059,11 +1070,14 @@ def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return (
-        docs.filter((F.col("doc_id") % 3 == 0) & (F.length("text") > 0))
-        .select("doc_id", "text")
-        .mapInPandas(encode, schema="asset_id long, jpeg binary")
-    )
+    # spread: the fixture documents scan is one row group → one task,
+    # and the Python codec is the hot path here (session.spread is a
+    # no-op when the scan already has enough splits)
+    return spread(
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.length("text") > 0)).select(
+            "doc_id", "text"
+        )
+    ).mapInPandas(encode, schema="asset_id long, jpeg binary")
 
 
 #: Seeded exact twins for the image near-dup join (same discipline as
@@ -1220,9 +1234,15 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the equi-joins are shuffle-on-32-bit-key joins whose candidate
     sets are hash-collision-sized, the same shape as dedup_simhash's
     banding."""
+    from vectordb_from_scratch_spark.registry import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    h = image_ahash(jpeg_assets_with_twins(docs), "jpeg", _decode_jpeg_gray).select(
-        "asset_id", "hash_lo", "hash_hi"
+    # persist: ha and hb both consume the hash table, and without it each
+    # side re-runs the full JPEG encode+decode+hash pass (measured 2x)
+    h = track_persist(
+        image_ahash(jpeg_assets_with_twins(docs), "jpeg", _decode_jpeg_gray).select(
+            "asset_id", "hash_lo", "hash_hi"
+        )
     )
     ha = h.select(
         F.col("asset_id").alias("asset_a"),
@@ -1365,9 +1385,15 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the banding drops nothing. The seeded exact twins guarantee
     the join is non-vacuous; the check is the VALUE match, not mere
     non-emptiness."""
+    from vectordb_from_scratch_spark.registry import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    h = audio_fingerprint(wav_assets_with_twins(docs)).select(
-        "asset_id", "fp", "fp_lo", "fp_hi"
+    # persist: both join legs consume the fingerprint table (see
+    # multimodal_image_neardup)
+    h = track_persist(
+        audio_fingerprint(wav_assets_with_twins(docs)).select(
+            "asset_id", "fp", "fp_lo", "fp_hi"
+        )
     )
     ha = h.select(
         F.col("asset_id").alias("asset_a"),
