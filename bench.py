@@ -99,6 +99,8 @@ HEADLINE = [
     "graph_cf_cosine",
     "graph_recommendations",
     "graph_triangle_estimate",
+    "graph_random_walks",
+    "graph_walk_skipgrams",
     "graph_edges_incremental",
     "chunk_documents",
     "events_trailing_hour_window",

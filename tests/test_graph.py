@@ -687,3 +687,34 @@ def test_ktruss_fixture_oracle_parity_nondefault_args(spark, sf_oracle):
     with duck_connection(sf_oracle) as con:
         want = sorted(map(tuple, con.execute(graph._ktruss_sql(k, rounds)).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_random_walks_replay_exactly_in_python(spark):
+    """The hash-driven walks must be a pure function of (graph, seed):
+    a pure-Python replay using the same md5-derived index over the same
+    sorted-neighbor adjacency reproduces every step."""
+    import hashlib
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    got = sorted(
+        map(tuple, graph.random_walks(_edges_df(spark, pairs), steps=3).collect())
+    )
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for v in adj:
+        adj[v].sort()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = []
+    for seed in sorted(adj):
+        cur = seed
+        want.append((seed, 0, seed))
+        for i in range(1, 4):
+            nbrs = adj[cur]
+            cur = nbrs[h60(f"{seed}_{i}") % len(nbrs)]
+            want.append((seed, i, cur))
+    assert got == sorted(want)

@@ -99,16 +99,7 @@ def test_graph_artifacts_warm_then_serve(spark, sf_small, strict_serve, monkeypa
     monkeypatched to explode."""
     from vectordb_from_scratch_spark.operators import graph
 
-    registry.WARMERS["graph_pagerank"](spark, sf_small)
-
-    def boom(*a, **k):
-        raise AssertionError("serve path re-derived a graph artifact")
-
-    monkeypatch.setattr(graph, "copurchase_edges", boom)
-    monkeypatch.setattr(graph, "purchase_edges", boom)
-    monkeypatch.setattr(graph, "oriented_edges", boom)
-    monkeypatch.setattr(graph, "_adj_from", boom)
-    for name in (
+    names = (
         "graph_pagerank",
         "graph_pagerank_weighted",
         "graph_ppr",
@@ -119,7 +110,21 @@ def test_graph_artifacts_warm_then_serve(spark, sf_small, strict_serve, monkeypa
         "graph_triangle_counts",
         "graph_hits",
         "graph_recommendations",
-    ):
+    )
+    # r7: warming is PER QUERY (each warms only the artifact kinds it
+    # consumes — ADVICE r6 #2), so every query under test runs its own
+    # warmer before the derivations are booby-trapped
+    for name in names:
+        registry.WARMERS[name](spark, sf_small)
+
+    def boom(*a, **k):
+        raise AssertionError("serve path re-derived a graph artifact")
+
+    monkeypatch.setattr(graph, "copurchase_edges", boom)
+    monkeypatch.setattr(graph, "purchase_edges", boom)
+    monkeypatch.setattr(graph, "oriented_edges", boom)
+    monkeypatch.setattr(graph, "_adj_from", boom)
+    for name in names:
         n = registry.QUERIES[name](spark, sf_small).count()
         # kcore legitimately peels the sf0.001 graph to empty (K=80 is
         # calibrated to the bigger fixtures); the serve contract here is

@@ -187,9 +187,24 @@ def _adj_from(sym: DataFrame, weighted: bool) -> DataFrame:
     )
 
 
+def _adj_indexed(sym: DataFrame) -> DataFrame:
+    """(a, b, idx, deg): the symmetric adjacency with a DETERMINISTIC
+    per-source neighbor index (row_number over sorted neighbor ids) and
+    the out-degree — the lookup table hash-driven random walks step
+    through. One shuffle (both windows share the partition key)."""
+    w = Window.partitionBy("a").orderBy("b")
+    return sym.select(
+        "a",
+        "b",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("a")).alias("deg"),
+    ).repartition("a")
+
+
 _ARTIFACTS = {
     "sym_a": lambda e: _sym(e.select("src", "dst")).repartition("a"),
     "sym_b": lambda e: _sym(e.select("src", "dst")).repartition("b"),
+    "adj_indexed": lambda e: _adj_indexed(_sym(e.select("src", "dst"))),
     "adj_uniform": lambda e: _adj_from(_sym(e.select("src", "dst")), False),
     "adj_weighted": lambda e: _adj_from(_sym_w(e), True),
     "symw_cost": lambda e: _sym_w(e)
@@ -1367,6 +1382,149 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic random-walk corpus (DeepWalk preprocessing) -----------------
+
+#: Steps per walk beyond the seed (= the oracle's unroll depth). One
+#: walk per node; the registered output is (steps+1)·|V| rows.
+WALK_STEPS = 4
+
+
+def _walks_sql(steps: int = WALK_STEPS) -> str:
+    ctes = [
+        """adj AS (SELECT a, b,
+               row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx,
+               (count(*) OVER (PARTITION BY a))::BIGINT AS deg
+        FROM sym)""",
+        "w0 AS (SELECT DISTINCT a AS walk_id, a AS node FROM sym)",
+    ]
+    for i in range(1, steps + 1):
+        pick = texthash.hash60_sql(f"w.walk_id::VARCHAR || '_{i}'")
+        ctes.append(
+            f"w{i} AS (SELECT w.walk_id, a2.b AS node FROM w{i - 1} w "
+            f"JOIN adj a2 ON a2.a = w.node AND a2.idx = {pick} % a2.deg)"
+        )
+    selects = [
+        f"SELECT walk_id, {i}::BIGINT AS step, node FROM w{i}"
+        for i in range(steps + 1)
+    ]
+    return f"""
+WITH {_EDGES_CTE},
+sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+{",".join(ctes)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+def random_walks(
+    edges: DataFrame, steps: int = WALK_STEPS, adj: DataFrame | None = None
+) -> DataFrame:
+    """(walk_id, step, node): one DETERMINISTIC uniform random walk per
+    node over the symmetrized co-purchase graph — the DeepWalk/node2vec
+    (p=q=1) corpus-generation step, the graph analog of the engine's
+    seeded samplers. Step i of walk w moves to sorted-neighbor index
+    hash60(w || '_' || i) mod deg(cur): derandomized exactly like the
+    DSIR/domain-mixture md5 uniforms, so the walk corpus is reproducible
+    run-to-run AND value-oracled end-to-end (DuckDB replays the identical
+    walks through the identical row_number-indexed adjacency).
+
+    Scale shape: the indexed adjacency persists hash-partitioned on the
+    step join key; each step is ONE join of the (walks)-sized frontier
+    against it — walk state never includes history (the output is the
+    union of per-step frames), lineage is truncated per step with a lazy
+    localCheckpoint, and nothing walks on the driver. At 100 TB this is
+    the standard embarrassingly-scalable walk generator: 10⁹ walks × K
+    steps = K frontier-sized joins against a co-located adjacency."""
+    if adj is None:
+        adj = track_persist(_adj_indexed(_sym(edges)))
+    cur = (
+        adj.select(F.col("a").alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.col("walk_id").alias("node"))
+    )
+    out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), "node")
+    for i in range(1, steps + 1):
+        pick = F.pmod(
+            texthash.hash60(
+                F.concat_ws("_", F.col("walk_id").cast("string"), F.lit(str(i)))
+            ),
+            F.col("deg"),
+        )
+        cur = (
+            cur.join(adj, (cur["node"] == adj["a"]) & (adj["idx"] == pick))
+            .select("walk_id", F.col("b").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(i).cast("long").alias("step"), "node")
+        )
+    return out
+
+
+@register("graph_random_walks", _walks_sql())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_walks(
+        shared_edges(spark, sf_dir).select("src", "dst"),
+        adj=shared_artifact(spark, sf_dir, "adj_indexed"),
+    )
+
+
+#: Skip-gram context radius over the walk corpus (word2vec's `window`).
+SKIPGRAM_WINDOW = 2
+
+
+def _skipgrams_sql(steps: int = WALK_STEPS, window: int = SKIPGRAM_WINDOW) -> str:
+    return f"""
+WITH walks AS ({_walks_sql(steps).strip()})
+SELECT c.node AS center, o.node AS context, count(*)::BIGINT AS n_pairs
+FROM walks c
+JOIN walks o ON o.walk_id = c.walk_id
+            AND o.step BETWEEN c.step - {window} AND c.step + {window}
+            AND o.step <> c.step
+WHERE c.node <> o.node
+GROUP BY 1, 2
+"""
+
+
+def walk_skipgrams(
+    walks: DataFrame, window: int = SKIPGRAM_WINDOW
+) -> DataFrame:
+    """(center, context, n_pairs): word2vec-style skip-gram pairs from a
+    walk corpus — for every walk position, every other node within
+    ``window`` steps, aggregated to pair counts (the (node, node)
+    co-occurrence table an embedding trainer consumes; self-pairs from
+    revisits are dropped — they carry no gradient). One self-join keyed
+    on walk_id (bounded fanout: ≤ 2·window contexts per position) + one
+    count aggregate; at 100 TB both shuffle on keys whose cardinality
+    the walk corpus bounds (pairs ≤ (steps+1)·2w·|walks|)."""
+    c = walks.alias("c")
+    o = walks.alias("o")
+    return (
+        c.join(
+            o,
+            (F.col("c.walk_id") == F.col("o.walk_id"))
+            & (F.col("o.step") >= F.col("c.step") - window)
+            & (F.col("o.step") <= F.col("c.step") + window)
+            & (F.col("o.step") != F.col("c.step")),
+        )
+        .filter(F.col("c.node") != F.col("o.node"))
+        .groupBy(F.col("c.node").alias("center"), F.col("o.node").alias("context"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register("graph_walk_skipgrams", _skipgrams_sql())
+def graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second DeepWalk stage: the deterministic walk corpus reduced
+    to skip-gram training pairs — closing the graph-embedding
+    preprocessing pipeline (adjacency → walks → co-occurrence pairs),
+    value-oracled end-to-end through both stages."""
+    walks = random_walks(
+        shared_edges(spark, sf_dir).select("src", "dst"),
+        adj=shared_artifact(spark, sf_dir, "adj_indexed"),
+    )
+    return walk_skipgrams(walks)
+
+
 # --- degree assortativity ------------------------------------------------------
 
 _ASSORT_SQL = f"""
@@ -1808,6 +1966,8 @@ _QUERY_GRAPH_NEEDS: dict[str, tuple[tuple[str, ...], bool, bool]] = {
     "graph_pagerank_weighted": (("adj_weighted",), True, False),
     "graph_kcore": (("sym_a",), True, False),
     "graph_ktruss": (("oriented",), True, False),
+    "graph_random_walks": (("adj_indexed",), True, False),
+    "graph_walk_skipgrams": (("adj_indexed",), True, False),
     "graph_ppr": (("adj_weighted",), True, False),
     "graph_assortativity": ((), True, False),
     "graph_lpa_communities": (("sym_b",), True, False),
