@@ -101,6 +101,7 @@ HEADLINE = [
     "graph_triangle_estimate",
     "graph_random_walks",
     "graph_walk_skipgrams",
+    "graph_node2vec_walks",
     "graph_edges_incremental",
     "chunk_documents",
     "events_trailing_hour_window",

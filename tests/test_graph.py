@@ -718,3 +718,55 @@ def test_random_walks_replay_exactly_in_python(spark):
             cur = nbrs[h60(f"{seed}_{i}") % len(nbrs)]
             want.append((seed, i, cur))
     assert got == sorted(want)
+
+
+def test_node2vec_walks_replay_exactly_in_python(spark):
+    """The biased second-order walks must replay exactly: a pure-Python
+    simulation with the same md5 uniforms, the same sorted-candidate
+    cumulative integer weights, and the same return/common/far classes
+    reproduces every step — including the uniform first hop."""
+    import hashlib
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5)]
+    got = sorted(
+        map(tuple, graph.node2vec_walks(_edges_df(spark, pairs), steps=3).collect())
+    )
+    adj: dict[int, list[int]] = {}
+    eset = {tuple(sorted(p)) for p in pairs}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for v in adj:
+        adj[v].sort()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = []
+    for seed in sorted(adj):
+        want.append((seed, 0, seed))
+        nbrs = adj[seed]
+        cur = nbrs[h60(f"{seed}_1") % len(nbrs)]
+        prev = seed
+        want.append((seed, 1, cur))
+        for t in range(2, 4):
+            cands = adj[cur]
+            ws = [
+                graph.N2V_RETURN_W
+                if b == prev
+                else (
+                    graph.N2V_COMMON_W
+                    if tuple(sorted((prev, b))) in eset
+                    else graph.N2V_FAR_W
+                )
+                for b in cands
+            ]
+            u = h60(f"{seed}_{t}") % sum(ws)
+            cum = 0
+            for b, w in zip(cands, ws):
+                cum += w
+                if u < cum:
+                    prev, cur = cur, b
+                    break
+            want.append((seed, t, cur))
+    assert got == sorted(want)

@@ -1468,6 +1468,157 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# node2vec biased second-order walks (Grover & Leskovec 2016), with the
+# paper's return/in-out parameters as INTEGER weights so the whole
+# selection stays exact cross-engine: candidate b from cur with previous
+# node prev weighs RETURN_W if b == prev (1/p), COMMON_W if {prev, b} is
+# an edge (1), FAR_W otherwise (1/q) — the constants below encode p=4,
+# q=2 scaled by 4. The draw is the md5 uniform mapped onto the
+# cumulative weights over candidates sorted by id: u = hash60(walk||step)
+# mod Σw picks the unique candidate with cum-w ≤ u < cum. Every term is
+# integer, the tie order is total, and the edge-membership test is a
+# join against the id-ordered edge list — all replayable in SQL.
+N2V_RETURN_W = 1
+N2V_COMMON_W = 4
+N2V_FAR_W = 2
+N2V_STEPS = 3
+
+
+def _n2v_sql(steps: int = N2V_STEPS) -> str:
+    ctes = [
+        """adj AS MATERIALIZED (SELECT a, b,
+               row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx,
+               (count(*) OVER (PARTITION BY a))::BIGINT AS deg
+        FROM sym)""",
+        "w0 AS (SELECT DISTINCT a AS walk_id, a AS node FROM sym)",
+    ]
+    pick1 = texthash.hash60_sql("w.walk_id::VARCHAR || '_1'")
+    ctes.append(
+        f"s1 AS MATERIALIZED (SELECT w.walk_id, w.node AS prev, a2.b AS cur "
+        f"FROM w0 w JOIN adj a2 ON a2.a = w.node AND a2.idx = {pick1} % a2.deg)"
+    )
+    for t in range(2, steps + 1):
+        h = texthash.hash60_sql(f"walk_id::VARCHAR || '_{t}'")
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT s.walk_id, s.cur, a.b,
+         CASE WHEN a.b = s.prev THEN {N2V_RETURN_W}
+              WHEN e.src IS NOT NULL THEN {N2V_COMMON_W}
+              ELSE {N2V_FAR_W} END AS w
+  FROM s{t - 1} s JOIN sym a ON a.a = s.cur
+  LEFT JOIN edges e ON e.src = least(s.prev, a.b)
+                   AND e.dst = greatest(s.prev, a.b)),
+u{t} AS (SELECT walk_id, ({h}) % sum(w) AS u FROM c{t} GROUP BY walk_id),
+r{t} AS (SELECT walk_id, cur, b, w,
+                sum(w) OVER (PARTITION BY walk_id ORDER BY b) AS cum
+         FROM c{t}),
+s{t} AS MATERIALIZED (SELECT r.walk_id, r.cur AS prev, r.b AS cur
+  FROM r{t} r JOIN u{t} u ON u.walk_id = r.walk_id
+  WHERE r.cum - r.w <= u.u AND u.u < r.cum)"""
+        )
+    selects = ["SELECT walk_id, 0::BIGINT AS step, node FROM w0"] + [
+        f"SELECT walk_id, {t}::BIGINT AS step, cur AS node FROM s{t}"
+        for t in range(1, steps + 1)
+    ]
+    return f"""
+WITH {_EDGES_CTE},
+sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+{",".join(ctes)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+def node2vec_walks(
+    edges: DataFrame, steps: int = N2V_STEPS, adj: DataFrame | None = None
+) -> DataFrame:
+    """(walk_id, step, node): one deterministic node2vec walk per node —
+    first hop uniform (the :func:`random_walks` rule), subsequent hops
+    biased by the second-order return/in-out weights (see the constants
+    above). State is (walk_id, prev, cur); each step is one join against
+    the cached adjacency (the candidate fan-out), one join against the
+    id-ordered edge list (the {prev, candidate} membership test the
+    in-out bias needs), and two walk-partitioned windows (total weight +
+    cumulative weight) feeding the hash-uniform pick — all exact integer
+    arithmetic, value-oracled step for step. Lineage truncates per step;
+    nothing walks on the driver."""
+    if adj is None:
+        adj = track_persist(_adj_indexed(_sym(edges)))
+    eidx = edges.select("src", "dst")
+    seeds = (
+        adj.select(F.col("a").alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.col("walk_id").alias("node"))
+    )
+    out = seeds.select("walk_id", F.lit(0).cast("long").alias("step"), "node")
+    pick1 = F.pmod(
+        texthash.hash60(F.concat_ws("_", F.col("walk_id").cast("string"), F.lit("1"))),
+        F.col("deg"),
+    )
+    s = (
+        seeds.join(adj, (seeds["node"] == adj["a"]) & (adj["idx"] == pick1))
+        .select("walk_id", F.col("node").alias("prev"), F.col("b").alias("cur"))
+        .localCheckpoint(eager=False)
+    )
+    out = out.unionByName(
+        s.select("walk_id", F.lit(1).cast("long").alias("step"), F.col("cur").alias("node"))
+    )
+    for t in range(2, steps + 1):
+        cand = (
+            s.join(adj, s["cur"] == adj["a"])
+            .select("walk_id", "prev", "cur", "b")
+            .join(
+                eidx,
+                (F.least("prev", "b") == F.col("src"))
+                & (F.greatest("prev", "b") == F.col("dst")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "cur",
+                "b",
+                F.when(F.col("b") == F.col("prev"), F.lit(N2V_RETURN_W))
+                .when(F.col("src").isNotNull(), F.lit(N2V_COMMON_W))
+                .otherwise(F.lit(N2V_FAR_W))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        wtot = Window.partitionBy("walk_id")
+        wcum = Window.partitionBy("walk_id").orderBy("b")
+        h = texthash.hash60(
+            F.concat_ws("_", F.col("walk_id").cast("string"), F.lit(str(t)))
+        )
+        scored = cand.select(
+            "walk_id",
+            "cur",
+            "b",
+            "w",
+            F.sum("w").over(wcum).alias("cum"),
+            F.pmod(h, F.sum("w").over(wtot)).alias("u"),
+        )
+        s = (
+            scored.filter(
+                (F.col("cum") - F.col("w") <= F.col("u")) & (F.col("u") < F.col("cum"))
+            )
+            .select("walk_id", F.col("cur").alias("prev"), F.col("b").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            s.select(
+                "walk_id", F.lit(t).cast("long").alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out
+
+
+@register("graph_node2vec_walks", _n2v_sql())
+def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return node2vec_walks(
+        shared_edges(spark, sf_dir).select("src", "dst"),
+        adj=shared_artifact(spark, sf_dir, "adj_indexed"),
+    )
+
+
 #: Skip-gram context radius over the walk corpus (word2vec's `window`).
 SKIPGRAM_WINDOW = 2
 
@@ -1968,6 +2119,7 @@ _QUERY_GRAPH_NEEDS: dict[str, tuple[tuple[str, ...], bool, bool]] = {
     "graph_ktruss": (("oriented",), True, False),
     "graph_random_walks": (("adj_indexed",), True, False),
     "graph_walk_skipgrams": (("adj_indexed",), True, False),
+    "graph_node2vec_walks": (("adj_indexed",), True, False),
     "graph_ppr": (("adj_weighted",), True, False),
     "graph_assortativity": ((), True, False),
     "graph_lpa_communities": (("sym_b",), True, False),
