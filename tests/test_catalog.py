@@ -835,6 +835,160 @@ def test_concurrent_writers_cas_lose_and_retry(spark, tmp_path):
     assert got == want
 
 
+def _brute_filtered_topk(vecs, ids, parities, want_parity, q, k):
+    """Driver-side ground truth: cosine top-k over the filter-passing
+    chunks, tie-break (score DESC, id ASC)."""
+    q = np.asarray(q, dtype="float64")
+    qn = q / np.linalg.norm(q)
+    scored = []
+    for i, cid in enumerate(ids):
+        if parities[i] != want_parity:
+            continue
+        v = vecs[i].astype("float64")
+        scored.append((float(np.dot(v / np.linalg.norm(v), qn)), cid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return scored[:k]
+
+
+@pytest.mark.parametrize("index_type", ["ivf", "pq", "ivfpq", "lsh_simhash"])
+def test_filtered_search_serves_through_the_index(spark, tmp_path, index_type, monkeypatch):
+    """VERDICT r7 #2: metadata-filtered search must run the probed path
+    (pre-filtered candidates), not silently forfeit the index to a flat
+    scan. With the fixture's full-probe regime (6 clusters ≤ 8 probes;
+    shortlist ≥ passing rows) the probed result EQUALS the filtered flat
+    scan for ivf/pq/ivfpq; lsh's bucket probing is not full-coverage, so
+    there the contract is hits-pass-filter + exact scores + hits drawn
+    from the brute-force ranking. A monkeypatched flat scorer proves the
+    index path actually served the query."""
+    from vectordb_from_scratch_spark.operators import knn as knn_ops
+
+    cat = VectorCatalog(spark, str(tmp_path / index_type))
+    lib_id, _, ids = _populate(cat, f"filtered-{index_type}", index_type=index_type)
+    vecs = _vectors()
+    parities = ["even" if i % 2 == 0 else "odd" for i in range(len(vecs))]
+    # query = an EVEN chunk's own vector: its exact duplicate passes the
+    # filter and shares the query's lsh bucket, so bucket probing always
+    # has at least one passing candidate
+    q = vecs[0].tolist()
+    k = 3  # 24 passing rows >= FILTERED_ANN_MIN_PASS * 3
+
+    flat_calls = []
+    orig_topk = knn_ops.topk
+    monkeypatch.setattr(
+        knn_ops, "topk", lambda *a, **kw: flat_calls.append(1) or orig_topk(*a, **kw)
+    )
+    got = cat.search(lib_id, q, k=k, metadata_filters={"parity": "even"})
+    assert not flat_calls, f"{index_type}: filtered search fell back to the flat scan"
+    want = _brute_filtered_topk(vecs, ids, parities, "even", q, k)
+    got_pairs = [(r.chunk_id, r.similarity_score) for r in got]
+    assert all(int(cid[1:]) % 2 == 0 for cid, _ in got_pairs)
+    if index_type == "lsh_simhash":
+        # bucket probing may miss distant passing rows; every hit must
+        # still score exactly and come from the brute-force ordering
+        truth = dict((cid, s) for s, cid in _brute_filtered_topk(
+            vecs, ids, parities, "even", q, len(ids)))
+        assert got_pairs and all(
+            truth[cid] == pytest.approx(score, rel=1e-9) for cid, score in got_pairs
+        )
+    else:
+        assert [c for c, _ in got_pairs] == [c for _, c in want]
+        for (cid, score), (wscore, _) in zip(got_pairs, want):
+            assert score == pytest.approx(wscore, rel=1e-9)
+
+    # selectivity gate: at k=10 only 24 rows pass < 8*10 — the exact
+    # scan is the right plan and must be the one that runs
+    flat_calls.clear()
+    got_flat = cat.search(lib_id, q, k=10, metadata_filters={"parity": "even"})
+    assert flat_calls, f"{index_type}: low-selectivity filter should route to flat"
+    want10 = _brute_filtered_topk(vecs, ids, parities, "even", q, 10)
+    assert [r.chunk_id for r in got_flat] == [c for _, c in want10]
+
+
+def test_commit_inside_read_write_window_conflicts(spark, tmp_path, monkeypatch):
+    """The ADVICE r7 high finding, deterministically: a racer commits
+    BETWEEN a mutator's read and its write (not inside commit(), where
+    the r7 barrier test raced). Pre-fix, ``write_partition`` re-resolved
+    ``expect`` at write time, so the stale frame passed the CAS with the
+    racer's version as expect and silently erased the racer's chunks.
+    Post-fix the frame carries the pinned version from ``read_pinned``,
+    the commit conflicts, ``_cas_retry`` re-derives, and BOTH writers'
+    chunks survive."""
+    from vectordb_from_scratch_spark.catalog import (
+        CommitConflictError,
+        FileVersionLog,
+        TableStore,
+    )
+
+    state = {"armed": False, "conflicts": 0}
+
+    class CountingLog(FileVersionLog):
+        def commit(self, stage_dir, expect):
+            try:
+                return super().commit(stage_dir, expect)
+            except CommitConflictError:
+                state["conflicts"] += 1
+                raise
+
+    cat = VectorCatalog(spark, str(tmp_path / "cat"), log_factory=CountingLog)
+    lib_id = cat.create_library("window-race", DIMS)
+    doc_id = cat.create_document(lib_id, "doc-1")
+    vecs = _vectors(8)
+
+    orig = TableStore.read_pinned
+
+    def hooked(self, version=None):
+        out = orig(self, version)
+        if state["armed"] and self.dir.endswith("chunks"):
+            state["armed"] = False  # one shot; the racer below re-enters
+            cat.add_chunks(
+                lib_id,
+                doc_id,
+                [
+                    {"text": f"racer {i}", "embedding": vecs[i].tolist()}
+                    for i in range(4, 8)
+                ],
+                ids=[f"r{i:02d}" for i in range(4, 8)],
+            )
+        return out
+
+    monkeypatch.setattr(TableStore, "read_pinned", hooked)
+    state["armed"] = True
+    cat.add_chunks(
+        lib_id,
+        doc_id,
+        [{"text": f"victim {i}", "embedding": vecs[i].tolist()} for i in range(4)],
+        ids=[f"a{i:02d}" for i in range(4)],
+    )
+    assert state["conflicts"] >= 1, (
+        "the read->write window commit passed the CAS — expect was "
+        "re-resolved at write time instead of pinned at read time"
+    )
+    got = {c["id"] for c in cat.list_chunks(lib_id)}
+    want = {f"a{i:02d}" for i in range(4)} | {f"r{i:02d}" for i in range(4, 8)}
+    assert got == want
+
+
+def test_stale_commit_lock_recovers_without_manual_repair(spark, tmp_path):
+    """A writer killed inside the FileVersionLog critical section leaves
+    its lockfile behind; the next commit must break the dead holder's
+    lock and proceed instead of spinning to the 30s timeout and
+    demanding manual removal (ADVICE r7)."""
+    import os
+    import time as _time
+
+    cat = VectorCatalog(spark, str(tmp_path / "cat"))
+    lib_id = cat.create_library("stale-lock", DIMS)
+    # plant a lock naming a PID that cannot exist (> pid_max default)
+    lockfile = cat.libraries.log.lockfile
+    with open(lockfile, "w") as f:
+        f.write(f"99999999 {_time.time()}")
+    t0 = _time.monotonic()
+    cat.update_library(lib_id, metadata={"touched": "yes"})
+    assert _time.monotonic() - t0 < 20, "stale lock was not broken"
+    assert cat.get_library(lib_id)["metadata"]["touched"] == "yes"
+    assert not os.path.exists(lockfile)
+
+
 def test_txn_log_end_to_end_history_and_conflict(spark, tmp_path):
     """The Delta-shaped commit-log adapter (TxnVersionLog) is a REAL
     second VersionLog: full CRUD + search e2e runs against it unchanged
