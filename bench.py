@@ -102,6 +102,8 @@ HEADLINE = [
     "graph_random_walks",
     "graph_walk_skipgrams",
     "graph_node2vec_walks",
+    "graph_node_embeddings",
+    "graph_embedding_eval",
     "graph_edges_incremental",
     "chunk_documents",
     "events_trailing_hour_window",
@@ -147,6 +149,7 @@ HEADLINE = [
     "sql_api_top_customers_window",
     "text_heavy_hitters",
     "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
     "multimodal_image_ahash",
     "multimodal_image_neardup",
     "multimodal_audio_neardup",

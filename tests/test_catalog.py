@@ -376,7 +376,7 @@ def test_search_batch_matches_singles_every_index_type(spark, tmp_path):
     rng = np.random.default_rng(21)
     vecs = rng.standard_normal((48, 8)).astype("float32")
     cat = VectorCatalog(spark, str(tmp_path))
-    for itype in ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw"):
+    for itype in ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw", "cascade"):
         lib = cat.create_library(f"batch-{itype}", 8, index_type=itype)
         doc = cat.create_document(lib, "d")
         cat.add_chunks(
@@ -850,7 +850,7 @@ def _brute_filtered_topk(vecs, ids, parities, want_parity, q, k):
     return scored[:k]
 
 
-@pytest.mark.parametrize("index_type", ["ivf", "pq", "ivfpq", "lsh_simhash"])
+@pytest.mark.parametrize("index_type", ["ivf", "pq", "ivfpq", "lsh_simhash", "cascade"])
 def test_filtered_search_serves_through_the_index(spark, tmp_path, index_type, monkeypatch):
     """VERDICT r7 #2: metadata-filtered search must run the probed path
     (pre-filtered candidates), not silently forfeit the index to a flat

@@ -209,6 +209,72 @@ def test_tablestore_time_travel_reads_previous_version(cat):
         store.read(version=v_before)
 
 
+def test_cascade_search_equals_standalone_operator(cat):
+    """The catalog's cascade index (r8, VERDICT r7 #6) must EQUAL the
+    standalone quantization.cascade_search funnel on the same corpus —
+    same tiers, same global cuts, same (score, id) tie order — while
+    serving tiers 1-2 from the PRECOMPUTED sidecar instead of
+    re-encoding floats per query."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import quantization as quant
+
+    lib_id, _, ids = _populate(cat, "cascade-lib", index_type="cascade")
+    vecs = _vectors()
+    qs = [vecs[3].tolist(), vecs[29].tolist()]
+    k = 4
+    got = cat.search_batch(lib_id, qs, k=k)
+    assert got[0][0].chunk_id == ids[3] and got[1][0].chunk_id == ids[29]
+
+    corpus = cat.chunks.read().filter(f"library_id = '{lib_id}'")
+    qpdf = pd.DataFrame(
+        {"query_id": range(len(qs)), "query_vec": [[float(x) for x in q] for q in qs]}
+    )
+    want_rows = quant.cascade_search(
+        corpus, qpdf, k=k, prefilter=cat.CASCADE_PREFILTER,
+        id_col="id", vec_col="embedding",
+    ).collect()
+    want = [[] for _ in qs]
+    for r in sorted(want_rows, key=lambda r: (r["query_id"], r["rank"])):
+        want[int(r["query_id"])].append((r["id"], round(float(r["score"]), 9)))
+    assert [
+        [(r.chunk_id, round(r.similarity_score, 9)) for r in res] for res in got
+    ] == want
+    meta = cat._index_meta(lib_id)
+    assert meta["type"] == "cascade" and meta["n"] == N
+
+
+def test_cascade_delta_touches_only_affected_id_partitions(cat):
+    """Per-chunk mutation on a cascade index re-encodes only the touched
+    id's partition (bits/codes are per-row functions of the embedding) —
+    the LSH/PQ partition-scoped contract, checked at the inode level."""
+    lib_id, _, ids = _populate(cat, "cascade-delta", index_type="cascade")
+    vecs = _vectors()
+    cat.search(lib_id, vecs[0].tolist(), k=3)  # build funnel sidecar
+    fpath = cat._index_path(lib_id, "funnel")
+    before = _partition_inodes(fpath)
+    assert len(before) >= 3
+
+    cat.update_chunk(lib_id, ids[7], embedding=(vecs[7] * -1.0).tolist())
+    assert not cat._index_meta(lib_id).get("stale")
+    after = _partition_inodes(fpath)
+    changed = {p for p in after if after.get(p) != before.get(p)}
+    unchanged = {p for p in after if after.get(p) == before.get(p)}
+    assert len(changed) == 1, f"exactly the touched id's partition, got {changed}"
+    assert unchanged
+
+    res = cat.search(lib_id, (vecs[7] * -1.0).tolist(), k=3)
+    assert res[0].chunk_id == ids[7]
+
+    # delete removes rows from the sidecar without a rebuild
+    cat.delete_chunks(lib_id, [ids[7]])
+    assert not cat._index_meta(lib_id).get("stale")
+    funnel = cat.spark.read.parquet(fpath)
+    assert funnel.filter(f"id = '{ids[7]}'").count() == 0
+    res = cat.search(lib_id, vecs[8].tolist(), k=3)
+    assert res[0].chunk_id == ids[8]
+
+
 def test_pq_search_finds_self_match(cat):
     """PQ-indexed library: a stored vector's own embedding must return it
     at rank 1 (ADC shortlist + exact rerank — self-similarity is 1.0)."""

@@ -668,6 +668,26 @@ def test_ktruss_cascade_and_bounded_round_truncation(spark):
     assert one == {(2, 3): 0}
 
 
+def test_ktruss_decrement_and_reenum_routes_agree(spark, sf_oracle):
+    """The adaptive peel's two per-round routes (r8) — frontier-edge
+    decrement vs survivor re-enumeration — must be value-identical on
+    the fixture graph at a cascading k: force each route via
+    ``reenum_frac`` (1.1 = decrement-only: no frontier fraction reaches
+    it; 0.0 = re-enumerate-only) and compare. The fixture's round-1
+    frontier is most of the graph, so the decrement-only run exercises
+    exactly the code path the adaptive default routes AWAY from there
+    (and vice versa for later small-frontier rounds)."""
+    edges = graph.copurchase_edges(spark, sf_oracle).select("src", "dst")
+    dec_only = sorted(
+        map(tuple, graph.ktruss(edges, reenum_frac=1.1).collect())
+    )
+    reenum_only = sorted(
+        map(tuple, graph.ktruss(edges, reenum_frac=0.0).collect())
+    )
+    assert dec_only == reenum_only and len(dec_only) > 0
+    registry.release_tracked()
+
+
 def test_ktruss_fixture_oracle_parity_nondefault_args(spark, sf_oracle):
     """The registered query's oracle runs in test_oracle_parity; here a
     NON-default (k, rounds) is pinned against the unrolled CTE oracle on
@@ -687,6 +707,27 @@ def test_ktruss_fixture_oracle_parity_nondefault_args(spark, sf_oracle):
     with duck_connection(sf_oracle) as con:
         want = sorted(map(tuple, con.execute(graph._ktruss_sql(k, rounds)).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_node_embeddings_training_signal(spark, sf_oracle):
+    """The in-engine SGNS trainer (r8) must produce a REAL training
+    signal, not just oracle-matching arithmetic: on the fixture graph
+    the model's own score (in·out cosine) ranks its most frequent
+    skip-gram pairs and the CF-strongest visited pairs above
+    hash-random pairs, and the embeddings table covers the vocabulary
+    exactly once with unit-bounded rounded values."""
+    edges = graph.copurchase_edges(spark, sf_oracle)
+    ev = {
+        r["pair_kind"]: r["mean_cosine"]
+        for r in graph.embedding_pair_eval(edges).collect()
+    }
+    assert ev["trained_top"] > ev["random"] + 0.1, ev
+    assert ev["cf_overlap"] > ev["random"] + 0.05, ev
+    emb = graph.node_embeddings(edges.select("src", "dst")).collect()
+    n_nodes = graph._sym(edges.select("src", "dst")).select("a").distinct().count()
+    assert len(emb) == n_nodes
+    assert len({r["part_id"] for r in emb}) == n_nodes
+    registry.release_tracked()
 
 
 def test_random_walks_replay_exactly_in_python(spark):

@@ -169,6 +169,41 @@ def test_jpeg_decoder_rejects_corrupt_payloads():
         mm._decode_jpeg_gray(bytes(bad))
 
 
+def test_jpeg_color_roundtrip_reconstructs_all_channels():
+    """The 3-component 4:4:4 codec (r8) round-trips EXACTLY per channel:
+    interleaved MCUs with per-component DC predictors decode each plane
+    back to its derived constant (Y=v, Cb=255-v, Cr=(v+85)%256)."""
+    pix = TEXT.encode()
+    y, cb, cr = mm._decode_jpeg(mm.encode_jpeg_color_blocks(pix))
+    hb = (len(pix) + mm.JPEG_BLOCKS_W - 1) // mm.JPEG_BLOCKS_W
+    assert y.shape == cb.shape == cr.shape == (hb * 8, mm.JPEG_WIDTH)
+    blocks = list(pix.ljust(hb * mm.JPEG_BLOCKS_W, b"\x00"))
+    for b, v in enumerate(blocks):
+        rb, cbk = divmod(b, mm.JPEG_BLOCKS_W)
+        sl = (slice(rb * 8, rb * 8 + 8), slice(cbk * 8, cbk * 8 + 8))
+        vy, vcb, vcr = mm._jpeg_color_channels(v)
+        assert (y[sl] == vy).all() and (cb[sl] == vcb).all() and (cr[sl] == vcr).all()
+
+
+def test_jpeg_color_decoder_rejects_corrupt_payloads():
+    """Corrupt-rejection extends to the color path: truncated interleaved
+    scan, garbled entropy byte, subsampled-chroma SOF, and the gray
+    reader refusing a color payload all raise."""
+    good = mm.encode_jpeg_color_blocks(TEXT.encode())
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(good[: len(good) - 10])  # truncated scan
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(bytes(bad))
+    # claim 2x2 luma sampling (4:2:0): decoder must refuse, not mis-tile
+    sub = good.replace(bytes([1, 0x11, 0, 2, 0x11, 0]), bytes([1, 0x22, 0, 2, 0x11, 0]), 1)
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(sub)
+    with pytest.raises(ValueError):
+        mm._decode_jpeg_gray(good)  # gray contract rejects color
+
+
 def test_jpeg_decoder_handles_general_ac_symbols():
     """The decoder implements FULL baseline AC decoding (run/size,
     ZRL, EOB), not just the EOB path our encoder emits: a hand-built

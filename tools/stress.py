@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | recsys | robust | prefixjoin
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | walks | recsys | robust | prefixjoin
 """
 
 from __future__ import annotations
@@ -828,6 +828,62 @@ def run_truss(spark, n_orders: int) -> None:
     items.unpersist()
 
 
+def run_walks(spark, n_orders: int) -> None:
+    """Walk-family design point on the planted-hub corpus (VERDICT r7
+    #4): node2vec's candidate join fans out by RAW degree of the walk's
+    current node — unlike the hub-proof oriented wedge join — so the
+    number to watch is whether the hub's visit mass × its degree binds
+    the wall. Measures uniform walks, skip-grams, node2vec walks, and
+    the full SGNS train, with the hub's degree and visit mass printed so
+    the fanout claim is checked against data, not intuition."""
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import graph
+
+    items, edges, P, n_items, m, t_edges = _graph_corpus(spark, n_orders)
+    e = edges.select("src", "dst")
+    deg_hub = (
+        graph._sym(e).filter(F.col("a") == 0).count()
+    )
+    print(
+        f"walks n_orders={n_orders} P={P}: {m} edges in {t_edges:6.2f}s "
+        f"(deg(hub)={deg_hub})"
+    )
+
+    t0 = time.perf_counter()
+    walks = graph.random_walks(e).persist()
+    nw = walks.count()
+    t_u = time.perf_counter() - t0
+    hub_visits = walks.filter(F.col("node") == 0).count()
+    n_nodes = nw // (graph.WALK_STEPS + 1)
+    print(
+        f"uniform walks ({graph.WALK_STEPS} steps, {n_nodes} walks): "
+        f"{t_u:6.2f}s ({nw} rows; hub visited {hub_visits}x -> worst-step "
+        f"candidate fanout ~{hub_visits * deg_hub // (graph.WALK_STEPS + 1)})"
+    )
+
+    t0 = time.perf_counter()
+    n_sg = graph.walk_skipgrams(walks).count()
+    print(f"skipgrams (window {graph.SKIPGRAM_WINDOW}): "
+          f"{time.perf_counter() - t0:6.2f}s ({n_sg} distinct pairs)")
+    walks.unpersist()
+
+    t0 = time.perf_counter()
+    n2 = graph.node2vec_walks(e).count()
+    print(f"node2vec walks ({graph.N2V_STEPS} steps): "
+          f"{time.perf_counter() - t0:6.2f}s ({n2} rows)")
+
+    t0 = time.perf_counter()
+    n_emb = graph.node_embeddings(e).count()
+    print(
+        f"sgns train (dims {graph.EMB_DIMS}, iters {graph.EMB_ITERS}, "
+        f"neg {graph.EMB_NEG}): {time.perf_counter() - t0:6.2f}s "
+        f"({n_emb} vectors)"
+    )
+    registry.release_tracked()
+    edges.unpersist()
+    items.unpersist()
+
+
 def run_recsys(spark, n_orders: int) -> None:
     """Item-item CF + per-customer recommendations at design point, on
     the planted-hub / oversized-basket corpus: customers own ~10 orders
@@ -970,6 +1026,8 @@ def main() -> None:
         return run_graph2(spark, n)
     if mode == "truss":
         return run_truss(spark, n)
+    if mode == "walks":
+        return run_walks(spark, n)
     if mode == "prefixjoin":
         return run_prefixjoin(spark, n)
     if mode == "recsys":

@@ -56,11 +56,21 @@ from vectordb_from_scratch_spark.operators import knn
 from vectordb_from_scratch_spark.operators import lsh as lsh_ops
 from vectordb_from_scratch_spark.operators import hnsw as hnsw_ops
 from vectordb_from_scratch_spark.operators import pq as pq_ops
+from vectordb_from_scratch_spark.operators import quantization as quant_ops
 from vectordb_from_scratch_spark.operators import textstats as text_ops
 
 MAX_K = 100  # reference caps k ∈ [1, 100] (app/api/dto.py:58)
 
-INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw", "hnsw_routed")
+INDEX_TYPES = (
+    "flat",
+    "ivf",
+    "lsh_simhash",
+    "pq",
+    "ivfpq",
+    "hnsw",
+    "hnsw_routed",
+    "cascade",
+)
 # The reference's three (it silently falls back to flat for unknown types,
 # vector_db.py:96-102, and never registers lsh, SURVEY.md §2.4.1; we
 # register them and REJECT unknown types instead of silent fallback) plus
@@ -81,7 +91,7 @@ INDEX_TYPES = ("flat", "ivf", "lsh_simhash", "pq", "ivfpq", "hnsw", "hnsw_routed
 #: probed set. The graph-traversal tiers (hnsw*) are excluded — filtering
 #: a beam search's frontier breaks connectivity guarantees — and route to
 #: the exact scan instead.
-FILTERED_ANN_TYPES = frozenset({"ivf", "lsh_simhash", "pq", "ivfpq"})
+FILTERED_ANN_TYPES = frozenset({"ivf", "lsh_simhash", "pq", "ivfpq", "cascade"})
 
 #: Selectivity gate for filtered ANN: below ``FILTERED_ANN_MIN_PASS · k``
 #: passing rows, probed clusters cannot be trusted to hold k passing
@@ -1260,6 +1270,7 @@ class VectorCatalog:
         "lsh_simhash": (("buckets", "id_part"),),
         "pq": (("codes", "id_part"),),
         "ivfpq": (("ivfpq_codes", "cluster_id"),),
+        "cascade": (("funnel", "id_part"),),
         "hnsw": (("graph", "shard"),),
         "hnsw_routed": (("routed_graph", "shard"),),
     }
@@ -1512,6 +1523,10 @@ class VectorCatalog:
             )
             res = pq_ops.rerank_exact(
                 corpus, short, qpdf, k, id_col="id", vec_col="embedding"
+            )
+        elif index_type == "cascade" and self._ensure_cascade(lib_id, base):
+            res = self._cascade_search(
+                lib_id, corpus, queries, qvecs, k, filtered=bool(metadata_filters)
             )
         elif index_type == "hnsw" and self._ensure_hnsw(lib_id, base):
             import pandas as pd
@@ -2100,6 +2115,8 @@ class VectorCatalog:
             self._pq_delta(lib_id, upserts, removed, touched_ids)
         elif meta["type"] == "ivfpq":
             self._ivfpq_delta(lib_id, upserts, removed, touched_ids)
+        elif meta["type"] == "cascade":
+            self._cascade_delta(lib_id, upserts, removed, touched_ids)
         elif meta["type"] == "hnsw":
             self._hnsw_delta(lib_id, upserts, removed, touched_ids)
         elif meta["type"] == "hnsw_routed":
@@ -2609,6 +2626,190 @@ class VectorCatalog:
         )
         self._overwrite_partitions(rebuilt, path, "shard", parts)
 
+    # ------------------------------------------------------------ cascade
+    #: tier-1 shortlist per query for the cascade index — the same
+    #: default as the standalone operator (quantization.cascade_search),
+    #: so catalog results equal the operator's exactly.
+    CASCADE_PREFILTER = 200
+
+    def _funnel_encode(
+        self, df: DataFrame, dims: int, id_col: str = "id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """(id, bits, codes, norm2): the cascade index's precomputed
+        tiers — packed sign words (tier 1, 32 dims/word via
+        quantization.sign_bits_word) and SQ8 integer codes + their norm
+        (tier 2). Both are deterministic functions of the embedding
+        alone (the IVF-assignments argument), so deltas re-encode only
+        the touched rows. Arithmetic mirrors the Arrow funnel
+        (quantization._funnel_unit) term for term: floor(x/amax·127+.5)
+        codes, integer-valued-double norms — exact under any summation
+        order, which is what makes catalog results EQUAL the operator's
+        (asserted in tests), not merely close."""
+        amax = F.array_max(
+            F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+        )
+        nwords = (dims + 31) // 32
+        staged = df.select(
+            F.col(id_col).alias("id"),
+            F.array(
+                *[quant_ops.sign_bits_word(vec_col, w) for w in range(nwords)]
+            ).alias("bits"),
+            F.when(amax == F.lit(0.0), F.lit(1.0)).otherwise(amax).alias("_safe"),
+            F.col(vec_col).alias("_v"),
+        ).select(
+            "id",
+            "bits",
+            F.transform(
+                F.col("_v"),
+                lambda x: F.floor(
+                    x.cast("double") / F.col("_safe") * F.lit(127.0) + F.lit(0.5)
+                ),
+            ).alias("codes"),
+        )
+        return staged.withColumn(
+            "norm2",
+            F.aggregate(F.col("codes"), F.lit(0.0), lambda a, x: a + x * x),
+        )
+
+    def _ensure_cascade(self, lib_id: str, corpus: DataFrame) -> bool:
+        meta = self._index_meta(lib_id)
+        if meta and meta.get("type") == "cascade" and not meta.get("stale"):
+            return True
+        return self._build_cascade(lib_id, corpus)
+
+    def _build_cascade(self, lib_id: str, corpus: DataFrame) -> bool:
+        n = corpus.count()
+        if n == 0:
+            return False
+        dims = self.get_library(lib_id)["dims"]
+        funnel = _with_id_part(self._funnel_encode(corpus, dims))
+        # id-hash partitioned: per-chunk mutations become a partition-
+        # scoped delta (_cascade_delta), never a corpus re-encode
+        funnel.write.mode("overwrite").partitionBy("id_part").parquet(
+            self._index_path(lib_id, "funnel")
+        )
+        self._write_index_meta(lib_id, {"type": "cascade", "n": n})
+        return True
+
+    def _cascade_delta(
+        self, lib_id: str, upserts: list, removed: list, touched_ids: list
+    ) -> None:
+        """Bits/codes are per-row functions of the embedding, so the
+        delta is exactly the LSH shape: re-encode the upserted rows,
+        rewrite only the id-hash partitions the touched ids live in."""
+        dims = self.get_library(lib_id)["dims"]
+        new_rows = _with_id_part(
+            self._funnel_encode(self._delta_df(upserts), dims)
+        )
+        parts = {
+            r["id_part"]
+            for r in _with_id_part(
+                self.spark.createDataFrame([(c,) for c in touched_ids], "id STRING")
+            )
+            .select("id_part")
+            .distinct()
+            .collect()
+        }
+        path = self._index_path(lib_id, "funnel")
+        keep = (
+            self.spark.read.parquet(path)
+            .filter(F.col("id_part").isin(list(parts)))
+            .filter(~F.col("id").isin(touched_ids))
+            .localCheckpoint(eager=True)
+        )
+        self._overwrite_partitions(
+            keep.unionByName(new_rows), path, "id_part", parts
+        )
+
+    def _cascade_search(
+        self,
+        lib_id: str,
+        corpus: DataFrame,
+        queries: DataFrame,
+        qvecs: list,
+        k: int,
+        filtered: bool,
+    ) -> DataFrame:
+        """The serving funnel against the PRECOMPUTED sidecar: tier 1
+        scans (id, bits) — the 512×-smaller representation, the only
+        full pass — tier 2 rescores the global Hamming top-``prefilter``
+        from the stored SQ8 codes, tier 3 exact-reranks the SQ8
+        top-``rerank_n`` against the raw floats. Global windows with the
+        pinned (score, id) tie order make the result a pure function of
+        (corpus, queries, k) — equal to quantization.cascade_search by
+        the same unit-invariance argument, asserted in tests. Metadata
+        filters pre-filter the sidecar scan itself (``filtered``), so a
+        filtered search still reads bits, not floats."""
+        import pandas as pd
+
+        dims = self.get_library(lib_id)["dims"]
+        prefilter = self.CASCADE_PREFILTER
+        rerank_n = max(4 * k, 40)
+        funnel = self.spark.read.parquet(self._index_path(lib_id, "funnel"))
+        if filtered:
+            funnel = funnel.join(corpus.select("id"), "id", "semi")
+        qenc = self._funnel_encode(
+            queries, dims, id_col="query_id", vec_col="query_vec"
+        ).select(
+            F.col("id").alias("query_id"),
+            F.col("bits").alias("qbits"),
+            F.col("codes").alias("qcodes"),
+            F.when(F.col("norm2") == 0.0, F.lit(1.0))
+            .otherwise(F.col("norm2"))
+            .alias("qn2s"),
+        )
+        scored = funnel.crossJoin(F.broadcast(qenc)).withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with(
+                    F.col("bits"),
+                    F.col("qbits"),
+                    lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w1 = Window.partitionBy("query_id").orderBy(
+            F.col("hamming").asc(), F.col("id").asc()
+        )
+        tier1 = (
+            scored.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= prefilter)
+        )
+        sq8 = F.when(F.col("norm2") == 0.0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("qcodes"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sqrt(F.col("norm2") * F.col("qn2s"))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("sq8").desc(), F.col("id").asc()
+        )
+        short = (
+            tier1.withColumn("sq8", sq8)
+            .withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= rerank_n)
+            .select("query_id", "id")
+        )
+        cand_vec = short.join(corpus.select("id", "embedding"), "id")
+        qpdf = pd.DataFrame(
+            {"query_id": range(len(qvecs)), "query_vec": qvecs}
+        )
+        rerank = knn.score_pairs_pandas(
+            cand_vec, qpdf, id_col="id", vec_col="embedding"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return (
+            rerank.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", "score", "rank")
+        )
+
     def _ensure_lsh(self, lib_id: str, corpus: DataFrame) -> bool:
         meta = self._index_meta(lib_id)
         if meta and meta.get("type") == "lsh_simhash" and not meta.get("stale"):
@@ -2643,6 +2844,8 @@ class VectorCatalog:
             self._build_pq(lib_id, corpus)
         elif lib["index_type"] == "ivfpq":
             self._build_ivfpq(lib_id, corpus)
+        elif lib["index_type"] == "cascade":
+            self._build_cascade(lib_id, corpus)
         elif lib["index_type"] == "hnsw":
             self._build_hnsw(lib_id, corpus)
         elif lib["index_type"] == "hnsw_routed":

@@ -52,6 +52,9 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -211,6 +214,12 @@ _ARTIFACTS = {
     .select("a", "b", (F.lit(1.0) / F.col("w0")).alias("w"))
     .repartition("a"),
     "oriented": lambda e: oriented_edges(e.select("src", "dst")).repartition("u"),
+    # the DeepWalk corpus chain as store artifacts (the `oriented`
+    # precedent: graph_random_walks measures the walk DERIVATION, its
+    # consumers serve the shared corpus): deterministic walks, and the
+    # skip-gram pair table the embedding trainer consumes
+    "walks": lambda e: random_walks(e.select("src", "dst")),
+    "skipgrams": lambda e: walk_skipgrams(random_walks(e.select("src", "dst"))),
 }
 
 
@@ -254,7 +263,15 @@ def warm_graph(
     graph_components never pays for (or holds) the five adjacency shapes
     it doesn't read."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if with_edges and key not in _EDGES_CACHE:
+    # artifacts derive from the edge table, so a kinds-bearing call builds
+    # it implicitly even with with_edges=False (ADVICE r7: the artifact
+    # loop dereferenced _EDGES_CACHE[key] unconditionally — a KeyError
+    # foot-gun for any caller outside _QUERY_GRAPH_NEEDS)
+    need_edges = with_edges or any(
+        (spark.sparkContext.applicationId, sf_dir, k) not in _ART_CACHE
+        for k in kinds
+    )
+    if need_edges and key not in _EDGES_CACHE:
         edges = copurchase_edges(spark, sf_dir).persist()
         edges.count()
         _EDGES_CACHE[key] = edges
@@ -284,6 +301,9 @@ def release_graph_store(sf_dir: str | None = None) -> None:
                 cache.pop(key).unpersist()
             except Exception:
                 pass  # session already stopped
+    for key in list(_SGNS_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _SGNS_CACHE.pop(key)  # localCheckpoint state frees on GC
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -434,6 +454,16 @@ WEDGE_PARTITION_TARGET_BYTES = 64 << 20
 WEDGE_ROW_BYTES = 32
 WEDGE_MAX_PARTITIONS = 4096
 
+#: Per-partition budget for a ShuffledHashJoin's BUILD side (the hash
+#: map is pinned execution memory and cannot spill): an exchange feeding
+#: an SHJ must be wide enough that build_rows · row_bytes per partition
+#: stays a few MB even with every core building concurrently. The truss
+#: decrement join's build side is edge-shaped while its stream side is
+#: frontier-shaped — sizing the exchange on the stream alone let a 26M-
+#: edge build side land as 32 × ~800k-row hash maps (measured OOM at the
+#: 1M-order design point).
+SHJ_BUILD_TARGET_BYTES = 4 << 20
+
 
 def _wedge_stats(oriented: DataFrame) -> tuple[int, int]:
     """(wedge estimate Σ_u C(outdeg(u), 2), edge count) — one cheap
@@ -482,6 +512,15 @@ def _wedge_partitions(oriented: DataFrame, n_wedges: int | None = None) -> int:
 TRI_BLOOM_WORDS_CAP = 8 << 20
 TRI_BLOOM_MIN_WORDS = 1 << 12
 TRI_BLOOM_MAX_FPP = 0.25
+
+#: Wedge floor below which the bloom prefilter is SKIPPED (VERDICT r7
+#: #5): under ~32M wedges the unfiltered exchange is ≤ ~1 GB spread over
+#: the session's partitions — the bitmap build + broadcast + per-wedge
+#: probe costs more than the shuffle it saves (measured: the 1/mod²-
+#: sized sampled estimator paid +2.5s for a workload whose exchange was
+#: already cheap). At and above the floor the filter's savings dominate
+#: (SCALE.md r7: 95% of shuffled bytes were non-closing wedges).
+TRI_BLOOM_WEDGE_FLOOR = 32 << 20
 
 
 def _closing_bitmap(closing: DataFrame, n_edges: int) -> tuple[DataFrame, int] | None:
@@ -570,7 +609,11 @@ def triangle_enum(oriented: DataFrame) -> DataFrame:
     # {x,y} closes the triangle; its orientation is forced to x→y because
     # (deg_x, x) < (deg_y, y) held in the wedge condition
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    bm = _closing_bitmap(closing, n_edges)
+    bm = (
+        _closing_bitmap(closing, n_edges)
+        if n_wedges >= TRI_BLOOM_WEDGE_FLOOR
+        else None
+    )
     if bm is not None:
         bitmap, n_words = bm
         wedges = (
@@ -1241,48 +1284,227 @@ def edge_support(cur: DataFrame, oriented: DataFrame | None = None) -> DataFrame
     return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("sup"))
 
 
+#: Frontier fraction at or above which a peel round re-enumerates the
+#: surviving subgraph instead of decrementing from the frontier — see
+#: :func:`ktruss` (uniform-thinning crossover ≈ 0.2).
+TRUSS_REENUM_FRAC = 0.2
+
+
 def ktruss(
     edges: DataFrame,
     k: int = TRUSS_K,
     rounds: int = TRUSS_ROUNDS,
     oriented0: DataFrame | None = None,
+    reenum_frac: float = TRUSS_REENUM_FRAC,
 ) -> DataFrame:
     """(src, dst, support): the edges of the k-truss — the maximal
     subgraph where every edge participates in ≥ k-2 triangles — with
     each survivor's support measured INSIDE the truss (Cohen 2008).
-    Iterative peeling, the edge-centric sibling of :func:`kcore`:
-    per round one triangle enumeration over the surviving subgraph (the
-    bloom-prefiltered wedge kernel — each round's cost is wedge-shaped
-    in the SURVIVING graph, which only shrinks), one per-edge support
-    aggregate, one filter; survivors localCheckpoint per round (edge-
-    sized state, bounded rounds). Early exit at the fixpoint is
-    value-neutral against the oracle's fixed unroll (``TRUSS_ROUNDS``
-    contract). ``oriented0`` lets round 1 serve the prebuilt full-graph
-    orientation artifact."""
+
+    FRONTIER-PROPORTIONAL peeling (r8, VERDICT r7 #1 — the edge-centric
+    twin of the r7 k-core decrement): iteration state is the edge-sized
+    (src, dst, sup) table, seeded by ONE full bloom-prefiltered
+    enumeration (:func:`edge_support`); after that no round re-enumerates
+    the surviving subgraph. Per round:
+
+    - frontier R = edges with sup < k-2 (one filter over checkpointed
+      state);
+    - enumerate ONLY the triangles of the pre-removal subgraph S that
+      contain a frontier edge: expand each removed edge from its
+      min-(degree, id) endpoint's adjacency (fanout bounded by min
+      degree, the same hub-proofing as the orientation) and close
+      against the surviving edge set — a bloom-bitmap prefilter and an
+      estimate-scaled sort-free ShuffledHashJoin, exactly the exact
+      kernel's measures, but over the frontier's incident wedges instead
+      of all wedges;
+    - de-duplicate triangles by sorted node triple (a triangle with two
+      or three frontier edges must decrement each survivor ONCE), explode
+      to the three normalized edges, and subtract per-survivor counts.
+
+    The maintained sup equals support inside the induced surviving
+    subgraph — each triangle of S \\ R is untouched (no frontier edge),
+    each destroyed triangle decrements each of its surviving edges
+    exactly once — which is what the oracle's per-round full
+    re-aggregation computes (``_ktruss_sql``). Early exit at the empty
+    frontier is value-neutral against the oracle's fixed unroll
+    (``TRUSS_ROUNDS`` identical-truncation contract). ``oriented0`` lets
+    the seeding enumeration serve the prebuilt full-graph orientation
+    artifact.
+
+    ADAPTIVE route per round: the decrement is frontier-proportional,
+    but when the frontier is a large FRACTION of the graph (round 1 at
+    a peel-heavy k removes most edges — measured 89% at sf0.1) the
+    frontier's incident wedges EXCEED the whole graph's wedge volume
+    (Σ_R min-deg ≈ 3× Σ C(outdeg,2) at that fraction) while the
+    survivors' wedge volume collapses quadratically — so a round whose
+    frontier fraction is ≥ ``reenum_frac`` re-enumerates the (small)
+    surviving subgraph instead (uniform-thinning crossover: re-enum ∝
+    W·(1-f)², decrement ∝ f·Σ min-deg ≈ 2.5·f·W → f* ≈ 0.2). Both
+    routes produce support inside the surviving subgraph exactly, so
+    the choice is value-neutral (pinned by
+    ``test_graph.py::test_ktruss_decrement_and_reenum_routes_agree``)."""
+    spark = edges.sparkSession
     cur = edges.select("src", "dst")
-    prev_n = None
-    final = None
-    for i in range(rounds):
-        sup = edge_support(cur, oriented=oriented0 if i == 0 else None)
-        nxt = (
-            cur.join(sup, ["src", "dst"], "left")
-            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
-            .select("src", "dst")
-        ).localCheckpoint()
-        n = nxt.count()
-        cur = nxt
-        if n == prev_n:
-            # fixpoint: the filter removed nothing, so this round's sup was
-            # measured on exactly the surviving edge set — reuse it instead
-            # of paying one more enumeration
-            final = sup
-            break
-        prev_n = n
-    if final is None:
-        final = edge_support(cur)
-    return cur.join(final, ["src", "dst"], "left").select(
-        "src", "dst", F.coalesce(F.col("sup"), F.lit(0)).alias("support")
+    sup0 = edge_support(cur, oriented=oriented0)
+    state = (
+        cur.join(sup0, ["src", "dst"], "left")
+        .select(
+            "src", "dst", F.coalesce(F.col("sup"), F.lit(0)).alias("sup")
+        )
+        .localCheckpoint()
     )
+    n_state = state.count()
+    floor_part = spark.sparkContext.defaultParallelism
+    debug = bool(os.environ.get("SPARK_GRAFT_TRUSS_DEBUG"))
+    for rnd in range(rounds):
+        t_round = time.perf_counter()
+        removed = state.filter(F.col("sup") < k - 2).select("src", "dst")
+        n_removed = removed.count()
+        if n_removed == 0:
+            break
+        if n_state and n_removed / n_state >= reenum_frac:
+            # large frontier: survivors are the small side — one
+            # enumeration over them re-measures support directly
+            surv = (
+                state.filter(F.col("sup") >= k - 2)
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            sup_new = edge_support(surv)
+            state = (
+                surv.join(sup_new, ["src", "dst"], "left")
+                .select(
+                    "src",
+                    "dst",
+                    F.coalesce(F.col("sup"), F.lit(0)).alias("sup"),
+                )
+                .localCheckpoint()
+            )
+            n_state = n_state - n_removed
+            if debug:
+                print(
+                    f"[truss] round {rnd}: reenum removed={n_removed} "
+                    f"left={n_state} {time.perf_counter() - t_round:.1f}s"
+                )
+            continue
+        # pre-removal adjacency + degrees of S (recomputed lazily from the
+        # checkpointed edge-sized state — never shuffled as a whole)
+        sym_s = state.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).unionAll(state.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        deg_s = sym_s.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        # pivot each frontier edge on its min-(degree, id) endpoint so the
+        # candidate fanout is Σ_R min(deg) — hub-proof, the support-update
+        # cost truss decomposition is supposed to pay
+        r = (
+            removed.join(deg_s.withColumnRenamed("node", "src"), "src")
+            .withColumnRenamed("deg", "ds")
+            .join(
+                deg_s.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "deg", "dd"
+                ),
+                "dst",
+            )
+        )
+        fwd = F.struct("ds", "src") < F.struct("dd", "dst")
+        piv = r.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("p"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("q"),
+            F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("dp"),
+        )
+        est_row = piv.agg(F.sum("dp").alias("c")).collect()[0]
+        n_cand = int(est_row["c"] or 0)
+        n_part = int(
+            min(
+                WEDGE_MAX_PARTITIONS,
+                max(
+                    floor_part,
+                    n_cand * WEDGE_ROW_BYTES // WEDGE_PARTITION_TARGET_BYTES + 1,
+                    # the closing build side is edge-shaped: keep each
+                    # partition's unspillable hash map small
+                    n_state * WEDGE_ROW_BYTES // SHJ_BUILD_TARGET_BYTES + 1,
+                ),
+            )
+        )
+        cand = (
+            piv.join(sym_s, piv["p"] == sym_s["a"])
+            .filter(F.col("b") != F.col("q"))
+            .select(
+                "p",
+                "q",
+                F.col("b").alias("w"),
+                F.least("q", F.col("b")).alias("x"),
+                F.greatest("q", F.col("b")).alias("y"),
+            )
+        )
+        closing = state.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        bm = (
+            _closing_bitmap(closing, n_state)
+            if n_cand >= TRI_BLOOM_WEDGE_FLOOR
+            else None
+        )
+        if bm is not None:
+            bitmap, n_words = bm
+            cand = cand.join(
+                F.broadcast(bitmap),
+                F.pmod(F.xxhash64("x", "y"), F.lit(n_words)) == F.col("w_idx"),
+            ).filter(
+                F.expr(
+                    "(word & shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(pmod(xxhash64(y, x), 64) AS INT))) != 0"
+                )
+            )
+        tri = (
+            cand.select("p", "q", "w", "x", "y")
+            .repartition(n_part, "x", "y")
+            .join(
+                closing.repartition(n_part, "x", "y").hint("shuffle_hash"),
+                ["x", "y"],
+            )
+        )
+        trid = tri.select(
+            F.array_sort(F.array("p", "q", "w")).alias("t")
+        ).distinct()
+        dec = (
+            trid.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("t")[0].alias("s"), F.col("t")[1].alias("d")
+                        ),
+                        F.struct(
+                            F.col("t")[0].alias("s"), F.col("t")[2].alias("d")
+                        ),
+                        F.struct(
+                            F.col("t")[1].alias("s"), F.col("t")[2].alias("d")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        state = (
+            state.filter(F.col("sup") >= k - 2)
+            .join(dec, ["src", "dst"], "left")
+            .select(
+                "src",
+                "dst",
+                (F.col("sup") - F.coalesce(F.col("c"), F.lit(0))).alias("sup"),
+            )
+            .localCheckpoint()
+        )
+        n_state = n_state - n_removed
+        if debug:
+            print(
+                f"[truss] round {rnd}: decrement removed={n_removed} "
+                f"cand={n_cand} left={n_state} "
+                f"{time.perf_counter() - t_round:.1f}s"
+            )
+    return state.select("src", "dst", F.col("sup").alias("support"))
 
 
 @register("graph_ktruss", _ktruss_sql())
@@ -1669,11 +1891,325 @@ def graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     to skip-gram training pairs — closing the graph-embedding
     preprocessing pipeline (adjacency → walks → co-occurrence pairs),
     value-oracled end-to-end through both stages."""
-    walks = random_walks(
-        shared_edges(spark, sf_dir).select("src", "dst"),
-        adj=shared_artifact(spark, sf_dir, "adj_indexed"),
+    return walk_skipgrams(shared_artifact(spark, sf_dir, "walks"))
+
+
+# --- in-engine word2vec (SGNS over the walk corpus) ---------------------------
+
+#: Embedding trainer constants (VERDICT r7 #3 — closing adjacency →
+#: walks → skip-grams → VECTORS in-engine). Small on purpose: every
+#: gradient step is value-oracled through DuckDB, so the unrolled CTE
+#: chain must stay legible; the kernel itself takes dims/iters as
+#: arguments and scales the same way at any size.
+EMB_DIMS = 4
+EMB_ITERS = 4
+EMB_NEG = 2
+EMB_ETA = 2.0
+
+#: Hash-init denominators: init values are dyadic rationals
+#: (h % 2^20) / 2^21 - 0.25 ∈ [-0.25, 0.25) — EXACTLY representable
+#: doubles, so both engines start from bit-identical state.
+_EMB_INIT_MOD = 1 << 20
+_EMB_INIT_DEN = float(1 << 21)
+
+
+def _emb_init_cols(prefix: str, dims: int) -> list:
+    return [
+        (
+            F.pmod(
+                texthash.hash60(
+                    F.concat(
+                        F.lit(f"{prefix}_"),
+                        F.col("node").cast("string"),
+                        F.lit(f"_{d}"),
+                    )
+                ),
+                F.lit(_EMB_INIT_MOD),
+            )
+            / F.lit(_EMB_INIT_DEN)
+            - F.lit(0.25)
+        ).alias(f"{prefix}{d}")
+        for d in range(dims)
+    ]
+
+
+def node_embeddings(
+    edges: DataFrame,
+    steps: int = WALK_STEPS,
+    window: int = SKIPGRAM_WINDOW,
+    dims: int = EMB_DIMS,
+    iters: int = EMB_ITERS,
+    neg: int = EMB_NEG,
+    eta: float = EMB_ETA,
+    adj: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(part_id, e0..e{dims-1}): trained node embeddings — word2vec
+    skip-gram with negative sampling (Mikolov et al. 2013) over the
+    deterministic walk corpus, as FULL-BATCH synchronous gradient
+    descent in the :mod:`classifier` discipline: per iteration ONE
+    pair-sized join (train pairs ⋈ in-vectors ⋈ out-vectors, all hash
+    joins on node keys) and TWO node-sized gradient aggregates, no
+    driver loop over samples, every arithmetic step replayed exactly by
+    the DuckDB oracle.
+
+    Derandomization makes SGD oracle-able: negatives for pair (c, o)
+    are nodes at index hash60(c_o_j) mod |V| of the sorted vocabulary
+    (the md5-uniform discipline of the walks/DSIR samplers; collisions
+    with the true context are kept — both engines compute them
+    identically), and both embedding tables initialize from dyadic-
+    rational hash draws instead of RNG state. Batch (not per-sample)
+    updates make the result partition-order-independent — the property
+    that lets 1000 executors train without a parameter server; this is
+    one synchronous step of distributed SGNS (the Spark analog of
+    MLlib Word2Vec's per-partition updates, minus the nondeterministic
+    merge). The vocabulary index is one global sort of |V| node ids —
+    the unigram-table build every word2vec pays once.
+
+    Scale shape: pairs ≤ (steps+1)·2·window·|V| rows; each iteration's
+    joins shuffle pair-sized frames on node keys; gradients are
+    map-side-combinable sums; state is two |V|×dims tables,
+    lineage-truncated per iteration."""
+    in_e, _, _, _ = _train_sgns(
+        edges, steps, window, dims, iters, neg, eta, adj, pairs
     )
-    return walk_skipgrams(walks)
+    return in_e.select(
+        F.col("node").alias("part_id"),
+        *[F.round(F.col(f"i{d}"), 6).alias(f"e{d}") for d in range(dims)],
+    )
+
+
+def _train_sgns(
+    edges: DataFrame,
+    steps: int = WALK_STEPS,
+    window: int = SKIPGRAM_WINDOW,
+    dims: int = EMB_DIMS,
+    iters: int = EMB_ITERS,
+    neg: int = EMB_NEG,
+    eta: float = EMB_ETA,
+    adj: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """(in-vectors (node, i0..), out-vectors (node, o0..), vocab
+    (node, idx), |V|) — the raw trainer behind :func:`node_embeddings`,
+    unrounded so downstream consumers (the eval query) compose before
+    the output round. ``pairs`` serves the prebuilt skip-gram artifact
+    (``shared_artifact(..., "skipgrams")``) — identical content to the
+    in-line derivation by determinism."""
+    if pairs is None:
+        pairs = walk_skipgrams(
+            random_walks(edges, steps=steps, adj=adj), window=window
+        )
+    vocab_nodes = (
+        _sym(edges).select(F.col("a").alias("node")).distinct()
+    )
+    w = Window.orderBy("node")
+    vocab = vocab_nodes.select(
+        "node", (F.row_number().over(w) - 1).cast("long").alias("idx")
+    ).localCheckpoint(eager=False)
+    nv = vocab.count()
+    pos = pairs.select(
+        "center", "context", "n_pairs", F.lit(1.0).alias("y")
+    )
+    negs = (
+        pairs.select(
+            "center",
+            "context",
+            "n_pairs",
+            F.explode(F.array(*[F.lit(j) for j in range(1, neg + 1)])).alias("j"),
+        )
+        .withColumn(
+            "nidx",
+            F.pmod(
+                texthash.hash60(
+                    F.concat_ws(
+                        "_",
+                        F.col("center").cast("string"),
+                        F.col("context").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.lit(nv),
+            ),
+        )
+        .join(vocab, F.col("nidx") == F.col("idx"))
+        .select(
+            "center",
+            F.col("node").alias("context"),
+            "n_pairs",
+            F.lit(0.0).alias("y"),
+        )
+    )
+    train = pos.unionByName(negs).localCheckpoint(eager=False)
+    in_e = vocab_nodes.select("node", *_emb_init_cols("i", dims))
+    out_e = vocab_nodes.select("node", *_emb_init_cols("o", dims))
+    for _ in range(iters):
+        tr = train.join(
+            in_e.withColumnRenamed("node", "center"), "center"
+        ).join(out_e.withColumnRenamed("node", "context"), "context")
+        dot = sum(F.col(f"i{d}") * F.col(f"o{d}") for d in range(dims))
+        gw = F.col("n_pairs") * (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-dot)) - F.col("y")
+        )
+        tr = tr.withColumn("gw", gw)
+        # per-node WEIGHTED-AVERAGE gradient (÷ Σ n_pairs): step size is
+        # bounded by eta·max|vec| regardless of a node's pair mass — the
+        # hub-proofing without which high-degree nodes take degree-sized
+        # steps and oscillate (measured: un-normalized updates pushed
+        # co-occurring pairs APART at every tested eta)
+        ing = tr.groupBy(F.col("center").alias("node")).agg(
+            *[
+                (F.sum(F.col("gw") * F.col(f"o{d}")) / F.sum("n_pairs")).alias(
+                    f"g{d}"
+                )
+                for d in range(dims)
+            ]
+        )
+        outg = tr.groupBy(F.col("context").alias("node")).agg(
+            *[
+                (F.sum(F.col("gw") * F.col(f"i{d}")) / F.sum("n_pairs")).alias(
+                    f"g{d}"
+                )
+                for d in range(dims)
+            ]
+        )
+        in_e = (
+            in_e.join(ing, "node", "left")
+            .select(
+                "node",
+                *[
+                    (
+                        F.col(f"i{d}")
+                        - F.lit(eta) * F.coalesce(F.col(f"g{d}"), F.lit(0.0))
+                    ).alias(f"i{d}")
+                    for d in range(dims)
+                ],
+            )
+            .localCheckpoint(eager=False)
+        )
+        out_e = (
+            out_e.join(outg, "node", "left")
+            .select(
+                "node",
+                *[
+                    (
+                        F.col(f"o{d}")
+                        - F.lit(eta) * F.coalesce(F.col(f"g{d}"), F.lit(0.0))
+                    ).alias(f"o{d}")
+                    for d in range(dims)
+                ],
+            )
+            .localCheckpoint(eager=False)
+        )
+    return in_e, out_e, vocab, nv
+
+
+def _node_emb_sql(
+    steps: int = WALK_STEPS,
+    window: int = SKIPGRAM_WINDOW,
+    dims: int = EMB_DIMS,
+    iters: int = EMB_ITERS,
+    neg: int = EMB_NEG,
+    eta: float = EMB_ETA,
+) -> tuple[str, str]:
+    """(CTE chain, final in-table name) for the unrolled SGNS trainer —
+    shared by the embeddings query and the eval query."""
+    dcols = list(range(dims))
+
+    def init_cols(prefix: str) -> str:
+        outs = []
+        for d in dcols:
+            h = texthash.hash60_sql(f"'{prefix}_' || node::VARCHAR || '_{d}'")
+            outs.append(
+                f"(({h}) % {_EMB_INIT_MOD}) / {_EMB_INIT_DEN} - 0.25 AS {prefix}{d}"
+            )
+        return ", ".join(outs)
+
+    nh = texthash.hash60_sql(
+        "center::VARCHAR || '_' || context::VARCHAR || '_' || j::VARCHAR"
+    )
+    junnest = ", ".join(str(j) for j in range(1, neg + 1))
+    # every CTE is MATERIALIZED (the _kcore_sql lesson): walks is
+    # referenced by pairs (twice) and vnodes, train by every iteration,
+    # in{t}/out{t} by three successors each — default inlining would
+    # re-expand the whole unrolled chain exponentially
+    parts = [
+        f"walks AS MATERIALIZED ({_walks_sql(steps).strip()})",
+        f"""pairs AS MATERIALIZED (
+SELECT c.node AS center, o.node AS context, count(*)::BIGINT AS n_pairs
+FROM walks c
+JOIN walks o ON o.walk_id = c.walk_id
+            AND o.step BETWEEN c.step - {window} AND c.step + {window}
+            AND o.step <> c.step
+WHERE c.node <> o.node
+GROUP BY 1, 2)""",
+        "vnodes AS MATERIALIZED (SELECT DISTINCT walk_id AS node FROM walks)",
+        "vocab AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx FROM vnodes)",
+        "nv AS MATERIALIZED (SELECT count(*)::BIGINT AS nv FROM vnodes)",
+        f"""train AS MATERIALIZED (
+SELECT center, context, n_pairs, 1.0 AS y FROM pairs
+UNION ALL
+SELECT p.center, v.node AS context, p.n_pairs, 0.0 AS y
+FROM pairs p
+CROSS JOIN (SELECT unnest([{junnest}]) AS j) jj
+CROSS JOIN nv
+JOIN vocab v ON v.idx = ({nh}) % nv.nv)""",
+        f"in0 AS MATERIALIZED (SELECT node, {init_cols('i')} FROM vnodes)",
+        f"out0 AS MATERIALIZED (SELECT node, {init_cols('o')} FROM vnodes)",
+    ]
+    for t in range(1, iters + 1):
+        dot = " + ".join(f"i.i{d} * o.o{d}" for d in dcols)
+        icols = ", ".join(f"i.i{d}" for d in dcols)
+        ocols = ", ".join(f"o.o{d}" for d in dcols)
+        parts.append(
+            f"""j{t} AS MATERIALIZED (
+SELECT tr.center, tr.context, tr.n_pairs, {icols}, {ocols},
+       tr.n_pairs * (1.0 / (1.0 + exp(-({dot}))) - tr.y) AS gw
+FROM train tr
+JOIN in{t - 1} i ON i.node = tr.center
+JOIN out{t - 1} o ON o.node = tr.context)"""
+        )
+        ing = ", ".join(f"sum(gw * o{d}) / sum(n_pairs) AS g{d}" for d in dcols)
+        outg = ", ".join(f"sum(gw * i{d}) / sum(n_pairs) AS g{d}" for d in dcols)
+        iupd = ", ".join(
+            f"p.i{d} - {eta} * coalesce(g.g{d}, 0) AS i{d}" for d in dcols
+        )
+        oupd = ", ".join(
+            f"p.o{d} - {eta} * coalesce(g.g{d}, 0) AS o{d}" for d in dcols
+        )
+        parts.append(
+            f"ing{t} AS MATERIALIZED (SELECT center AS node, {ing} FROM j{t} GROUP BY 1)"
+        )
+        parts.append(
+            f"in{t} AS MATERIALIZED (SELECT p.node, {iupd} FROM in{t - 1} p "
+            f"LEFT JOIN ing{t} g USING (node))"
+        )
+        parts.append(
+            f"outg{t} AS MATERIALIZED (SELECT context AS node, {outg} FROM j{t} GROUP BY 1)"
+        )
+        parts.append(
+            f"out{t} AS MATERIALIZED (SELECT p.node, {oupd} FROM out{t - 1} p "
+            f"LEFT JOIN outg{t} g USING (node))"
+        )
+    return ",\n".join(parts), f"in{iters}"
+
+
+def _node_embeddings_sql() -> str:
+    ctes, fin = _node_emb_sql()
+    ecols = ", ".join(f"round(i{d}, 6) AS e{d}" for d in range(EMB_DIMS))
+    return f"WITH {ctes}\nSELECT node AS part_id, {ecols} FROM {fin}"
+
+
+@register("graph_node_embeddings", _node_embeddings_sql())
+def graph_node_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third DeepWalk stage (VERDICT r7 #3): adjacency → walks →
+    skip-gram pairs → TRAINED VECTORS, all in-engine, the whole train
+    value-oracled to 6 decimals through DuckDB's identical unrolled
+    gradient chain."""
+    return node_embeddings(
+        shared_edges(spark, sf_dir).select("src", "dst"),
+        pairs=shared_artifact(spark, sf_dir, "skipgrams"),
+    )
 
 
 # --- degree assortativity ------------------------------------------------------
@@ -1881,7 +2417,9 @@ FROM tri
 """
 
 
-def triangle_estimate(edges: DataFrame, mod: int = TRI_SAMPLE_MOD) -> DataFrame:
+def triangle_estimate(
+    edges: DataFrame, mod: int = TRI_SAMPLE_MOD, oriented: DataFrame | None = None
+) -> DataFrame:
     """(n_sampled_edges, sampled_triangles, est_total_triangles): DOULION
     (Tsourakakis et al. 2009) — count triangles on a p=1/mod edge sample
     and scale by 1/p³ for an unbiased estimate of the total. The sample
@@ -1891,18 +2429,47 @@ def triangle_estimate(edges: DataFrame, mod: int = TRI_SAMPLE_MOD) -> DataFrame:
     anyway. Cost: the wedge join runs on |E|/mod edges, so the dominant
     O(Σ out-deg²) term shrinks ~mod² — the cheap first answer before
     paying for the exact kernel."""
-    kept = edges.select("src", "dst").filter(
-        texthash.hash60(
-            F.concat_ws("_", F.col("src").cast("string"), F.col("dst").cast("string"))
+    if oriented is not None:
+        # serve the PREBUILT full-graph orientation restricted to the
+        # sampled edge keys (r8): a degree orientation only needs SOME
+        # consistent total vertex order for exactly-once counting, so
+        # full-graph (deg, id) order is as valid on the sampled subgraph
+        # as the sample's own — and skips rebuilding degrees + two joins
+        # per estimate (measured 6.3s → 2.6s at sf0.1). The id-ordered
+        # edge key {least, greatest}(u, v) reconstructs the hash the
+        # oracle samples on.
+        kept_o = oriented.filter(
+            texthash.hash60(
+                F.concat_ws(
+                    "_",
+                    F.least("u", "v").cast("string"),
+                    F.greatest("u", "v").cast("string"),
+                )
+            )
+            % mod
+            == 0
+        ).localCheckpoint(eager=False)
+        per_node = triangle_counts(edges, oriented=kept_o)
+        ne = kept_o.agg(F.count(F.lit(1)).alias("n_sampled_edges"))
+    else:
+        kept = edges.select("src", "dst").filter(
+            texthash.hash60(
+                F.concat_ws(
+                    "_", F.col("src").cast("string"), F.col("dst").cast("string")
+                )
+            )
+            % mod
+            == 0
         )
-        % mod
-        == 0
-    )
-    per_node = triangle_counts(kept)
+        # materialize the sample once: the md5 edge-key filter costs ~1s
+        # per evaluation and the orientation + wedge kernel scans `kept`
+        # ~5× (degree agg, two endpoint joins, wedge stats, closing side)
+        kept = kept.localCheckpoint(eager=False)
+        per_node = triangle_counts(kept)
+        ne = kept.agg(F.count(F.lit(1)).alias("n_sampled_edges"))
     tri = per_node.agg(
         (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("t")
     )
-    ne = kept.agg(F.count(F.lit(1)).alias("n_sampled_edges"))
     return ne.crossJoin(tri).select(
         "n_sampled_edges",
         F.col("t").alias("sampled_triangles"),
@@ -1920,7 +2487,10 @@ def triangle_estimate(edges: DataFrame, mod: int = TRI_SAMPLE_MOD) -> DataFrame:
     ),
 )
 def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return triangle_estimate(shared_edges(spark, sf_dir))
+    return triangle_estimate(
+        shared_edges(spark, sf_dir),
+        oriented=shared_artifact(spark, sf_dir, "oriented"),
+    )
 
 
 # --- item-item collaborative-filtering cosine ----------------------------------
@@ -1978,6 +2548,217 @@ def cf_cosine_pairs(edges: DataFrame, top: int = CF_TOP) -> DataFrame:
 @register("graph_cf_cosine", _CF_COSINE_SQL)
 def graph_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cf_cosine_pairs(shared_edges(spark, sf_dir))
+
+
+#: Cohort size for the embedding eval (matched across cohorts).
+EMB_EVAL_PAIRS = 50
+
+#: Session-lifetime trained-embedding store: (app_id, sf_dir) ->
+#: (in_e, out_e, vocab, nv). The eval query SERVES trained vectors the
+#: way ivf_search_prebuilt serves a built index — the trainer query
+#: (graph_node_embeddings) keeps paying its full training inside its
+#: timed region; this cache only spares its CONSUMERS a retrain.
+_SGNS_CACHE: dict = {}
+
+
+def shared_sgns(spark: SparkSession, sf_dir: str):
+    """Trained SGNS state over the shared graph store, built once per
+    (session, corpus) from the skipgrams artifact. Deterministic, so
+    cache hits are value-identical to a fresh train."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    registry.require_warm(_SGNS_CACHE, key, "trained sgns embeddings")
+    if key not in _SGNS_CACHE:
+        _SGNS_CACHE[key] = _train_sgns(
+            shared_edges(spark, sf_dir).select("src", "dst"),
+            pairs=shared_artifact(spark, sf_dir, "skipgrams"),
+        )
+    return _SGNS_CACHE[key]
+
+
+def embedding_pair_eval(
+    edges: DataFrame,
+    n_pairs_eval: int = EMB_EVAL_PAIRS,
+    dims: int = EMB_DIMS,
+    adj: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    trained: tuple | None = None,
+) -> DataFrame:
+    """(pair_kind, n_pairs, mean_cosine): intrinsic eval of the trained
+    vectors against the model's own similarity (in·out cosine — the
+    score SGNS trains, Mikolov et al. 2013 §2) over three deterministic
+    cohorts:
+
+    - ``trained_top`` — the ``n_pairs_eval`` most frequent skip-gram
+      pairs: training must rank these far above chance (pinned > random
+      in tests; measured +0.44 vs +0.04 at the registered constants);
+    - ``cf_overlap`` — skip-gram pairs ranked by their co-purchase
+      CF-cosine strength (:func:`cf_cosine_pairs`' scoring): the
+      cross-signal check that embedding affinity tracks the independent
+      co-purchase statistic. Restricted to pairs the walk corpus
+      actually visited — the raw CF top-k is NOT a valid eval cohort at
+      one walk per node (measured: 1 of its 50 pairs appears in the
+      corpus; scoring unvisited pairs measures walk coverage, not
+      training);
+    - ``random`` — md5-uniform vocabulary pairs (self-pairs dropped
+      identically on both engines), the chance baseline.
+
+    FULL value oracle: trainer, cohort construction, and cosine
+    arithmetic all replayed in DuckDB. The cohort top-k windows are
+    global but k-bounded (row_number over n_pairs / cf score with id
+    tie-breaks)."""
+    if trained is None:
+        trained = _train_sgns(
+            edges.select("src", "dst"), dims=dims, adj=adj, pairs=pairs
+        )
+    in_e, out_e, vocab, nv = trained
+    spark = edges.sparkSession
+    if pairs is None:
+        pairs = walk_skipgrams(
+            random_walks(edges.select("src", "dst"), adj=adj)
+        ).localCheckpoint(eager=False)
+    wtop = Window.orderBy(F.desc("n_pairs"), "center", "context")
+    tt = (
+        pairs.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= n_pairs_eval)
+        .select(
+            F.lit("trained_top").alias("pair_kind"),
+            F.col("center").alias("src"),
+            F.col("context").alias("dst"),
+        )
+    )
+    sym = _sym_w(edges)
+    mass = sym.groupBy(F.col("a").alias("node")).agg(
+        F.sum("w0").cast("double").alias("tot")
+    )
+    ma = mass.select(F.col("node").alias("_a"), F.col("tot").alias("ta"))
+    mb = mass.select(F.col("node").alias("_b"), F.col("tot").alias("tb"))
+    cf_scored = (
+        edges.join(ma, edges["src"] == ma["_a"])
+        .join(mb, edges["dst"] == mb["_b"])
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.col("n_orders") / F.sqrt(F.col("ta") * F.col("tb")), 6
+            ).alias("cf_cosine"),
+        )
+    )
+    wcf = Window.orderBy(F.desc("cf_cosine"), "src", "dst")
+    cfo = (
+        cf_scored.join(
+            pairs,
+            (cf_scored["src"] == pairs["center"])
+            & (cf_scored["dst"] == pairs["context"]),
+            "semi",
+        )
+        .withColumn("rk", F.row_number().over(wcf))
+        .filter(F.col("rk") <= n_pairs_eval)
+        .select(F.lit("cf_overlap").alias("pair_kind"), "src", "dst")
+    )
+    draws = spark.range(1, n_pairs_eval + 1).select(F.col("id").alias("j"))
+    ra = F.pmod(
+        texthash.hash60(F.concat(F.lit("ra_"), F.col("j").cast("string"))),
+        F.lit(nv),
+    )
+    rb = F.pmod(
+        texthash.hash60(F.concat(F.lit("rb_"), F.col("j").cast("string"))),
+        F.lit(nv),
+    )
+    va = vocab.select(F.col("idx").alias("ia"), F.col("node").alias("src"))
+    vb = vocab.select(F.col("idx").alias("ib"), F.col("node").alias("dst"))
+    rnd = (
+        draws.select(ra.alias("ia"), rb.alias("ib"))
+        .join(F.broadcast(va), "ia")
+        .join(F.broadcast(vb), "ib")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.lit("random").alias("pair_kind"), "src", "dst")
+    )
+    allp = tt.unionByName(cfo).unionByName(rnd)
+    ea = in_e.select(
+        F.col("node").alias("src"),
+        *[F.col(f"i{d}").alias(f"a{d}") for d in range(dims)],
+    )
+    eb = out_e.select(
+        F.col("node").alias("dst"),
+        *[F.col(f"o{d}").alias(f"b{d}") for d in range(dims)],
+    )
+    dot = sum(F.col(f"a{d}") * F.col(f"b{d}") for d in range(dims))
+    na = sum(F.col(f"a{d}") * F.col(f"a{d}") for d in range(dims))
+    nb = sum(F.col(f"b{d}") * F.col(f"b{d}") for d in range(dims))
+    return (
+        allp.join(ea, "src")
+        .join(eb, "dst")
+        .select("pair_kind", (dot / F.sqrt(na * nb)).alias("cos"))
+        .groupBy("pair_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cos"), 6).alias("mean_cosine"),
+        )
+    )
+
+
+def _embedding_eval_sql(
+    n_pairs_eval: int = EMB_EVAL_PAIRS,
+    dims: int = EMB_DIMS,
+    iters: int = EMB_ITERS,
+) -> str:
+    ctes, fin = _node_emb_sql(dims=dims, iters=iters)
+    fout = f"out{iters}"
+    dcols = list(range(dims))
+    ha = texthash.hash60_sql("'ra_' || j::VARCHAR")
+    hb = texthash.hash60_sql("'rb_' || j::VARCHAR")
+    dot = " + ".join(f"ia.i{d} * ib.o{d}" for d in dcols)
+    na = " + ".join(f"ia.i{d} * ia.i{d}" for d in dcols)
+    nb = " + ".join(f"ib.o{d} * ib.o{d}" for d in dcols)
+    return f"""
+WITH {_EDGES_CTE},
+{ctes},
+tt AS (SELECT 'trained_top' AS pair_kind, center AS src, context AS dst FROM (
+    SELECT center, context,
+           row_number() OVER (ORDER BY n_pairs DESC, center, context) AS rk
+    FROM pairs) WHERE rk <= {n_pairs_eval}),
+symw AS (SELECT src AS a, dst AS b, n_orders AS w FROM edges
+         UNION ALL SELECT dst, src, n_orders FROM edges),
+mass AS (SELECT a AS node, sum(w)::DOUBLE AS tot FROM symw GROUP BY 1),
+cfsc AS (SELECT e.src, e.dst,
+                round(e.n_orders / sqrt(sa.tot * sb.tot), 6) AS cf_cosine
+         FROM edges e
+         JOIN mass sa ON sa.node = e.src
+         JOIN mass sb ON sb.node = e.dst),
+cfo AS (SELECT 'cf_overlap' AS pair_kind, src, dst FROM (
+    SELECT c.src, c.dst,
+           row_number() OVER (ORDER BY c.cf_cosine DESC, c.src, c.dst) AS rk
+    FROM cfsc c SEMI JOIN pairs p ON p.center = c.src AND p.context = c.dst)
+    WHERE rk <= {n_pairs_eval}),
+rnd AS (SELECT 'random' AS pair_kind, va.node AS src, vb.node AS dst
+        FROM (SELECT unnest(range(1, {n_pairs_eval + 1})) AS j) jj
+        CROSS JOIN nv
+        JOIN vocab va ON va.idx = ({ha}) % nv.nv
+        JOIN vocab vb ON vb.idx = ({hb}) % nv.nv
+        WHERE va.node <> vb.node),
+allp AS (SELECT * FROM tt UNION ALL SELECT * FROM cfo UNION ALL SELECT * FROM rnd),
+cosd AS (SELECT p.pair_kind,
+                ({dot}) / sqrt(({na}) * ({nb})) AS cos
+         FROM allp p
+         JOIN {fin} ia ON ia.node = p.src
+         JOIN {fout} ib ON ib.node = p.dst)
+SELECT pair_kind, count(*)::BIGINT AS n_pairs, round(avg(cos), 6) AS mean_cosine
+FROM cosd GROUP BY 1
+"""
+
+
+@register("graph_embedding_eval", _embedding_eval_sql())
+def graph_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic eval of the trained node embeddings (VERDICT r7 #3's
+    second half): the model must score its frequent co-occurrences and
+    the CF-strongest visited pairs above hash-random pairs. FULL value
+    oracle — trainer, cohorts, and cosine arithmetic all replayed in
+    DuckDB."""
+    return embedding_pair_eval(
+        shared_edges(spark, sf_dir),
+        pairs=shared_artifact(spark, sf_dir, "skipgrams"),
+        trained=shared_sgns(spark, sf_dir),
+    )
 
 
 # --- per-customer recommendations (item-kNN) ------------------------------------
@@ -2118,12 +2899,13 @@ _QUERY_GRAPH_NEEDS: dict[str, tuple[tuple[str, ...], bool, bool]] = {
     "graph_kcore": (("sym_a",), True, False),
     "graph_ktruss": (("oriented",), True, False),
     "graph_random_walks": (("adj_indexed",), True, False),
-    "graph_walk_skipgrams": (("adj_indexed",), True, False),
+    "graph_walk_skipgrams": (("walks",), True, False),
+    "graph_node_embeddings": (("skipgrams",), True, False),
     "graph_node2vec_walks": (("adj_indexed",), True, False),
     "graph_ppr": (("adj_weighted",), True, False),
     "graph_assortativity": ((), True, False),
     "graph_lpa_communities": (("sym_b",), True, False),
-    "graph_triangle_estimate": ((), True, False),
+    "graph_triangle_estimate": (("oriented",), True, False),
     "graph_cf_cosine": ((), True, False),
     "graph_recommendations": ((), True, True),
 }
@@ -2144,3 +2926,22 @@ def _graph_warmer(kinds: tuple[str, ...], with_edges: bool, with_purchases: bool
 
 for _q, _needs in _QUERY_GRAPH_NEEDS.items():
     registry.WARMERS[_q] = _graph_warmer(*_needs)
+
+
+def _warm_embedding_eval(spark: SparkSession, sf_dir: str) -> None:
+    """graph_embedding_eval serves PREBUILT trained vectors (the
+    ivf_search_prebuilt discipline): warm the corpus chain AND the
+    trained state outside the timed region. The trainer query keeps its
+    own training inside its timing. Populates ``_SGNS_CACHE`` directly —
+    the warm_graph discipline: a warmer must never route through the
+    strict-serve accessor it exists to satisfy."""
+    warm_graph(spark, sf_dir, kinds=("skipgrams",), with_purchases=False)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SGNS_CACHE:
+        _SGNS_CACHE[key] = _train_sgns(
+            shared_edges(spark, sf_dir).select("src", "dst"),
+            pairs=shared_artifact(spark, sf_dir, "skipgrams"),
+        )
+
+
+registry.WARMERS["graph_embedding_eval"] = _warm_embedding_eval
