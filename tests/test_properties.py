@@ -410,3 +410,34 @@ def test_prefix_join_lossless_under_boilerplate(spark):
     assert full_pairs > 3000
     got_cand = len(got)  # final pairs; candidates bounded by prefix join
     assert got_cand == len(want) <= 2
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
+    """A corpus built with freq(rank r) = round(1000/r) must fit slope
+    ≈ -1 with near-perfect r² — and the fixture's flat 31-word vocabulary
+    must NOT (that's the diagnostic working, not failing)."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators.textstats import text_zipf_fit
+
+    words = []
+    for r in range(1, 101):
+        words += [f"term{r:03d}"] * max(1, round(1000 / r))
+    # spread across docs so the scan is non-trivial
+    docs = [" ".join(words[i::20]) for i in range(20)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    d = tmp_path / "zipfdata"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    row = text_zipf_fit(spark, str(d)).collect()[0]
+    assert row["n_terms"] == 100
+    assert -1.05 < row["slope"] < -0.9
+    assert row["r2"] > 0.98

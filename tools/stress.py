@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | walks | recsys | robust | prefixjoin
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | walks | recsys | robust | prefixjoin | bpe
 """
 
 from __future__ import annotations
@@ -420,6 +420,73 @@ def run_winnow(spark, n: int) -> None:
         f"winnow n={n}: {t:6.2f}s  derived cap={cap}; {n_pairs} pairs emitted "
         f"({n_true}/{expected} planted adjacent overlaps found; boilerplate "
         f"df={n} prints capped — pair volume O(N log N), not N²)"
+    )
+
+
+def run_bpe(spark, n: int) -> None:
+    """BPE training at a web-scale-shaped vocabulary: n DISTINCT words
+    (the fixture has 31 — here the distinct-word table is the workload),
+    random 6-12-char words over an 8-letter alphabet in 50-word docs,
+    plus a 200-word Zipf-ish head repeated in every doc so the learned
+    merges are non-degenerate. Prints the one-time corpus aggregation
+    wall and the per-round wall separately: the scale claim is that
+    rounds cost O(vocab · word_len) — they never rescan the corpus."""
+    import random
+
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators import bpe
+
+    rng = random.Random(42)
+    alpha = "abcdefgh"
+    head = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(4, 8)))
+        for _ in range(200)
+    ]
+    rows, wid = [], 0
+    n_docs = max(1, n // 50)
+    for i in range(n_docs):
+        words = [
+            f"{''.join(rng.choice(alpha) for _ in range(rng.randint(6, 12)))}{wid + j}"
+            for j in range(50)
+        ]
+        wid += 50
+        words += rng.sample(head, 10)
+        rows.append((i, " ".join(words)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = f"/tmp/stress_bpe_{n}"
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(
+        path + "/documents.parquet"
+    )
+
+    t0 = time.perf_counter()
+    from vectordb_from_scratch_spark.registry import track_persist
+
+    wf = track_persist(bpe.word_frequencies(spark, path))
+    n_vocab = wf.count()
+    t_corpus = time.perf_counter() - t0
+
+    words = wf.coalesce(max(1, min(32, n_vocab // 65536 + 1)))
+    walls = []
+    for rank in range(1, 11):
+        t0 = time.perf_counter()
+        best = (
+            bpe._pair_counts(words)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )[0]
+        walls.append(time.perf_counter() - t0)
+        words = words.withColumn(
+            "s", bpe.merge_pair(F.col("s"), best["l"], best["r"])
+        )
+        if rank % 4 == 0:
+            words = track_persist(words)
+    print(
+        f"bpe vocab={n_vocab}: corpus agg {t_corpus:6.2f}s; "
+        f"10 rounds {sum(walls):6.2f}s (per-round min/median/max "
+        f"{min(walls):.2f}/{sorted(walls)[len(walls) // 2]:.2f}/{max(walls):.2f}s "
+        f"— rounds touch only the distinct-word table)"
     )
 
 
@@ -1020,6 +1087,8 @@ def main() -> None:
         return run_winnow(spark, n)
     if mode == "dupspan":
         return run_dupspan(spark, n)
+    if mode == "bpe":
+        return run_bpe(spark, n)
     if mode == "graph":
         return run_graph(spark, n)
     if mode == "graph2":

@@ -1,0 +1,292 @@
+"""In-engine BPE tokenizer training (Sennrich et al. 2016) over the
+``documents`` corpus — the subword-vocabulary step every LLM data pipeline
+runs before token counting, packing, or dedup-by-token.
+
+The reference has no tokenizer surface (its only text op is Cohere
+embedding calls, /root/reference/app/api/routes/embed.py); this is a
+north-star extension in the `text_*` family discipline: exact integer
+arithmetic end to end, the ENTIRE training loop replayed by a DuckDB
+unrolled MATERIALIZED-CTE oracle.
+
+Algorithm (classic corpus-frequency BPE):
+  1. word frequencies — one corpus scan, map-side combinable;
+  2. each word starts as its character sequence;
+  3. per round: count adjacent symbol pairs weighted by word frequency
+     (overlaps counted, the textbook rule), take the global argmax with
+     the pinned tie-break (count DESC, left ASC, right ASC), merge every
+     occurrence greedy-left-to-right, repeat.
+
+Scale shape: after round 0 ALL work runs over the DISTINCT-WORD table
+(Heaps' law: sublinear in corpus size — the reason word-level BPE
+training is tractable at 100 TB while corpus-level scans per round are
+not). Each round is one pair-count aggregate (map-side combine on the
+vocab's own partitioning) + a 1-row global argmax (TakeOrderedAndProject)
++ one projection; the argmax row is the only driver materialization
+(scalar-stats class, bounded at 1 row/round).
+
+The greedy merge itself is a single ``replace`` over a separator-wrapped
+symbol string: a word's symbols are stored as ``⟂s1⟂⟂s2⟂…⟂sk⟂``
+(⟂ = US, chr(31), outside the corpus alphabet), and merging pair (L, R)
+is ``replace(s, '⟂L⟂⟂R⟂', '⟂LR⟂')``. Because every symbol carries its
+own ⟂…⟂ wrapper, the pattern can only match whole symbols (no
+mid-symbol false hits), and left-to-right non-overlapping `replace`
+semantics — identical in Spark and DuckDB — are exactly BPE's greedy
+merge, including back-to-back merges in runs like ``aaaa`` → ``aa aa``
+(each match consumes only its own wrappers, never a shared separator).
+``tests/test_bpe.py`` pins this equivalence against a pure-Python
+tokenizer under hypothesis-generated adversarial corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import texthash
+from vectordb_from_scratch_spark.registry import register, track_persist
+from vectordb_from_scratch_spark.session import load_table
+
+#: merge rounds learned / replayed by the oracle (bounded CTE unroll).
+BPE_MERGES = 10
+
+#: symbol separator — ASCII unit separator, not producible by the
+#: whitespace tokenizer (texthash.words) from any real corpus byte we
+#: tokenize here; symbols therefore never contain it.
+SEP = "\x1f"
+
+#: per-(sf_dir) trained merge tables, shared by the two registered
+#: queries (train once per session per fixture — same contract as the
+#: walk-corpus artifacts in operators/graph.py).
+_MERGE_CACHE: dict[tuple[str, int], list[tuple[int, str, str, int]]] = {}
+
+
+def wrap_word(word: Column | str) -> Column:
+    """``abc`` → ``⟂a⟂⟂b⟂⟂c⟂``: every char individually ⟂-wrapped.
+
+    Built as ⟂ + per-char ``c⟂⟂`` (global regexp_replace) minus the one
+    surplus trailing ⟂ — the same expression the oracle uses
+    (``left(chr(31) || regexp_replace(word,'(.)','\\1'||…, 'g'), -1)``).
+    """
+    word = F.col(word) if isinstance(word, str) else word
+    s = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", "$1" + SEP + SEP))
+    return s.substr(F.lit(1), F.length(s) - 1)
+
+
+def symbols(s: Column | str) -> Column:
+    """Wrapped string back to its symbol array (split on ⟂, drop empties
+    — mirrors ``list_filter(string_split(s, chr(31)), x -> x != '')``)."""
+    s = F.col(s) if isinstance(s, str) else s
+    return F.filter(F.split(s, SEP), lambda x: x != "")
+
+
+def merge_pair(s: Column, left: str, right: str) -> Column:
+    """One greedy-left-to-right BPE merge as a literal string replace."""
+    pat = SEP + left + SEP + SEP + right + SEP
+    rep = SEP + left + right + SEP
+    return F.replace(s, F.lit(pat), F.lit(rep))
+
+
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, s) — the distinct-word training table with each word
+    pre-wrapped into its initial character-symbol string."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(texthash.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return wf.withColumn("s", wrap_word("word"))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the current symbol strings.
+
+    zip_with over two shifted slices (the text_ngram_freq bigram trick)
+    builds the pair stream without a posexplode self-join; single-symbol
+    words contribute an empty array and drop out of the explode."""
+    ss = symbols("s")
+    k = F.greatest(F.size(ss) - 1, F.lit(0))
+    prs = F.zip_with(
+        F.slice(ss, 1, k),
+        F.slice(ss, 2, k),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        words.select("freq", F.explode(prs).alias("p"))
+        .select("freq", "p.l", "p.r")
+        .groupBy("l", "r")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(rank, left, right, count)].
+
+    Each round collects exactly ONE row (the argmax pair — the same
+    scalar-stats-class driver materialization as the IVF probe policy);
+    the words table re-persists every 4 rounds so a round's pair-count
+    aggregate replays a bounded replace chain, not the corpus scan."""
+    key = (str(sf_dir), int(n_merges))
+    if key in _MERGE_CACHE:
+        return _MERGE_CACHE[key]
+    wf = track_persist(word_frequencies(spark, sf_dir))
+    # size the iteration state to the measured vocabulary: the corpus agg
+    # runs wide, but 10 rounds of tiny aggregates over a 31-row table in
+    # 32 shuffle partitions is pure task-scheduling overhead (measured
+    # 11.1s → 3.4s at sf0.1). ~64k words per partition keeps single-task
+    # rounds at fixture scale and wide rounds at web-scale vocabularies.
+    n_vocab = wf.count()
+    words = wf.coalesce(max(1, min(32, n_vocab // 65536 + 1)))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # alphabet exhausted — every word fully merged
+            break
+        row = best[0]
+        merges.append((rank, row["l"], row["r"], int(row["n"])))
+        words = words.withColumn("s", merge_pair(F.col("s"), row["l"], row["r"]))
+        if rank % 4 == 0 and rank < n_merges:
+            words = track_persist(words)
+    _MERGE_CACHE[key] = merges
+    return merges
+
+
+def apply_merges(s: Column, merges: list[tuple[int, str, str, int]]) -> Column:
+    """Encode: replay the learned merges in rank order as one chained
+    projection (each rank one literal replace — pure codegen, no UDF)."""
+    for _, left, right, _ in merges:
+        s = merge_pair(s, left, right)
+    return s
+
+
+# --- oracle: the training loop as an unrolled MATERIALIZED-CTE chain --------
+#
+# MATERIALIZED because s{i} is referenced by both p{i+1} and s{i+1}; without
+# it DuckDB inlines the replace chain twice per round (2^N blowup). The
+# final SELECT unions the N 1-row argmax CTEs.
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    S = "chr(31)"
+    ctes = [
+        "wf AS MATERIALIZED (SELECT w AS word, count(*)::BIGINT AS freq "
+        "FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w "
+        "FROM documents) GROUP BY w)",
+        f"s0 AS MATERIALIZED (SELECT word, freq, "
+        f"left({S} || regexp_replace(word, '(.)', '\\1' || {S} || {S}, 'g'), -1) AS s "
+        f"FROM wf)",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT ss[i] AS l, ss[i+1] AS r, "
+            f"sum(freq)::BIGINT AS n "
+            f"FROM (SELECT freq, list_filter(string_split(s, {S}), x -> x != '') AS ss "
+            f"FROM s{i - 1}), unnest(range(1, len(ss))) AS u(i) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT {i}::BIGINT AS rank, l, r, n FROM p{i} "
+            f"ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT word, freq, "
+            f"replace(s, {S} || m.l || {S} || {S} || m.r || {S}, "
+            f"{S} || m.l || m.r || {S}) AS s FROM s{i - 1} CROSS JOIN m{i} m)"
+        )
+    return ",\n".join(ctes)
+
+
+_BPE_MERGES_SQL = (
+    "WITH "
+    + _bpe_cte_chain(BPE_MERGES)
+    + "\nSELECT rank, lhs, rhs, lhs || rhs AS new_token, pair_count FROM ("
+    + " UNION ALL ".join(
+        f"SELECT rank, l AS lhs, r AS rhs, n AS pair_count FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    + ") ORDER BY rank"
+)
+
+
+@register("text_bpe_merges", _BPE_MERGES_SQL)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: (rank, lhs, rhs, new_token, pair_count).
+
+    FULL value oracle — DuckDB re-runs the entire training loop (pair
+    counts, argmax tie-breaks, greedy merges) via the unrolled CTE chain
+    and must land on the identical ten merges with identical weighted
+    counts."""
+    merges = train_merges(spark, sf_dir)
+    rows = [
+        (rank, left, right, left + right, n) for rank, left, right, n in merges
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, lhs string, rhs string, new_token string, pair_count bigint"
+    )
+
+
+_BPE_TOKENS_SQL = (
+    "WITH "
+    + _bpe_cte_chain(BPE_MERGES)
+    + f""",
+vt AS (SELECT word,
+              len(list_filter(string_split(s, chr(31)), x -> x != ''))::BIGINT AS n_tokens
+       FROM s{BPE_MERGES}),
+dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+       FROM documents)
+SELECT dw.doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(length(word))::BIGINT AS n_chars,
+       sum(n_tokens)::BIGINT AS bpe_tokens,
+       round(sum(length(word)) * 1.0 / sum(n_tokens), 6) AS chars_per_token
+FROM dw JOIN vt USING (word)
+GROUP BY dw.doc_id
+"""
+)
+
+
+@register("text_bpe_token_counts", _BPE_TOKENS_SQL)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token accounting under the trained vocabulary —
+    the number that prices a document into a token budget (packing,
+    billing, mixture weights all key off it).
+
+    Encoding = the train-time merge chain replayed as ONE projection of
+    ten literal replaces over the wrapped word (pure codegen, no UDF,
+    no per-round shuffle), counted per distinct word, then joined back
+    onto the corpus word stream (vocab-sized broadcast at fixture scale;
+    the join is (word)-keyed co-partitionable past broadcast size). The
+    oracle replays training AND encoding from scratch."""
+    merges = train_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    vocab = word_frequencies(spark, sf_dir).select(
+        "word", F.size(symbols(apply_merges(F.col("s"), merges))).cast("bigint").alias("n_tokens")
+    )
+    from vectordb_from_scratch_spark.operators.textstats import vocab_join
+
+    dw = d.select("doc_id", F.explode(texthash.words("text")).alias("word"))
+    return (
+        vocab_join(dw, vocab, "word", sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_tokens").alias("bpe_tokens"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint"),
+            F.col("n_chars").cast("bigint"),
+            F.col("bpe_tokens").cast("bigint"),
+            "chars_per_token",
+        )
+    )

@@ -1,0 +1,406 @@
+"""Embedding PCA — top two principal components by fixed-iteration power
+method + Hotelling deflation over the corpus covariance, plus per-vector
+(PC1, PC2) scores.
+
+The dimensionality screen that complements ``eval_mrl_overlap``: MRL
+truncation asks "do the FIRST d' coordinates carry the ranking?"; PCA
+asks "what single direction carries the most variance?" — the number
+that sizes whitening / dim-reduction before an ANN index is built.
+No reference anchor (the reference stores vectors verbatim,
+/root/reference/app/core/indexes/flat.py); north-star extension per
+BASELINE.json.
+
+Determinism contract (the reason this is value-oracle-able at all):
+power iteration from a FIXED init vector is a deterministic function —
+no eigenvector sign ambiguity exists because the iterate's sign is
+pinned by ⟨v0, dominant⟩; both engines run the identical 40 steps in
+double precision and outputs are rounded to 6dp (measured cross-engine
+drift ~1e-12, dominated by aggregation-order ulps in the covariance).
+
+Scale shape: ONE corpus pass computes the raw second moment — an
+Arrow-batched einsum per partition emitting a single (n, Σx, Σxxᵀ) row
+per batch (shuffle volume = dims² per batch, independent of corpus
+rows) — then the d²-sized moment matrix reduces by key and the 40
+matrix-vector steps run driver-side on the 64×64 covariance
+(broadcast-class, the train_centroids/probe-policy discipline). The
+corpus is never revisited; scores are one more map-side pass with the
+component as a literal array.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.registry import register
+from vectordb_from_scratch_spark.session import load_table
+
+DIMS = 64
+POWER_ITERS = 40
+
+#: sf_dir -> (mu, v1, eig1, v2, eig2, trace)
+_PCA_CACHE: dict[str, tuple] = {}
+
+
+def _moment_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per Arrow batch: one row carrying (n, Σx, flattened Σ x xᵀ)."""
+    import numpy as np
+
+    for pdf in it:
+        if not len(pdf):
+            continue
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        yield pd.DataFrame(
+            {
+                "n": [int(len(X))],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [np.einsum("ni,nj->ij", X, X).reshape(-1).tolist()],
+            }
+        )
+
+
+def fit_pca2(spark: SparkSession, sf_dir: str) -> tuple:
+    """(mu, v1, eig1, v2, eig2, trace): the top TWO principal components
+    — PC2 by Hotelling deflation (C₂ = C − λ₁v₁v₁ᵀ, then the same 40
+    fixed power steps from the same init; both engines replay the
+    deflation in double precision so the second component is exactly as
+    deterministic as the first)."""
+    key = str(sf_dir)
+    if key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+    import numpy as np
+
+    from vectordb_from_scratch_spark.registry import track_persist
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    parts = track_persist(
+        emb.mapInPandas(
+            _moment_rows, schema="n long, s array<double>, g array<double>"
+        )
+    )
+    # reduce the per-batch moments executor-side: posexplode + keyed sum —
+    # the reduction never concentrates more than d² rows on any node, so
+    # it holds at any batch count; only the d + d² totals (broadcast-
+    # class) ever reach the driver.
+    n = float(parts.agg(F.sum("n")).collect()[0][0])
+    s_rows = (
+        parts.select(F.posexplode("s").alias("i", "val"))
+        .groupBy("i")
+        .agg(F.sum("val").alias("t"))
+        .collect()
+    )
+    g_rows = (
+        parts.select(F.posexplode("g").alias("ij", "val"))
+        .groupBy("ij")
+        .agg(F.sum("val").alias("t"))
+        .collect()
+    )
+    s = np.zeros(DIMS, dtype=np.float64)
+    for r in s_rows:
+        s[r["i"]] = r["t"]
+    G = np.zeros(DIMS * DIMS, dtype=np.float64)
+    for r in g_rows:
+        G[r["ij"]] = r["t"]
+    G = G.reshape(DIMS, DIMS)
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+
+    def power(M):
+        v = np.full(DIMS, 0.125, dtype=np.float64)  # unit-norm fixed init
+        for _ in range(POWER_ITERS):
+            w = M @ v
+            v = w / np.sqrt(float(w @ w))
+        return v, float(v @ M @ v)
+
+    v1, eig1 = power(C)
+    v2, eig2 = power(C - eig1 * np.outer(v1, v1))
+    trace = float(np.trace(C))
+    out = (mu.tolist(), v1.tolist(), eig1, v2.tolist(), eig2, trace)
+    _PCA_CACHE[key] = out
+    return out
+
+
+# --- oracle -------------------------------------------------------------------
+
+
+def _pca_cte_chain() -> str:
+    """Covariance + the unrolled 40-step power iteration. Every v{k} is
+    MATERIALIZED: w{k+1} references it 64 times through the join."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM e)",
+        "x AS MATERIALIZED (SELECT vec_id, i, v[i]::DOUBLE AS xi "
+        f"FROM e, unnest(range(1, {DIMS + 1})) AS u(i))",
+        "mu AS MATERIALIZED (SELECT i, sum(xi) / (SELECT n FROM nn) AS m "
+        "FROM x GROUP BY i)",
+        "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS gij "
+        "FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i)",
+        "c AS MATERIALIZED (SELECT g.i, g.j, "
+        "g.gij / (SELECT n FROM nn) - ma.m * mb.m AS cij "
+        "FROM g JOIN mu ma ON ma.i = g.i JOIN mu mb ON mb.i = g.j)",
+        f"v0 AS (SELECT i, 0.125::DOUBLE AS vi "
+        f"FROM unnest(range(1, {DIMS + 1})) AS t(i))",
+    ]
+    def power_chain(prefix: str, mat: str) -> None:
+        for k in range(1, POWER_ITERS + 1):
+            prev = f"{prefix}{k - 1}" if k > 1 else "v0"
+            ctes.append(
+                f"{prefix}w{k} AS MATERIALIZED (SELECT m.i, sum(m.cij * v.vi) AS wi "
+                f"FROM {mat} m JOIN {prev} v ON v.i = m.j GROUP BY m.i)"
+            )
+            ctes.append(
+                f"{prefix}{k} AS MATERIALIZED (SELECT i, "
+                f"wi / (SELECT sqrt(sum(wi * wi)) FROM {prefix}w{k}) AS vi "
+                f"FROM {prefix}w{k})"
+            )
+
+    last1 = f"pa{POWER_ITERS}"
+    power_chain("pa", "c")
+    ctes.append(
+        f"ray1 AS (SELECT sum(va.vi * c.cij * vb.vi) AS eig "
+        f"FROM c JOIN {last1} va ON va.i = c.i JOIN {last1} vb ON vb.i = c.j)"
+    )
+    # Hotelling deflation: C2 = C - eig1 * v1 v1ᵀ, then the same 40 steps
+    ctes.append(
+        f"c2 AS MATERIALIZED (SELECT c.i, c.j, "
+        f"c.cij - (SELECT eig FROM ray1) * a.vi * b.vi AS cij "
+        f"FROM c JOIN {last1} a ON a.i = c.i JOIN {last1} b ON b.i = c.j)"
+    )
+    last2 = f"pb{POWER_ITERS}"
+    power_chain("pb", "c2")
+    ctes.append(
+        f"ray2 AS (SELECT sum(va.vi * c2.cij * vb.vi) AS eig "
+        f"FROM c2 JOIN {last2} va ON va.i = c2.i JOIN {last2} vb ON vb.i = c2.j)"
+    )
+    ctes.append("tr AS (SELECT sum(cij) AS trace FROM c WHERE i = j)")
+    return ",\n".join(ctes)
+
+
+_PCA_COMPONENT_SQL = (
+    "WITH "
+    + _pca_cte_chain()
+    + f"""
+SELECT 1::BIGINT AS component, (v.i - 1)::BIGINT AS dim_idx,
+       round(v.vi, 6) AS loading,
+       round(ray1.eig, 6) AS eigenvalue,
+       round(ray1.eig / tr.trace, 6) AS explained_ratio
+FROM pa{POWER_ITERS} v CROSS JOIN ray1 CROSS JOIN tr
+UNION ALL
+SELECT 2::BIGINT, (v.i - 1)::BIGINT,
+       round(v.vi, 6), round(ray2.eig, 6), round(ray2.eig / tr.trace, 6)
+FROM pb{POWER_ITERS} v CROSS JOIN ray2 CROSS JOIN tr
+"""
+)
+
+
+@register("embedding_pca_components", _PCA_COMPONENT_SQL)
+def embedding_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA loadings (128 rows) + Rayleigh-quotient eigenvalues +
+    explained variance ratios. FULL value oracle: DuckDB recomputes the
+    covariance and replays all 80 power steps (40 per component, with
+    the deflation in between) through the unrolled CTE chain."""
+    mu, v1, eig1, v2, eig2, trace = fit_pca2(spark, sf_dir)
+    rows = [
+        (c, i, round(float(x), 6), round(e, 6), round(e / trace, 6))
+        for c, vec, e in ((1, v1, eig1), (2, v2, eig2))
+        for i, x in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component bigint, dim_idx bigint, loading double, "
+        "eigenvalue double, explained_ratio double",
+    )
+
+
+_PCA_SCORES_SQL = (
+    "WITH "
+    + _pca_cte_chain()
+    + f"""
+SELECT x.vec_id,
+       round(sum((x.xi - mu.m) * a.vi), 6) AS pc1,
+       round(sum((x.xi - mu.m) * b.vi), 6) AS pc2
+FROM x JOIN mu ON mu.i = x.i
+       JOIN pa{POWER_ITERS} a ON a.i = x.i
+       JOIN pb{POWER_ITERS} b ON b.i = x.i
+GROUP BY x.vec_id
+"""
+)
+
+
+@register("embedding_pca_scores", _PCA_SCORES_SQL)
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector (PC1, PC2) projection (x − μ)·vₖ — the 2-D shadow every
+    embedding-corpus diagnostic plot starts from. The components ride
+    the plan as literal arrays; scoring is one map-side
+    aggregate-of-zip_with pass (pure codegen, no UDF, no shuffle beyond
+    the scan)."""
+    mu, v1, _, v2, _, _ = fit_pca2(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+
+    def proj(vec: list) -> Column:
+        v_lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(centered, v_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.select(
+        "vec_id", F.round(proj(v1), 6).alias("pc1"), F.round(proj(v2), 6).alias("pc2")
+    )
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+#
+# The data-oblivious sibling of PCA: a Rademacher (±1) sign matrix
+# S (JL_DIMS × DIMS) with entries derived from the cross-engine md5
+# (texthash.hash60 parity — the DSIR/walks uniform discipline), so the
+# projection is EXACT arithmetic both engines can replay: ±1·float is
+# lossless, the only drift is summation-order ulps, absorbed by 6dp
+# rounding. y = S·(x)/√JL_DIMS preserves pairwise distances within the
+# JL bound in expectation; `eval_jl_distortion` measures it on the
+# fixture instead of assuming it.
+
+JL_DIMS = 16
+_JL_SALT = "jl"
+
+
+def _jl_sign(k: int, i: int) -> int:
+    """+1/-1 from md5 parity — mirrors the SQL rule in the oracle."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{_JL_SALT}|{k}|{i}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def jl_signs() -> list[list[int]]:
+    """The full JL_DIMS × DIMS sign matrix (1,024 ints — a literal)."""
+    return [[_jl_sign(k, i) for i in range(1, DIMS + 1)] for k in range(JL_DIMS)]
+
+
+def _jl_sign_sql() -> str:
+    """signs(k, i, s) CTE — the same parity rule in DuckDB."""
+    h = (
+        f"(('0x' || substr(md5('{_JL_SALT}|' || k.k || '|' || i.i), 1, 15))::BIGINT)"
+    )
+    return (
+        f"signs AS MATERIALIZED (SELECT k.k, i.i, "
+        f"CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s "
+        f"FROM unnest(range(0, {JL_DIMS})) AS k(k), "
+        f"unnest(range(1, {DIMS + 1})) AS i(i))"
+    )
+
+
+def jl_project_col(emb: Column) -> Column:
+    """array<double> of the JL_DIMS projections — pure codegen folds."""
+    xs = emb.cast("array<double>")
+    outs = []
+    for row in jl_signs():
+        s_lit = F.array(*[F.lit(float(s)) for s in row])
+        outs.append(
+            F.aggregate(
+                F.zip_with(xs, s_lit, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(float(JL_DIMS) ** 0.5)
+        )
+    return F.array(*outs)
+
+
+_JL_PROJECT_SQL = f"""
+WITH {_jl_sign_sql()},
+x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+           unnest(range(1, {DIMS + 1})) AS u(i))
+SELECT x.vec_id, signs.k::BIGINT AS k,
+       round(sum(signs.s * x.xi) / sqrt({JL_DIMS}::DOUBLE), 6) AS val
+FROM x JOIN signs ON signs.i = x.i
+GROUP BY x.vec_id, signs.k
+"""
+
+
+@register("embedding_jl_project", _JL_PROJECT_SQL)
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each embedding's 16-dim JL sketch, exploded to (vec_id, k,
+    val). One map-side pass — the sign matrix rides the plan as 16
+    literal arrays, no shuffle beyond the scan, no UDF. FULL value
+    oracle (the oracle re-derives every sign from md5 parity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(jl_project_col(F.col("embedding"))).alias("k", "val")
+    ).select("vec_id", F.col("k").cast("bigint"), F.round("val", 6).alias("val"))
+
+
+_JL_PAIRS_N = 40
+
+_JL_DISTORTION_SQL = f"""
+WITH {_jl_sign_sql()},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {_JL_PAIRS_N}),
+x AS (SELECT vec_id, i, v[i]::DOUBLE AS xi FROM e, unnest(range(1, {DIMS + 1})) AS u(i)),
+y AS (SELECT x.vec_id, signs.k, sum(signs.s * x.xi) / sqrt({JL_DIMS}::DOUBLE) AS yk
+      FROM x JOIN signs ON signs.i = x.i GROUP BY x.vec_id, signs.k),
+dx AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              sum((a.xi - b.xi) * (a.xi - b.xi)) AS d2
+       FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+       GROUP BY 1, 2),
+dy AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              sum((a.yk - b.yk) * (a.yk - b.yk)) AS d2
+       FROM y a JOIN y b ON a.k = b.k AND a.vec_id < b.vec_id
+       GROUP BY 1, 2)
+SELECT dx.id_a, dx.id_b,
+       round(dx.d2, 6) AS d2_orig,
+       round(dy.d2, 6) AS d2_proj,
+       round(dy.d2 / dx.d2, 6) AS distortion
+FROM dx JOIN dy ON dx.id_a = dy.id_a AND dx.id_b = dy.id_b
+"""
+
+
+@register("eval_jl_distortion", _JL_DISTORTION_SQL)
+def eval_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL lemma, measured: squared-distance distortion
+    ‖y_a−y_b‖²/‖x_a−x_b‖² over all pairs of the first 40
+    vectors — the check that sizes a sketch dimension before committing
+    an index to it (companion of `eval_mrl_overlap`, which measures the
+    PREFIX-truncation alternative). Pairs come from a broadcast
+    self-join of a 40-row slice; distances are zip_with folds."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _JL_PAIRS_N
+    )
+    both = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("x"),
+        jl_project_col(F.col("embedding")).alias("y"),
+    )
+    a = both.select(
+        F.col("vec_id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = both.select(
+        F.col("vec_id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+
+    def d2(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(d2(F.col("xa"), F.col("xb")), 6).alias("d2_orig"),
+        F.round(d2(F.col("ya"), F.col("yb")), 6).alias("d2_proj"),
+        F.round(
+            d2(F.col("ya"), F.col("yb")) / d2(F.col("xa"), F.col("xb")), 6
+        ).alias("distortion"),
+    )

@@ -1275,3 +1275,75 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ent, 6).alias("char_entropy"),
     )
 
+
+
+# --- Zipf fit (corpus-health diagnostic) -------------------------------------
+
+_ZIPF_TOP = 200
+
+_ZIPF_SQL = f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents),
+c AS (SELECT term, count(*)::BIGINT AS n FROM w GROUP BY term),
+top AS (SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT {_ZIPF_TOP}),
+pts AS (SELECT ln(row_number() OVER (ORDER BY n DESC, term ASC)::DOUBLE) AS x,
+               ln(n::DOUBLE) AS y
+        FROM top),
+s AS (SELECT count(*)::DOUBLE AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts),
+fit AS (SELECT k::BIGINT AS n_terms,
+               (sxy - sx * sy / k) / (sxx - sx * sx / k) AS slope,
+               sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx / k
+                 AS intercept,
+               ((sxy - sx * sy / k) * (sxy - sx * sy / k))
+                 / ((sxx - sx * sx / k) * (syy - sy * sy / k)) AS r2
+        FROM s)
+SELECT n_terms, round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+       round(r2, 6) AS r2
+FROM fit
+"""
+
+
+@register("text_zipf_fit", _ZIPF_SQL)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-200 term frequencies: OLS slope of
+    ln(freq) on ln(rank) + intercept + r² — the corpus-health number
+    that flags synthetic/templated text (natural corpora fit slope
+    ≈ −1 tightly; a flat or kinked rank-frequency curve means
+    boilerplate or generation loops). One explode → term combine, a
+    TakeOrderedAndProject top-200 (never a global sort), and the OLS
+    moments as one 1-row aggregate — closed-form, FULL value oracle
+    (the ln ulps wash out in the 6dp-rounded moments ratio)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(texthash.words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(_ZIPF_TOP)
+    rnk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term")))
+    pts = top.select(
+        F.log(rnk.cast("double")).alias("x"), F.log(F.col("n").cast("double")).alias("y")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("k")
+    slope = cov / varx
+    return s.select(
+        F.col("k").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / F.col("k") - slope * F.col("sx") / F.col("k"), 6).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

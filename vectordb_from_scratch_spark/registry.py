@@ -318,4 +318,6 @@ from vectordb_from_scratch_spark.operators import dq  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import hnsw  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import evalmetrics  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import classifier  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import bpe  # noqa: E402,F401
+from vectordb_from_scratch_spark.operators import pca  # noqa: E402,F401
 from vectordb_from_scratch_spark.operators import graph  # noqa: E402,F401

@@ -519,3 +519,39 @@ def edge_maintenance_stream(
     )
     q.awaitTermination()
     return state["edges"]
+
+
+def pca_moments_stream(emb: DataFrame) -> DataFrame:
+    """Streaming twin of the PCA moment pass (operators/pca.py): the
+    (n, Σx, Σxxᵀ) accumulator carried as a streaming sum over keyed
+    moment cells — moment merge IS addition, the same algebra argument
+    as the histogram/Count-Min twins, so micro-batch accumulation lands
+    on exactly the batch moments (up to float-sum associativity ulps —
+    unlike the integer sketches this state is DOUBLE, so the twin test
+    compares at 1e-9 relative, not bit-identity). State is bounded at
+    1 + d + d² rows regardless of stream length; watermark-free. An
+    incremental PCA: re-running the 64×64 power iteration over the
+    accumulated moments after any micro-batch refreshes the components
+    without revisiting history."""
+    from vectordb_from_scratch_spark.operators.pca import _moment_rows
+
+    parts = emb.mapInPandas(
+        _moment_rows, schema="n long, s array<double>, g array<double>"
+    )
+    n_rows = parts.select(
+        F.lit("n").alias("kind"),
+        F.lit(0).cast("long").alias("idx"),
+        F.col("n").cast("double").alias("val"),
+    )
+    s_rows = parts.select(
+        F.lit("s").alias("kind"), F.posexplode("s").alias("idx", "val")
+    ).select("kind", F.col("idx").cast("long"), "val")
+    g_rows = parts.select(
+        F.lit("g").alias("kind"), F.posexplode("g").alias("idx", "val")
+    ).select("kind", F.col("idx").cast("long"), "val")
+    return (
+        n_rows.unionByName(s_rows)
+        .unionByName(g_rows)
+        .groupBy("kind", "idx")
+        .agg(F.sum("val").alias("total"))
+    )
