@@ -89,6 +89,7 @@ HEADLINE = [
     "graph_pagerank",
     "graph_pagerank_weighted",
     "graph_bfs_hops",
+    "graph_betweenness",
     "graph_sssp_weighted",
     "graph_kcore",
     "graph_ktruss",
@@ -111,6 +112,9 @@ HEADLINE = [
     "embed_documents",
     "text_search_e2e",
     "text_maxsim_search",
+    "text_bpe_merges",
+    "text_bpe_token_counts",
+    "text_zipf_fit",
     "search_hybrid_rrf",
     "embedding_label_medoids",
     "ivf_search",
@@ -139,6 +143,10 @@ HEADLINE = [
     "sketch_countmin_estimate",
     "eval_ann_ndcg",
     "eval_mrl_overlap",
+    "embedding_pca_components",
+    "embedding_pca_scores",
+    "embedding_jl_project",
+    "eval_jl_distortion",
     "embedding_drift",
     "profile_orders",
     "events_value_outliers",

@@ -811,3 +811,87 @@ def test_node2vec_walks_replay_exactly_in_python(spark):
                     break
             want.append((seed, t, cur))
     assert got == sorted(want)
+
+
+# --- sampled-source betweenness ----------------------------------------------
+
+
+def _brute_betweenness(pairs, seeds, max_hops):
+    """Textbook Brandes from explicit seeds with the hop bound: BFS
+    levels + sigma, then dependency accumulation from the deepest level."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    bc = {}
+    for s in seeds:
+        level = {s: 0}
+        sigma = {s: 1.0}
+        frontier = [s]
+        for h in range(1, max_hops + 1):
+            nxt = {}
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if w in level:
+                        continue
+                    nxt[w] = nxt.get(w, 0.0) + sigma[v]
+            for w, sg in nxt.items():
+                level[w] = h
+                sigma[w] = sg
+            frontier = list(nxt)
+        delta = dict.fromkeys(level, 0.0)
+        for v in sorted(level, key=lambda x: -level[x]):
+            for w in adj.get(v, ()):
+                if level.get(w) == level[v] + 1 and level[w] <= max_hops:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v, d in delta.items():
+            if v != s:
+                bc[v] = bc.get(v, 0.0) + d
+    return bc
+
+
+def test_betweenness_matches_textbook_brandes(spark):
+    """A path-plus-branches graph where the bridge node must dominate:
+    md5-ordered seeds are recomputed in the test so the comparison uses
+    the kernel's own seed draw."""
+    import hashlib
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (3, 7), (4, 8), (6, 7)]
+    nodes = sorted({x for p in pairs for x in p})
+    h60 = lambda n: int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+    seeds = sorted(nodes, key=lambda n: (h60(n), n))[: graph.BETW_SEEDS]
+    want = _brute_betweenness(pairs, seeds, graph.BETW_HOPS)
+    got = {
+        r["part_id"]: r["betweenness"]
+        for r in graph.betweenness_sampled(_edges_df(spark, pairs)).collect()
+    }
+    registry.release_tracked()
+    assert set(got) == set(want)
+    for v, d in want.items():
+        assert got[v] == pytest.approx(d, abs=1e-6), v
+    # the score is non-degenerate on this shape: some node strictly
+    # between others carries positive dependency
+    assert max(want.values()) > 0
+
+
+def test_betweenness_star_center_carries_all(spark):
+    """On a star, every shortest path between leaves crosses the hub —
+    with all leaves as sources (hop bound 2 suffices), each source
+    contributes (n_leaves - 1) to the hub and 0 to other leaves."""
+    import hashlib
+
+    pairs = [(0, i) for i in range(1, 6)]
+    nodes = sorted({x for p in pairs for x in p})
+    h60 = lambda n: int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+    seeds = sorted(nodes, key=lambda n: (h60(n), n))[:4]
+    got = {
+        r["part_id"]: r["betweenness"]
+        for r in graph.betweenness_sampled(_edges_df(spark, pairs)).collect()
+    }
+    registry.release_tracked()
+    leaf_seeds = [s for s in seeds if s != 0]
+    # hub dependency: each leaf source reaches 4 other leaves through it
+    assert got[0] == pytest.approx(4.0 * len(leaf_seeds), abs=1e-6)
+    for v, d in got.items():
+        if v != 0:
+            assert d == pytest.approx(0.0, abs=1e-6)

@@ -48,14 +48,29 @@ def hashed_embedder(dims: int = DEFAULT_DIMS, normalize: bool = True):
     59 of h, summed over whitespace tokens (duplicates count — bag of
     words), then L2-normalized."""
 
+    # token -> (bucket, sign) memo: the token STREAM is corpus-sized but
+    # the token VOCABULARY is Heaps'-law sublinear, so caching collapses
+    # one Python md5 per token to one per distinct token (~2x on the
+    # embed queries at sf0.1, where 550k stream tokens share 31 words).
+    # Bounded so an adversarial unique-token corpus can't grow the
+    # worker's memo without limit; values are exact — same md5 inputs.
+    memo: dict[str, tuple[int, float]] = {}
+    memo_cap = 1 << 20
+
     def embed(texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), dims), dtype="float64")
         for i, text in enumerate(texts):
             for tok in text.split(" "):
                 if not tok:
                     continue
-                h = _hash60_py(tok)
-                out[i, h % dims] += 1.0 if (h >> 59) & 1 else -1.0
+                v = memo.get(tok)
+                if v is None:
+                    h = _hash60_py(tok)
+                    v = (h % dims, 1.0 if (h >> 59) & 1 else -1.0)
+                    if len(memo) >= memo_cap:
+                        memo.clear()
+                    memo[tok] = v
+                out[i, v[0]] += v[1]
         if normalize:
             norms = np.linalg.norm(out, axis=1, keepdims=True)
             out = out / np.where(norms == 0, 1.0, norms)  # zero vecs untouched

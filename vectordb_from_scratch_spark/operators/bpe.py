@@ -290,3 +290,93 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token",
         )
     )
+
+
+# --- BPE-priced sequence packing ---------------------------------------------
+#
+# pipeline_sequence_packing prices documents in whitespace words; real
+# packing budgets are MODEL TOKENS. This is the composed form: the same
+# contiguous first-fit window arithmetic, priced by the trained BPE
+# vocabulary — the handoff between the tokenizer family and the packing
+# family, end-to-end value-oracled (the oracle replays training, encoding
+# AND packing).
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+
+_BPE_PACKING_SQL = (
+    "WITH "
+    + _bpe_cte_chain(BPE_MERGES)
+    + f""",
+vt AS (SELECT word,
+              len(list_filter(string_split(s, chr(31)), x -> x != ''))::BIGINT AS n_tokens
+       FROM s{BPE_MERGES}),
+dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+       FROM documents),
+d AS (SELECT dw.doc_id, sum(vt.n_tokens)::BIGINT AS n_tokens
+      FROM dw JOIN vt USING (word) GROUP BY dw.doc_id),
+dd AS (SELECT docs.doc_id, docs.lang, d.n_tokens,
+              ({texthash.hash60_sql("CAST(docs.doc_id AS VARCHAR)")} % {_PACK_SHARDS}) AS shard
+       FROM documents docs JOIN d ON d.doc_id = docs.doc_id),
+runs AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS run_total
+  FROM dd),
+binned AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         ((run_total - n_tokens) // {_PACK_BUDGET})::BIGINT AS bin
+  FROM runs)
+SELECT lang, shard::BIGINT AS shard, bin,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM binned GROUP BY lang, shard, bin
+"""
+)
+
+
+@register("pipeline_packing_bpe", _BPE_PACKING_SQL)
+def pipeline_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the trained BPE vocabulary: per (lang,
+    md5-shard), docs in id order accumulate into 2048-BPE-token bins
+    (contiguous first-fit — a doc opens the next bin when its START
+    offset crosses the budget). Same window arithmetic as
+    pipeline_sequence_packing, integer-exact; the token prices come from
+    one chained-replace projection over the distinct-word table joined
+    back onto the corpus. The shard partition bounds the window — packing
+    parallelizes across (lang, shard) instead of serializing on a global
+    cumulative sum."""
+    from pyspark.sql import Window
+
+    merges = train_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    vocab = word_frequencies(spark, sf_dir).select(
+        "word",
+        F.size(symbols(apply_merges(F.col("s"), merges))).cast("bigint").alias("n_tokens"),
+    )
+    from vectordb_from_scratch_spark.operators.textstats import vocab_join
+
+    dw = d.select("doc_id", F.explode(texthash.words("text")).alias("word"))
+    per_doc = (
+        vocab_join(dw, vocab, "word", sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    )
+    dd = d.select("doc_id", "lang").join(per_doc, "doc_id").withColumn(
+        "shard", texthash.hash60(F.col("doc_id").cast("string")) % _PACK_SHARDS
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = dd.withColumn("run_total", F.sum("n_tokens").over(w)).withColumn(
+        "bin", F.expr(f"(run_total - n_tokens) DIV {_PACK_BUDGET}")
+    )
+    return binned.groupBy(
+        "lang", F.col("shard").cast("long").alias("shard"), "bin"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -983,6 +983,181 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sampled-source betweenness (Brandes 2001) --------------------------------
+
+#: Seeds for the dependency accumulation: sampled in cross-engine md5
+#: order (the walks/DSIR uniform discipline), so "4 random sources"
+#: reproduces in both engines. Sampled-source betweenness (Brandes-Pich
+#: 2007) is the production form — exact all-sources Brandes is O(V·E)
+#: and nobody runs it on a big graph.
+BETW_SEEDS = 4
+#: BFS horizon (levels 0..BETW_HOPS). Like the hop-bounded SSSP: the
+#: co-purchase graph's diameter is ~3-4 at fixture scale, and the bound
+#: keeps the oracle's unrolled level chain fixed-size. Dependencies of
+#: nodes deeper than the horizon are truncated — bounded-horizon
+#: betweenness, documented, same contract both engines.
+BETW_HOPS = 3
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    n_seeds: int = BETW_SEEDS,
+    max_hops: int = BETW_HOPS,
+    sym: DataFrame | None = None,
+) -> DataFrame:
+    """(part_id, betweenness): Brandes dependency accumulation from
+    ``n_seeds`` md5-sampled sources, hop-bounded at ``max_hops`` —
+    which parts sit on the shortest co-purchase chains between other
+    parts (the bridge/broker score; degree finds hubs, betweenness finds
+    chokepoints).
+
+    Forward: level-synchronous BFS carrying σ (shortest-path counts) —
+    per level one frontier×adjacency join + a (seed, node) combine +
+    an anti-join against the visited set; σ sums over ALL level-(h-1)
+    parents, exact integers in doubles. Backward: Brandes' δ(v) =
+    Σ_{w∈succ(v)} σ_v/σ_w·(1+δ_w), one join per level from the deepest
+    level up (successor = adjacency edge into the next BFS level — the
+    DAG membership is recomputed per level join, never materialized).
+    Every frontier/δ frame is an eager localCheckpoint (the bfs_hops
+    lineage discipline). State is ≤ seeds·|V| rows — the scale argument
+    for sampling sources instead of looping all of them.
+
+    Output: every visited non-seed (node) with its accumulated
+    dependency summed over seeds (deepest-level nodes at δ=0 included),
+    rounded 6dp. FULL value oracle: the unrolled level chain replays
+    both phases in DuckDB."""
+    own_sym = sym is None
+    if own_sym:
+        sym = _sym(edges).repartition("a").persist()
+    nodes = sym.select("a").distinct()
+    seeds = (
+        nodes.orderBy(
+            texthash.hash60(F.col("a").cast("string")).asc(), F.col("a").asc()
+        )
+        .limit(n_seeds)
+        .select(F.col("a").alias("s"))
+    )
+    l0 = seeds.select(
+        "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint()
+    levels = [l0]
+    visited = l0.select("s", "v")
+    frontier = l0
+    for _h in range(1, max_hops + 1):
+        cand = (
+            frontier.join(sym, frontier["v"] == sym["a"])
+            .select("s", F.col("b").alias("vn"), "sigma")
+            .groupBy("s", "vn")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("vn", "v")
+        )
+        lh = cand.join(visited, ["s", "v"], "left_anti").localCheckpoint()
+        levels.append(lh)
+        visited = visited.unionAll(lh.select("s", "v"))
+        frontier = lh
+    # backward: cur = (s, w, sigma, delta) of level h+1
+    cur = levels[max_hops].withColumn("delta", F.lit(0.0)).localCheckpoint()
+    contribs = [cur.select("s", "v", "delta")]
+    for h in range(max_hops - 1, 0, -1):
+        lower = levels[h]
+        succ = cur.select(
+            F.col("s").alias("s2"),
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        dep = (
+            lower.join(sym, lower["v"] == sym["a"])
+            .join(
+                succ,
+                (F.col("s") == F.col("s2")) & (F.col("b") == F.col("w")),
+            )
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("dep")
+            )
+        )
+        cur = (
+            lower.join(dep, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                "sigma",
+                F.coalesce(F.col("dep"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint()
+        )
+        contribs.append(cur.select("s", "v", "delta"))
+    out = contribs[0]
+    for c in contribs[1:]:
+        out = out.unionAll(c)
+    if own_sym:
+        track(sym)
+    return (
+        out.groupBy(F.col("v").alias("part_id"))
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+    )
+
+
+def betweenness_sql(
+    n_seeds: int = BETW_SEEDS, max_hops: int = BETW_HOPS
+) -> str:
+    """Both Brandes phases as a fixed unrolled level chain. MATERIALIZED
+    throughout: l{h} feeds the next level's candidates, the visited
+    anti-joins, AND the backward join."""
+    seed_h = texthash.hash60_sql("CAST(a AS VARCHAR)")
+    ctes = [
+        "sym AS (SELECT src AS a, dst AS b FROM edges "
+        "UNION ALL SELECT dst, src FROM edges)",
+        f"seeds AS (SELECT a AS s FROM (SELECT DISTINCT a FROM sym) "
+        f"ORDER BY {seed_h} ASC, a ASC LIMIT {n_seeds})",
+        "l0 AS MATERIALIZED (SELECT s, s AS v, 1.0::DOUBLE AS sigma FROM seeds)",
+    ]
+    vis = ["SELECT s, v FROM l0"]
+    for h in range(1, max_hops + 1):
+        vis_sql = " UNION ALL ".join(vis)
+        ctes.append(
+            f"l{h} AS MATERIALIZED (SELECT c.s, c.v, c.sigma FROM ("
+            f"SELECT l.s, sym.b AS v, sum(l.sigma) AS sigma "
+            f"FROM l{h - 1} l JOIN sym ON sym.a = l.v GROUP BY 1, 2) c "
+            f"LEFT JOIN ({vis_sql}) w ON w.s = c.s AND w.v = c.v "
+            f"WHERE w.v IS NULL)"
+        )
+        vis.append(f"SELECT s, v FROM l{h}")
+    ctes.append(
+        f"d{max_hops} AS (SELECT s, v, sigma, 0.0::DOUBLE AS delta "
+        f"FROM l{max_hops})"
+    )
+    for h in range(max_hops - 1, 0, -1):
+        ctes.append(
+            f"d{h} AS MATERIALIZED (SELECT l.s, l.v, l.sigma, "
+            f"coalesce(dep.dep, 0.0) AS delta FROM l{h} l LEFT JOIN ("
+            f"SELECT l.s, l.v, sum(l.sigma / u.sigma * (1.0 + u.delta)) AS dep "
+            f"FROM l{h} l JOIN sym ON sym.a = l.v "
+            f"JOIN d{h + 1} u ON u.s = l.s AND u.v = sym.b GROUP BY 1, 2"
+            f") dep ON dep.s = l.s AND dep.v = l.v)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{h}" for h in range(1, max_hops + 1)
+    )
+    return (
+        f"WITH {_EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS part_id, round(sum(delta), 6) AS betweenness "
+        f"FROM ({union}) GROUP BY 1"
+    )
+
+
+@register("graph_betweenness", betweenness_sql())
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return betweenness_sampled(
+        shared_edges(spark, sf_dir),
+        sym=shared_artifact(spark, sf_dir, "sym_a"),
+    )
+
+
 # --- PageRank ----------------------------------------------------------------
 
 
@@ -2893,6 +3068,7 @@ _QUERY_GRAPH_NEEDS: dict[str, tuple[tuple[str, ...], bool, bool]] = {
     "graph_clustering_coeff": (("oriented",), True, False),
     "graph_components": ((), True, False),
     "graph_bfs_hops": (("sym_a",), True, False),
+    "graph_betweenness": (("sym_a",), True, False),
     "graph_sssp_weighted": (("symw_cost",), True, False),
     "graph_pagerank": (("adj_uniform",), True, False),
     "graph_pagerank_weighted": (("adj_weighted",), True, False),
