@@ -90,6 +90,7 @@ HEADLINE = [
     "graph_pagerank_weighted",
     "graph_bfs_hops",
     "graph_betweenness",
+    "graph_closeness",
     "graph_sssp_weighted",
     "graph_kcore",
     "graph_ktruss",
@@ -147,6 +148,7 @@ HEADLINE = [
     "embedding_pca_scores",
     "embedding_jl_project",
     "eval_jl_distortion",
+    "eval_pca_recon_error",
     "embedding_drift",
     "profile_orders",
     "events_value_outliers",

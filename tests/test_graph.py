@@ -895,3 +895,46 @@ def test_betweenness_star_center_carries_all(spark):
     for v, d in got.items():
         if v != 0:
             assert d == pytest.approx(0.0, abs=1e-6)
+
+
+def test_closeness_on_path_graph(spark):
+    """Path 1-2-3-4-5 with hop bound 4: every node reaches every other,
+    so each seed's closeness is checkable by hand via brute BFS."""
+    import hashlib
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    nodes = sorted({x for p in pairs for x in p})
+    h60 = lambda n: int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+    seeds = sorted(nodes, key=lambda n: (h60(n), n))[: graph.BETW_SEEDS]
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs_dists(s):
+        d = {s: 0}
+        frontier = [s]
+        for h in range(1, graph.CLOSE_HOPS + 1):
+            nxt = [w for v in frontier for w in adj[v] if w not in d]
+            for w in nxt:
+                d.setdefault(w, h)
+            frontier = [w for w in nxt]
+        return {v: h for v, h in d.items() if h > 0}
+
+    got = {
+        r["part_id"]: r
+        for r in graph.closeness_sampled(_edges_df(spark, pairs)).collect()
+    }
+    registry.release_tracked()
+    assert set(got) == set(seeds)
+    for s in seeds:
+        dist = bfs_dists(s)
+        assert got[s]["n_reached"] == len(dist)
+        assert got[s]["sum_hops"] == sum(dist.values())
+        assert got[s]["closeness"] == pytest.approx(
+            len(dist) / sum(dist.values()), abs=1e-6
+        )
+        assert got[s]["harmonic"] == pytest.approx(
+            sum(1.0 / h for h in dist.values()), abs=1e-6
+        )

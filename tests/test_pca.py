@@ -123,3 +123,19 @@ def test_streaming_moments_match_batch(spark, sf_small, tmp_path):
     assert len(want) == 1 + pca.DIMS + pca.DIMS * pca.DIMS  # bounded state
     for k, v in want.items():
         assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
+
+
+def test_recon_error_accounting(spark, sf_small):
+    """Rank-2 residual invariants: err² ≥ 0, retained ∈ [0, 1], and the
+    corpus-average retained energy matches (λ₁+λ₂)/trace to first order
+    (the components are near-orthonormal after 40 steps)."""
+    mu, v1, eig1, v2, eig2, trace = pca.fit_pca2(spark, sf_small)
+    rows = pca.eval_pca_recon_error(spark, sf_small).collect()
+    assert rows
+    errs = np.asarray([r["recon_err2"] for r in rows])
+    ret = np.asarray([r["retained_ratio"] for r in rows])
+    assert (errs >= -1e-9).all()
+    assert (ret <= 1.0 + 1e-9).all()
+    # energy accounting over the corpus: mean err² = trace - λ1 - λ2
+    want_mean_err = trace - eig1 - eig2
+    assert errs.mean() == pytest.approx(want_mean_err, rel=0.02)

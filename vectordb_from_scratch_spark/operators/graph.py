@@ -1029,14 +1029,7 @@ def betweenness_sampled(
     own_sym = sym is None
     if own_sym:
         sym = _sym(edges).repartition("a").persist()
-    nodes = sym.select("a").distinct()
-    seeds = (
-        nodes.orderBy(
-            texthash.hash60(F.col("a").cast("string")).asc(), F.col("a").asc()
-        )
-        .limit(n_seeds)
-        .select(F.col("a").alias("s"))
-    )
+    seeds = _md5_seeds(sym, n_seeds)
     l0 = seeds.select(
         "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
     ).localCheckpoint()
@@ -1153,6 +1146,109 @@ def betweenness_sql(
 @register("graph_betweenness", betweenness_sql())
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_sampled(
+        shared_edges(spark, sf_dir),
+        sym=shared_artifact(spark, sf_dir, "sym_a"),
+    )
+
+
+# --- sampled-seed closeness / harmonic centrality -----------------------------
+
+#: Closeness horizon — one deeper than betweenness (no σ/δ state to
+#: carry, and the recursive oracle dedups (seed, node, hops) tuples so
+#: the CTE stays seeds·|V|·hops-bounded, never walk-enumerating).
+CLOSE_HOPS = 4
+
+
+def _md5_seeds(sym: DataFrame, n_seeds: int) -> DataFrame:
+    """The shared seed draw: n node ids in cross-engine md5 order."""
+    return (
+        sym.select("a")
+        .distinct()
+        .orderBy(
+            texthash.hash60(F.col("a").cast("string")).asc(), F.col("a").asc()
+        )
+        .limit(n_seeds)
+        .select(F.col("a").alias("s"))
+    )
+
+
+def closeness_sampled(
+    edges: DataFrame,
+    n_seeds: int = BETW_SEEDS,
+    max_hops: int = CLOSE_HOPS,
+    sym: DataFrame | None = None,
+) -> DataFrame:
+    """(part_id, n_reached, sum_hops, closeness, harmonic) for the
+    md5-sampled seed nodes: classic closeness n/Σd and harmonic Σ1/d
+    over everything within ``max_hops`` — how quickly a part's
+    co-purchase neighborhood expands (the centrality every
+    "which SKUs anchor the catalog" report wants next to betweenness's
+    chokepoints).
+
+    The same multi-source level-synchronous BFS as the betweenness
+    forward pass minus the σ bookkeeping: per level one frontier ×
+    adjacency join + distinct + visited anti-join, frames eagerly
+    localCheckpoint'd; the final score is one seeds-sized aggregate.
+    FULL value oracle via a recursive-CTE min-hops walk."""
+    own_sym = sym is None
+    if own_sym:
+        sym = _sym(edges).repartition("a").persist()
+    visited = (
+        _md5_seeds(sym, n_seeds)
+        .select("s", F.col("s").alias("v"), F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("s", "v")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["a"])
+            .select("s", F.col("b").alias("v"))
+            .distinct()
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+        ).localCheckpoint()
+        visited = visited.unionAll(nxt)
+        frontier = nxt.select("s", "v")
+    if own_sym:
+        track(sym)
+    reached = visited.filter(F.col("hops") > 0)
+    return reached.groupBy(F.col("s").alias("part_id")).agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("hops").alias("sum_hops"),
+        F.round(F.count(F.lit(1)) / F.sum("hops"), 6).alias("closeness"),
+        F.round(F.sum(F.lit(1.0) / F.col("hops")), 6).alias("harmonic"),
+    )
+
+
+def closeness_sql(
+    n_seeds: int = BETW_SEEDS, max_hops: int = CLOSE_HOPS
+) -> str:
+    seed_h = texthash.hash60_sql("CAST(a AS VARCHAR)")
+    return f"""
+WITH RECURSIVE {_EDGES_CTE},
+sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+seeds AS (SELECT a AS s FROM (SELECT DISTINCT a FROM sym)
+          ORDER BY {seed_h} ASC, a ASC LIMIT {n_seeds}),
+walk(s, node, hops) AS (
+    SELECT s, s, 0 FROM seeds
+    UNION
+    SELECT walk.s, sym.b, walk.hops + 1
+    FROM walk JOIN sym ON sym.a = walk.node
+    WHERE walk.hops < {max_hops}
+),
+mins AS (SELECT s, node, min(hops) AS d FROM walk GROUP BY 1, 2)
+SELECT s AS part_id,
+       count(*)::BIGINT AS n_reached,
+       sum(d)::BIGINT AS sum_hops,
+       round(count(*) * 1.0 / sum(d), 6) AS closeness,
+       round(sum(1.0 / d), 6) AS harmonic
+FROM mins WHERE d > 0 GROUP BY 1
+"""
+
+
+@register("graph_closeness", closeness_sql())
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return closeness_sampled(
         shared_edges(spark, sf_dir),
         sym=shared_artifact(spark, sf_dir, "sym_a"),
     )
@@ -3069,6 +3165,7 @@ _QUERY_GRAPH_NEEDS: dict[str, tuple[tuple[str, ...], bool, bool]] = {
     "graph_components": ((), True, False),
     "graph_bfs_hops": (("sym_a",), True, False),
     "graph_betweenness": (("sym_a",), True, False),
+    "graph_closeness": (("sym_a",), True, False),
     "graph_sssp_weighted": (("symw_cost",), True, False),
     "graph_pagerank": (("adj_uniform",), True, False),
     "graph_pagerank_weighted": (("adj_weighted",), True, False),

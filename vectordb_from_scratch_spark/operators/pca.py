@@ -404,3 +404,80 @@ def eval_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2(F.col("ya"), F.col("yb")) / d2(F.col("xa"), F.col("xb")), 6
         ).alias("distortion"),
     )
+
+
+# --- rank-2 reconstruction error ----------------------------------------------
+
+_PCA_RECON_SQL = (
+    "WITH "
+    + _pca_cte_chain()
+    + f""",
+proj AS (SELECT x.vec_id,
+                sum((x.xi - mu.m) * a.vi) AS p1,
+                sum((x.xi - mu.m) * b.vi) AS p2
+         FROM x JOIN mu ON mu.i = x.i
+                JOIN pa{POWER_ITERS} a ON a.i = x.i
+                JOIN pb{POWER_ITERS} b ON b.i = x.i
+         GROUP BY x.vec_id),
+err AS (SELECT x.vec_id,
+               sum((x.xi - mu.m - proj.p1 * a.vi - proj.p2 * b.vi)
+                   * (x.xi - mu.m - proj.p1 * a.vi - proj.p2 * b.vi)) AS e2,
+               sum((x.xi - mu.m) * (x.xi - mu.m)) AS t2
+        FROM x JOIN mu ON mu.i = x.i
+               JOIN pa{POWER_ITERS} a ON a.i = x.i
+               JOIN pb{POWER_ITERS} b ON b.i = x.i
+               JOIN proj ON proj.vec_id = x.vec_id
+        GROUP BY x.vec_id)
+SELECT vec_id, round(e2, 6) AS recon_err2,
+       round(1.0 - e2 / t2, 6) AS retained_ratio
+FROM err
+"""
+)
+
+
+@register("eval_pca_recon_error", _PCA_RECON_SQL)
+def eval_pca_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector rank-2 PCA reconstruction error ‖x−μ−p₁v₁−p₂v₂‖² and
+    the retained-energy ratio — the third leg of the dim-reduction eval
+    family (MRL measures prefix truncation, JL measures the oblivious
+    sketch, this measures the data-adapted 2-D subspace). Computed with
+    the explicit residual, NOT the orthonormality shortcut t²−p₁²−p₂²:
+    the 40-step deflated v₂ is only approximately orthogonal to v₁, and
+    the explicit form is exact for whatever vectors the trainer actually
+    produced. One map-side pass with μ/v₁/v₂ as literal arrays."""
+    mu, v1, _, v2, _, _ = fit_pca2(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    v1_lit = F.array(*[F.lit(float(x)) for x in v1])
+    v2_lit = F.array(*[F.lit(float(x)) for x in v2])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+
+    def dot(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, v, lambda p, q: p * q), F.lit(0.0), lambda a, t: a + t
+        )
+
+    p1 = dot(centered, v1_lit)
+    p2 = dot(centered, v2_lit)
+    staged = emb.select(
+        "vec_id", centered.alias("c"), p1.alias("__p1"), p2.alias("__p2")
+    )
+    c = F.col("c")
+    resid = F.zip_with(
+        F.zip_with(c, v1_lit, lambda x, w: x - F.col("__p1") * w),
+        v2_lit,
+        lambda x, w: x - F.col("__p2") * w,
+    )
+    e2 = F.aggregate(
+        F.transform(resid, lambda r: r * r), F.lit(0.0), lambda a, t: a + t
+    )
+    t2 = F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, t: a + t
+    )
+    return staged.select(
+        "vec_id",
+        F.round(e2, 6).alias("recon_err2"),
+        F.round(F.lit(1.0) - e2 / t2, 6).alias("retained_ratio"),
+    )
