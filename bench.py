@@ -116,6 +116,7 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bpe_token_counts",
     "text_zipf_fit",
+    "pipeline_packing_bpe",
     "search_hybrid_rrf",
     "embedding_label_medoids",
     "ivf_search",

@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | walks | recsys | robust | prefixjoin | bpe
+  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | walks | recsys | robust | prefixjoin | bpe | betw | pca
 """
 
 from __future__ import annotations
@@ -420,6 +420,78 @@ def run_winnow(spark, n: int) -> None:
         f"winnow n={n}: {t:6.2f}s  derived cap={cap}; {n_pairs} pairs emitted "
         f"({n_true}/{expected} planted adjacent overlaps found; boilerplate "
         f"df={n} prints capped — pair volume O(N log N), not N²)"
+    )
+
+
+def run_betw(spark, n_orders: int) -> None:
+    """Sampled-source betweenness + closeness on the planted-pathology
+    graph corpus (hub part on 1-in-5 orders — the frontier×adjacency
+    joins inherit raw-degree skew exactly like the walk family): measure
+    each kernel's wall and the forward state volume so 'state ≤
+    seeds·|V|' is a number, not an asymptote."""
+    from vectordb_from_scratch_spark.operators import graph
+
+    items, edges, P, n_items, m, t_edges = _graph_corpus(spark, n_orders)
+    sym = graph._sym(edges).repartition("a").persist()
+    sym.count()
+    nv = sym.select("a").distinct().count()
+
+    t0 = time.perf_counter()
+    betw = graph.betweenness_sampled(edges, sym=sym)
+    nb = betw.count()
+    t_b = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    close = graph.closeness_sampled(edges, sym=sym)
+    nc = close.count()
+    t_c = time.perf_counter() - t0
+    print(
+        f"betw n_orders={n_orders}: edges {m} ({t_edges:.1f}s), |V|={nv}; "
+        f"betweenness {t_b:6.2f}s ({nb} scored rows, state <= "
+        f"{graph.BETW_SEEDS}*{nv}={graph.BETW_SEEDS * nv}); "
+        f"closeness {t_c:6.2f}s ({nc} seeds)"
+    )
+    sym.unpersist()
+    edges.unpersist()
+    items.unpersist()
+
+
+def run_pca(spark, n: int, d: int) -> None:
+    """The PCA moment pass at synthetic corpus scale: the claim under
+    test is that shuffle volume is d² PER ARROW BATCH — independent of
+    corpus rows — so wall tracks the scan, not the reduction. Also times
+    the JL projection (map-side, zero exchanges) on the same frame."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.operators import pca
+
+    rng = np.random.default_rng(42)
+    path = f"/tmp/stress_pca_{n}_{d}"
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.sin(F.col("id") * 0.37 + i * 1.13),
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path + "/embeddings.parquet")
+    )
+
+    t0 = time.perf_counter()
+    mu, v1, eig1, v2, eig2, trace = pca.fit_pca2(spark, path)
+    t_fit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cnt = pca.embedding_jl_project(spark, path).count()
+    t_jl = time.perf_counter() - t0
+    print(
+        f"pca n={n} d={d}: moment pass + eigensolve {t_fit:6.2f}s "
+        f"(shuffle = {d}+{d * d} cells/batch, corpus-row-independent); "
+        f"jl project {t_jl:6.2f}s ({cnt} rows, zero-Exchange map pass); "
+        f"explained l1/trace={eig1 / trace:.3f}"
     )
 
 
@@ -1089,6 +1161,10 @@ def main() -> None:
         return run_dupspan(spark, n)
     if mode == "bpe":
         return run_bpe(spark, n)
+    if mode == "betw":
+        return run_betw(spark, n)
+    if mode == "pca":
+        return run_pca(spark, n, d)
     if mode == "graph":
         return run_graph(spark, n)
     if mode == "graph2":
