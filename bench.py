@@ -110,6 +110,7 @@ HEADLINE = [
     "chunk_documents",
     "events_trailing_hour_window",
     "events_ewma_by_user",
+    "events_cusum_drift",
     "embed_documents",
     "text_search_e2e",
     "text_maxsim_search",

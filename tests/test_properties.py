@@ -441,3 +441,56 @@ def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
     assert row["n_terms"] == 100
     assert -1.05 < row["slope"] < -0.9
     assert row["r2"] > 0.98
+
+
+def test_cusum_flags_planted_sustained_shift(spark, tmp_path):
+    """Two types over 4 days, values ~N/A flat at the median except one
+    (type, day) whose values run +8 all day: that cell must own the top
+    peak_pos by a wide margin, and flat cells must stay near zero —
+    row-level screens can't see this shift (no single value is extreme)."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators.events import events_cusum_drift
+
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for day in range(4):
+        for typ in ("a", "b"):
+            for i in range(50):
+                shift = 8.0 if (typ == "a" and day == 2) else 0.0
+                # alternate around 100 so the per-type median is ~100
+                val = 100.0 + (1.0 if i % 2 else -1.0) + shift
+                rows.append(
+                    (
+                        eid,
+                        base + pd.Timedelta(days=day, minutes=i),
+                        i % 7,
+                        typ,
+                        val,
+                        "",
+                    )
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "cusumdata"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in events_cusum_drift(spark, str(d)).collect()
+    }
+    assert len(got) == 8
+    peaks = sorted(got.items(), key=lambda kv: -kv[1]["peak_pos"])
+    (top_key, top) = peaks[0]
+    assert top_key == ("a", 19725) and top["peak_pos"] > 300  # ~50*8 accumulated
+    # every other cell stays far below the planted cell — including the
+    # mild NEGATIVE drift the shifted day induces on its own type's flat
+    # days (it pulls the type median up by ~1, which is correct CUSUM
+    # behavior, not noise: the reference is corpus-wide)
+    for k, r in got.items():
+        if k != top_key:
+            assert r["peak_pos"] < top["peak_pos"] / 4
+            assert r["peak_neg"] < top["peak_pos"] / 4

@@ -906,3 +906,116 @@ def events_mad_outliers_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     section comment: 2·levels+2 linear scans, O(bins) per-group state,
     median and MAD from bracket-refined cross-engine histograms)."""
     return mad_outliers_sketch(load_table(spark, sf_dir, "events"))
+
+
+# --- CUSUM drift screen ------------------------------------------------------
+#
+# The change-point companion of the MAD screens: MAD flags individual
+# outlier rows, CUSUM flags SUSTAINED level shifts (a feed whose values
+# drift 10% for an afternoon never trips a 3.5-sigma row test). Classic
+# two-sided CUSUM around a per-type reference, evaluated per (type, day)
+# so every fold is day-bounded — the same per-task-sequence argument as
+# the EWMA recurrence, plus a partition key that keeps 100 TB of history
+# embarrassingly parallel.
+#
+# Determinism: the reference is the per-type MEDIAN (interpolated order
+# statistic — both engines derive it from the same two order stats, so
+# any divergence is a final-ulp interpolation difference that stays
+# bounded through the fold: max(0, .) is 1-Lipschitz, so trajectories
+# can never split at a clamp by more than the accumulated ulps), and the
+# fold order is pinned by (ts, event_id). The fold state carries both
+# directions AND their running peaks in one struct so a single pass
+# yields the screen; DuckDB's list_reduce needs acc type == element
+# type, hence the zero-padded element structs + prepended zero state.
+
+_CUSUM_DAY_US = 86_400_000_000
+
+_CUSUM_SQL = f"""
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+seq AS (SELECT e.event_type,
+               (epoch_us(ts) // {_CUSUM_DAY_US})::BIGINT AS day,
+               count(*)::BIGINT AS n_events,
+               list(value::DOUBLE ORDER BY ts, event_id) AS vals,
+               any_value(med.med) AS med
+        FROM events e JOIN med USING (event_type)
+        GROUP BY 1, 2),
+f AS (SELECT event_type, day, n_events,
+             -- field order is LOAD-BEARING: DuckDB's list_reduce
+             -- overwrites accumulator fields IN DECLARATION ORDER as the
+             -- struct_pack evaluates, so a later field referencing an
+             -- earlier one reads the NEW value (caught by a
+             -- 3-element fold: mm came out 4.0 where the snapshot fold
+             -- gives 3.0). Peaks (mp, mm) therefore come FIRST — they
+             -- read sp/sm before those are overwritten — making the
+             -- fold correct under both snapshot and in-place semantics.
+             list_reduce(
+               list_prepend(
+                 struct_pack(mp := 0.0::DOUBLE, mm := 0.0::DOUBLE,
+                             sp := 0.0::DOUBLE, sm := 0.0::DOUBLE),
+                 list_transform(vals, x -> struct_pack(
+                     mp := 0.0::DOUBLE, mm := 0.0::DOUBLE,
+                     sp := x, sm := 0.0::DOUBLE))),
+               (acc, x) -> struct_pack(
+                  mp := greatest(acc.mp, greatest(0.0, acc.sp + (x.sp - med))),
+                  mm := greatest(acc.mm, greatest(0.0, acc.sm - (x.sp - med))),
+                  sp := greatest(0.0, acc.sp + (x.sp - med)),
+                  sm := greatest(0.0, acc.sm - (x.sp - med)))) AS st
+      FROM seq)
+SELECT event_type, day, n_events,
+       round(st.mp, 6) AS peak_pos, round(st.mm, 6) AS peak_neg
+FROM f
+"""
+
+
+@register("events_cusum_drift", _CUSUM_SQL)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, epoch-day) two-sided CUSUM peaks around the
+    type's corpus median — the sustained-shift screen: rank days by
+    peak_pos/peak_neg to find where a feed ran hot or cold for hours
+    (row-level z screens are blind to this).
+
+    One shuffle on (type, day); per group the ordered day sequence folds
+    through a 4-field struct accumulator (both CUSUM directions + their
+    running peaks) with the higher-order ``aggregate`` — JVM expression
+    codegen, no UDF; the per-type median broadcasts back onto the scan.
+    FULL value oracle via DuckDB's identical list_reduce fold."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    seq = (
+        ev.groupBy("event_type", F.expr(f"unix_micros(ts) DIV {_CUSUM_DAY_US}").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq"),
+        )
+        .join(F.broadcast(med), "event_type")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    zero = F.lit(0.0)
+    acc0 = F.struct(
+        zero.alias("sp"), zero.alias("sm"), zero.alias("mp"), zero.alias("mm")
+    )
+    m = F.col("med")
+
+    def step(acc, x):
+        sp = F.greatest(zero, acc["sp"] + (x - m))
+        sm = F.greatest(zero, acc["sm"] - (x - m))
+        return F.struct(
+            sp.alias("sp"),
+            sm.alias("sm"),
+            F.greatest(acc["mp"], sp).alias("mp"),
+            F.greatest(acc["mm"], sm).alias("mm"),
+        )
+
+    st = F.aggregate(vals, acc0, step)
+    return seq.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(st["mp"], 6).alias("peak_pos"),
+        F.round(st["mm"], 6).alias("peak_neg"),
+    )
