@@ -144,6 +144,7 @@ HEADLINE = [
     "sketch_hll_estimate",
     "sketch_histogram_quantiles",
     "sketch_countmin_estimate",
+    "sketch_kmv_estimate",
     "eval_ann_ndcg",
     "eval_mrl_overlap",
     "embedding_pca_components",

@@ -288,3 +288,90 @@ def test_mad_sketch_degenerate_and_shifted_groups(spark):
     flagged = mad_outliers_sketch(ev).collect()
     assert all(r["event_type"] == "tail" for r in flagged)
     assert any(r["event_id"] == 999 for r in flagged), flagged
+
+
+# --- KMV ---------------------------------------------------------------------
+
+
+def test_kmv_estimate_within_theoretical_error(spark, sf_oracle):
+    """(K−1)·M/h_K at K=128: every type's estimate lands within 4 standard
+    errors (4/√(K−2) ≈ 36%) of the exact distinct count — loose enough to
+    be deterministic, tight enough to catch a broken order statistic."""
+    from vectordb_from_scratch_spark.operators.sketches import (
+        KMV_K,
+        sketch_kmv_estimate,
+    )
+
+    rows = sketch_kmv_estimate(spark, sf_oracle).collect()
+    assert rows
+    bound = 4.0 / (KMV_K - 2) ** 0.5
+    for r in rows:
+        assert r["k_used"] == KMV_K  # fixture types all exceed K distinct
+        rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel < bound, (r["event_type"], rel)
+
+
+def test_kmv_state_merge_is_bottom_k_of_union(spark, sf_oracle):
+    """Mergeability, the property that makes the sketch shippable: the
+    bottom-K of two half-corpus sketches' union equals the full-corpus
+    sketch exactly."""
+    from vectordb_from_scratch_spark.functions import texthash
+    from vectordb_from_scratch_spark.operators.sketches import KMV_K, sketch_kmv_state
+    from vectordb_from_scratch_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_oracle, "events")
+    h = ev.select(
+        "event_type", texthash.hash60(F.col("user_id").cast("string")).alias("h")
+    )
+    halves = []
+    for pred in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        hh = ev.filter(pred).select(
+            "event_type",
+            texthash.hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        halves.append(
+            {
+                (r["event_type"], r["h"])
+                for r in hh.distinct().collect()
+            }
+        )
+    merged = {}
+    for et, hv in halves[0] | halves[1]:
+        merged.setdefault(et, set()).add(hv)
+    want = {
+        (et, rk + 1, hv)
+        for et, s in merged.items()
+        for rk, hv in enumerate(sorted(s)[:KMV_K])
+    }
+    got = {
+        (r["event_type"], r["rk"], r["h"])
+        for r in sketch_kmv_state(spark, sf_oracle).collect()
+    }
+    assert got == want
+
+
+def test_streaming_kmv_register_identical_to_batch(spark, sf_oracle):
+    """Final per-type streaming state == the batch KMV sketch exactly
+    (min-k merge algebra — the KMV analog of the HLL/CM twin tests)."""
+    from vectordb_from_scratch_spark import streaming
+    from vectordb_from_scratch_spark.operators.sketches import sketch_kmv_state
+
+    ev_stream = streaming.read_events_stream(spark, sf_oracle)
+    streaming.run_stream_to_memory(
+        streaming.kmv_state_stream(ev_stream), "t_kmv_stream", output_mode="update"
+    )
+    rows = spark.table("t_kmv_stream").collect()
+    last_ver = {}
+    for r in rows:
+        last_ver[r["event_type"]] = max(last_ver.get(r["event_type"], 0), r["ver"])
+    got = {
+        (r["event_type"], r["rk"], r["h"])
+        for r in rows
+        if r["ver"] == last_ver[r["event_type"]]
+    }
+    want = {
+        (r["event_type"], r["rk"], r["h"])
+        for r in sketch_kmv_state(spark, sf_oracle).collect()
+    }
+    assert got == want

@@ -587,3 +587,107 @@ def sketch_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_estimates(
         ev.select(F.col("user_id").cast("string").alias("k"))
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ----------------------------------
+#
+# The fourth sketch family: bottom-k order statistics of the hash space
+# (Bar-Yossef et al. 2002). Where HLL keeps max-rho per bucket, KMV keeps
+# the K smallest DISTINCT hashes — mergeable by "union then re-take the
+# K smallest", with the unbiased estimate (K-1)·M/h_K from the K-th
+# minimum of hashes uniform on [0, M). Like the HLL registers, the
+# cross-engine md5 hash makes the sketch STATE exactly value-oracle-able
+# (integer order statistics), and the estimate is a ratio of exact
+# integers — Spark's approx_count_distinct could only ever be rows-only.
+# KMV's extra trick over HLL: the states of two sketches intersect/union
+# set-theoretically, giving distinct-intersection estimates HLL can't.
+
+KMV_K = 128
+_KMV_M = float(1 << 60)  # hash domain size for hash60
+
+_KMV_STATE_SQL = f"""
+WITH h AS (SELECT DISTINCT event_type, {_HLL_H_SQL} AS h FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+      FROM h)
+SELECT event_type, rk::BIGINT AS rk, h
+FROM r WHERE rk <= {KMV_K}
+"""
+
+
+@register("sketch_kmv_state", _KMV_STATE_SQL)
+def sketch_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch itself per event_type: the K=128 smallest distinct
+    user-id hashes with their rank — K integers of bounded state per
+    group, exactly reproduced by the oracle. Partial = per-partition
+    bottom-k, merge = bottom-k of the union (WindowGroupLimit prunes
+    map-side, so the exchange carries O(partitions·K) rows per group,
+    the same shape as every top-k in the repo)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            texthash.hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    return (
+        h.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KMV_K)
+        .select("event_type", "rk", "h")
+    )
+
+
+_KMV_ESTIMATE_SQL = f"""
+WITH h AS (SELECT DISTINCT event_type, {_HLL_H_SQL} AS h FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+      FROM h),
+kth AS (SELECT event_type, count(*)::BIGINT AS k_used,
+               max(CASE WHEN rk = {KMV_K} THEN h END) AS h_k
+        FROM r WHERE rk <= {KMV_K} GROUP BY 1),
+ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
+       FROM events GROUP BY 1)
+SELECT kth.event_type, kth.k_used,
+       coalesce(kth.h_k, 0)::BIGINT AS kth_hash,
+       round(CASE WHEN kth.k_used < {KMV_K} THEN kth.k_used::DOUBLE
+                  ELSE ({KMV_K} - 1)::DOUBLE * {_KMV_M!r} / kth.h_k END, 2)
+         AS est_users,
+       ex.exact_users
+FROM kth JOIN ex ON ex.event_type = kth.event_type
+"""
+
+
+@register("sketch_kmv_estimate", _KMV_ESTIMATE_SQL)
+def sketch_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct estimate (K−1)·M/h_K per event_type next to the
+    exact count — a ratio of exact cross-engine integers, so even the
+    approximation is value-checked (HLL's estimate gets the same
+    treatment above; the expected relative error at K=128 is
+    1/√(K−2) ≈ 9%, asserted in tests). Sketches with fewer than K
+    distinct hashes ARE the exact answer and report it."""
+    ev = load_table(spark, sf_dir, "events")
+    state = sketch_kmv_state(spark, sf_dir)
+    kth = state.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("h_k"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col("h_k"))
+    return (
+        kth.join(ex, "event_type")
+        .select(
+            "event_type",
+            F.col("k_used").cast("long").alias("k_used"),
+            F.coalesce(F.col("h_k"), F.lit(0)).cast("long").alias("kth_hash"),
+            F.round(est, 2).alias("est_users"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+        )
+    )

@@ -555,3 +555,51 @@ def pca_moments_stream(emb: DataFrame) -> DataFrame:
         .groupBy("kind", "idx")
         .agg(F.sum("val").alias("total"))
     )
+
+
+def kmv_state_stream(events: DataFrame, k: int = None) -> DataFrame:
+    """Streaming twin of ``sketch_kmv_state``: per event_type, the K
+    smallest distinct user-id hashes carried as explicit state across
+    micro-batches. Bottom-k-of-distinct is ORDER-INSENSITIVE under
+    merge (union then re-take the k smallest), so the final state is
+    REGISTER-IDENTICAL to the batch sketch — the same argument as the
+    HLL (max) and Count-Min (sum) twins, with min-k as the merge. State
+    is ≤ K hashes per type, watermark-free; each emission carries a
+    version counter so the update-mode sink's final row per type is
+    selectable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vectordb_from_scratch_spark.functions import texthash
+    from vectordb_from_scratch_spark.operators import sketches
+
+    kk = sketches.KMV_K if k is None else k
+
+    def update(key, pdfs, state: GroupState):
+        (hashes, ver) = state.get if state.exists else ([], 0)
+        st = set(int(h) for h in hashes)
+        for pdf in pdfs:
+            st.update(int(h) for h in pdf["h"])
+        keep = sorted(st)[:kk]
+        ver += 1
+        state.update((keep, ver))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "rk": range(1, len(keep) + 1),
+                "h": keep,
+                "ver": ver,
+            }
+        )
+
+    hashed = events.select(
+        "event_type",
+        texthash.hash60(F.col("user_id").cast("string")).alias("h"),
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, rk long, h long, ver long",
+        stateStructType="hashes array<long>, ver long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
