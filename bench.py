@@ -145,6 +145,7 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "sketch_countmin_estimate",
     "sketch_kmv_estimate",
+    "sketch_kmv_intersection",
     "eval_ann_ndcg",
     "eval_mrl_overlap",
     "embedding_pca_components",

@@ -691,3 +691,100 @@ def sketch_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_users").cast("long").alias("exact_users"),
         )
     )
+
+
+_KMV_INTERSECT_SQL = f"""
+WITH h AS (SELECT DISTINCT event_type, {_HLL_H_SQL} AS h FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+      FROM h),
+state AS (SELECT event_type, h FROM r WHERE rk <= {KMV_K}),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM (SELECT DISTINCT event_type FROM events) a
+          JOIN (SELECT DISTINCT event_type FROM events) b
+            ON a.event_type < b.event_type),
+ud AS (SELECT DISTINCT p.type_a, p.type_b, s.h
+       FROM pairs p JOIN state s
+         ON s.event_type = p.type_a OR s.event_type = p.type_b),
+ur AS (SELECT type_a, type_b, h,
+              row_number() OVER (PARTITION BY type_a, type_b ORDER BY h ASC) AS rk
+       FROM ud),
+uk AS (SELECT type_a, type_b, h FROM ur WHERE rk <= {KMV_K}),
+kth AS (SELECT type_a, type_b, max(h) AS h_k, count(*)::BIGINT AS k_used
+        FROM uk GROUP BY 1, 2),
+shared AS (SELECT uk.type_a, uk.type_b, count(*)::BIGINT AS n_shared
+           FROM uk
+           JOIN state sa ON sa.event_type = uk.type_a AND sa.h = uk.h
+           JOIN state sb ON sb.event_type = uk.type_b AND sb.h = uk.h
+           GROUP BY 1, 2)
+SELECT kth.type_a, kth.type_b, kth.k_used,
+       coalesce(shared.n_shared, 0)::BIGINT AS n_shared,
+       round(coalesce(shared.n_shared, 0) * 1.0 / kth.k_used, 6) AS jaccard_est,
+       round(coalesce(shared.n_shared, 0) * 1.0 / kth.k_used
+             * (CASE WHEN kth.k_used < {KMV_K} THEN kth.k_used::DOUBLE
+                     ELSE ({KMV_K} - 1)::DOUBLE * {_KMV_M!r} / kth.h_k END), 2)
+         AS est_common_users
+FROM kth LEFT JOIN shared
+  ON shared.type_a = kth.type_a AND shared.type_b = kth.type_b
+"""
+
+
+@register("sketch_kmv_intersection", _KMV_INTERSECT_SQL)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-INTERSECTION estimates between every pair of event types
+    from their KMV sketches alone — the set-theoretic trick HLL cannot
+    do: the bottom-K of the union of two sketches is a uniform sample of
+    A∪B, so the fraction of it present in BOTH sketches estimates
+    Jaccard, and J·|A∪B|̂ estimates the user overlap. Runs entirely on
+    sketch state (2·K integers per pair), never the raw corpus — the
+    federated/privacy shape where only sketches leave each silo. All
+    arithmetic is ratios of exact cross-engine integers: FULL oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    state = sketch_kmv_state(spark, sf_dir).select("event_type", "h")
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    u = (
+        pairs.join(
+            state,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("type_a", "type_b").orderBy(F.asc("h"))
+    uk = u.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
+    kth = uk.groupBy("type_a", "type_b").agg(
+        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_used")
+    )
+    sa = state.select(F.col("event_type").alias("type_a"), F.col("h").alias("h"))
+    sb = state.select(F.col("event_type").alias("type_b"), F.col("h").alias("h"))
+    shared = (
+        uk.join(sa, ["type_a", "h"])
+        .join(sb, ["type_b", "h"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    union_est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col("h_k"))
+    j = F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("k_used")
+    return (
+        kth.join(shared, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("k_used").cast("long").alias("k_used"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.round(j, 6).alias("jaccard_est"),
+            F.round(j * union_est, 2).alias("est_common_users"),
+        )
+    )
