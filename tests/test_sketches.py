@@ -405,5 +405,7 @@ def test_kmv_intersection_tracks_exact_overlap(spark, sf_oracle):
         sd = (j_exact * (1 - j_exact) / KMV_K) ** 0.5
         assert abs(r["jaccard_est"] - j_exact) < 5 * sd + 1e-9, (k, r["jaccard_est"], j_exact)
         # the count estimate is the Jaccard estimate scaled by the union
-        # size estimate — within 40% relative at K=128 on the fixture
-        assert abs(r["est_common_users"] - n_exact) / n_exact < 0.4, (k, r["est_common_users"], n_exact)
+        # size estimate — within 40% relative at K=128 on the fixture;
+        # max(n_exact, 1) keeps a zero-overlap pair a clean assertion
+        # failure instead of a ZeroDivisionError (ADVICE r8)
+        assert abs(r["est_common_users"] - n_exact) / max(n_exact, 1) < 0.4, (k, r["est_common_users"], n_exact)

@@ -3,7 +3,9 @@ entry at sf0.01 and hash-compare against its `oracle_sql()` in DuckDB —
 the same comparison the round driver performs (order-insensitive,
 column-name-sorted, NULL-safe, floats rounded to 9dp).
 
-Usage: python tools/verify_oracle.py [sf_dir]
+Usage: python tools/verify_oracle.py [sf_dir] [--only prefix1,prefix2]
+`--only` restricts the sweep to queries whose name starts with any of the
+given comma-separated prefixes (fast per-batch spot checks).
 Exits non-zero on any mismatch.
 """
 
@@ -33,16 +35,25 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("verify", cpus="8")
-    n_entry = len(e.entry(spark).collect())
-    assert n_entry > 0, "entry() returned no rows"
-    print(f"entry rows: {n_entry}")
+    if only is None:
+        n_entry = len(e.entry(spark).collect())
+        assert n_entry > 0, "entry() returned no rows"
+        print(f"entry rows: {n_entry}")
     con = duckdb.connect()
     for t in DRIVER_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     fails = []
     for name, fn in sorted(e.queries().items()):
+        if only is not None and not any(name.startswith(p) for p in only):
+            continue
         df = fn(spark, sf_dir)
         srows, scols = [tuple(r) for r in df.collect()], list(df.columns)
         sql = e.oracle_sql().get(name)

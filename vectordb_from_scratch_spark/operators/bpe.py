@@ -54,10 +54,12 @@ BPE_MERGES = 10
 #: tokenize here; symbols therefore never contain it.
 SEP = "\x1f"
 
-#: per-(sf_dir) trained merge tables, shared by the two registered
-#: queries (train once per session per fixture — same contract as the
-#: walk-corpus artifacts in operators/graph.py).
-_MERGE_CACHE: dict[tuple[str, int], list[tuple[int, str, str, int]]] = {}
+#: per-(applicationId, sf_dir) trained merge tables, shared by the
+#: registered queries (train once per session per fixture — same
+#: key contract as graph._EDGES_CACHE: the applicationId component
+#: invalidates the cache when a new Spark app reuses a fixture path,
+#: ADVICE r8).
+_MERGE_CACHE: dict[tuple[str, str, int], list[tuple[int, str, str, int]]] = {}
 
 
 def wrap_word(word: Column | str) -> Column:
@@ -65,10 +67,18 @@ def wrap_word(word: Column | str) -> Column:
 
     Built as ⟂ + per-char ``c⟂⟂`` (global regexp_replace) minus the one
     surplus trailing ⟂ — the same expression the oracle uses
-    (``left(chr(31) || regexp_replace(word,'(.)','\\1'||…, 'g'), -1)``).
+    (``left(chr(31) || regexp_replace(word,'([\\s\\S])','\\1'||…, 'g'), -1)``).
+
+    The capture class is an explicit any-char ``[\\s\\S]``, NOT ``.``:
+    the engines disagree on what ``.`` excludes (Java regex drops
+    ``\\r``/``\\u0085``/``\\u2028``/``\\u2029``, DuckDB's RE2 drops only
+    ``\\n`` — ADVICE r8), so a CR or Unicode line separator inside a
+    space-delimited word would silently fuse with its neighbor in one
+    engine and not the other. ``[\\s\\S]`` wraps EVERY char (newlines
+    included) identically in both.
     """
     word = F.col(word) if isinstance(word, str) else word
-    s = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", "$1" + SEP + SEP))
+    s = F.concat(F.lit(SEP), F.regexp_replace(word, "([\\s\\S])", "$1" + SEP + SEP))
     return s.substr(F.lit(1), F.length(s) - 1)
 
 
@@ -128,7 +138,7 @@ def train_merges(
     scalar-stats-class driver materialization as the IVF probe policy);
     the words table re-persists every 4 rounds so a round's pair-count
     aggregate replays a bounded replace chain, not the corpus scan."""
-    key = (str(sf_dir), int(n_merges))
+    key = (spark.sparkContext.applicationId, str(sf_dir), int(n_merges))
     if key in _MERGE_CACHE:
         return _MERGE_CACHE[key]
     wf = track_persist(word_frequencies(spark, sf_dir))
@@ -180,7 +190,7 @@ def _bpe_cte_chain(n_merges: int) -> str:
         "FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w "
         "FROM documents) GROUP BY w)",
         f"s0 AS MATERIALIZED (SELECT word, freq, "
-        f"left({S} || regexp_replace(word, '(.)', '\\1' || {S} || {S}, 'g'), -1) AS s "
+        f"left({S} || regexp_replace(word, '([\\s\\S])', '\\1' || {S} || {S}, 'g'), -1) AS s "
         f"FROM wf)",
     ]
     for i in range(1, n_merges + 1):

@@ -42,8 +42,10 @@ from vectordb_from_scratch_spark.session import load_table
 DIMS = 64
 POWER_ITERS = 40
 
-#: sf_dir -> (mu, v1, eig1, v2, eig2, trace)
-_PCA_CACHE: dict[str, tuple] = {}
+#: (applicationId, sf_dir) -> (mu, v1, eig1, v2, eig2, trace) — the
+#: applicationId component invalidates the cache when a new Spark app
+#: reuses a fixture path (the _EDGES_CACHE key contract, ADVICE r8).
+_PCA_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _moment_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -69,7 +71,7 @@ def fit_pca2(spark: SparkSession, sf_dir: str) -> tuple:
     fixed power steps from the same init; both engines replay the
     deflation in double precision so the second component is exactly as
     deterministic as the first)."""
-    key = str(sf_dir)
+    key = (spark.sparkContext.applicationId, str(sf_dir))
     if key in _PCA_CACHE:
         return _PCA_CACHE[key]
     import numpy as np
