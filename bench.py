@@ -94,6 +94,7 @@ HEADLINE = [
     "graph_sssp_weighted",
     "graph_kcore",
     "graph_ktruss",
+    "graph_ktruss_incremental",
     "graph_ppr",
     "graph_hits",
     "graph_lpa_communities",
@@ -116,6 +117,8 @@ HEADLINE = [
     "text_maxsim_search",
     "text_bpe_merges",
     "text_bpe_token_counts",
+    "text_bpe_merges_big",
+    "text_bpe_token_counts_big",
     "text_zipf_fit",
     "pipeline_packing_bpe",
     "search_hybrid_rrf",

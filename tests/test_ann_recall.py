@@ -357,6 +357,43 @@ def test_hnsw_full_ef_is_exact(spark, sf_small, exact_topk):
     assert r == 1.0, f"full-ef sharded graph recall = {r:.3f} != 1.0"
 
 
+def test_filtered_beam_kernel_guarantee():
+    """`hnsw._beam_filtered` contract (VERDICT r8 #1), pinned at the
+    kernel: for ANY mask it returns at least min(k, n_passing) results
+    (full beam, or a proof-of-exhaustion traversal of the reachable
+    component — which the lifeline rule makes the whole shard), and at
+    ef >= n its top-k EQUALS the brute-force filtered ranking under the
+    exact global tie order (score DESC, node ASC). Clustered vectors so
+    navigation must cross non-passing regions."""
+    import numpy as np
+
+    from vectordb_from_scratch_spark.operators import hnsw
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16))
+    X = np.concatenate(
+        [c + 0.15 * rng.standard_normal((50, 16)) for c in centers]
+    )
+    Xu = X / np.linalg.norm(X, axis=1, keepdims=True)
+    adj = hnsw._build_shard_graph_batched(Xu, hnsw.M, hnsw.M_MAX, hnsw.EF_CONSTRUCTION)
+    n, k = len(Xu), 10
+    for seed, frac in ((0, 0.5), (1, 0.1), (2, 0.03)):
+        mask = np.random.default_rng(seed).random(n) < frac
+        if not mask.any():
+            continue
+        q = Xu[int(np.flatnonzero(mask)[0])]  # a passing node's own vector
+        for ef in (4, hnsw.EF_SEARCH, n):
+            res = hnsw._beam_filtered(adj, Xu, q, ef, k, mask)
+            assert len(res) >= min(k, int(mask.sum())), (frac, ef, len(res))
+            assert all(mask[v] for _, v in res)
+        res = sorted(hnsw._beam_filtered(adj, Xu, q, n, k, mask),
+                     key=lambda t: (-t[0], t[1]))[:k]
+        sims = Xu[mask] @ q
+        nodes = np.flatnonzero(mask)
+        order = np.lexsort((nodes, -sims))[:k]
+        assert [v for _, v in res] == [int(nodes[i]) for i in order]
+
+
 def test_hnsw_recall_at_default_ef(spark, sf_small, exact_topk):
     """Default ef=64 over the fixture shards: measured 1.0 (shards are
     small); guard pinned at 0.9 so a graph-quality regression (degree

@@ -91,6 +91,49 @@ def test_back_to_back_runs_merge_pairwise():
     assert tuple(x for x in s3.split(bpe.SEP) if x) == ("aa", "a")
 
 
+# --- the driver-side incremental trainer vs the reference --------------------
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=10), min_size=1, max_size=24
+    ),
+    n_merges=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=300, deadline=None)
+def test_incremental_trainer_equals_textbook(words, n_merges):
+    """`train_merges_local` (lazy-deletion heap, per-word incremental
+    pair updates — the 1k-merge production loop) must land on the EXACT
+    merge sequence of the O(n·rounds) full-recount textbook trainer:
+    same pairs, same counts, same tie-breaks, same exhaustion point."""
+    freqs = collections.Counter(words)
+    want, _ = python_bpe(dict(freqs), n_merges)
+    got = bpe.train_merges_local(sorted(freqs.items()), n_merges)
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=12), min_size=1, max_size=16
+    ),
+    word=st.text(alphabet="ab", min_size=1, max_size=16),
+    n_merges=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_rank_priority_encode_equals_replay_chain(words, word, n_merges):
+    """`encode_word_local` (lowest-rank-present loop) == replaying the
+    whole merge list in rank order — including for words NEVER seen in
+    training (the new-corpus serving case). The 2-letter alphabet keeps
+    overlap/run pressure maximal."""
+    freqs = collections.Counter(words)
+    merges, _ = python_bpe(dict(freqs), n_merges)
+    syms = tuple(word)
+    for _, l, r, _ in merges:
+        syms = greedy_merge(syms, l, r)
+    rank_of = {(l, r): rank for rank, l, r, _ in merges}
+    assert tuple(bpe.encode_word_local(word, rank_of)) == syms
+
+
 # --- Spark trainer vs the reference ------------------------------------------
 
 
@@ -121,6 +164,23 @@ def test_spark_trainer_matches_python_reference(spark, tmp_path):
     expected, _ = python_bpe(dict(freqs), 8)
     got = bpe.train_merges(spark, str(d), n_merges=8)
     assert got == expected
+    # route equality: the retired per-round Spark trainer (kept as the
+    # distributed cross-check) lands on the identical merge sequence
+    assert bpe.train_merges_rounds(spark, str(d), n_merges=8) == expected
+
+
+def test_big_budget_trains_to_exhaustion(spark, sf_small):
+    """The closed-form contract behind text_bpe_token_counts_big's
+    oracle, asserted directly: under BPE_BIG_MERGES the trainer
+    exhausts the fixture corpus (strictly fewer merges than budget; the
+    pair table emptied) and every document's token count collapses to
+    its word count through the rank-priority encoder."""
+    merges = bpe.train_merges(spark, sf_small, n_merges=bpe.BPE_BIG_MERGES)
+    assert 0 < len(merges) < bpe.BPE_BIG_MERGES
+    rows = bpe.text_bpe_token_counts_big(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["bpe_tokens"] == r["n_words"]
 
 
 def test_token_counts_invariants(spark, sf_small):

@@ -850,16 +850,22 @@ def _brute_filtered_topk(vecs, ids, parities, want_parity, q, k):
     return scored[:k]
 
 
-@pytest.mark.parametrize("index_type", ["ivf", "pq", "ivfpq", "lsh_simhash", "cascade"])
+@pytest.mark.parametrize(
+    "index_type",
+    ["ivf", "pq", "ivfpq", "lsh_simhash", "cascade", "hnsw", "hnsw_routed"],
+)
 def test_filtered_search_serves_through_the_index(spark, tmp_path, index_type, monkeypatch):
-    """VERDICT r7 #2: metadata-filtered search must run the probed path
-    (pre-filtered candidates), not silently forfeit the index to a flat
-    scan. With the fixture's full-probe regime (6 clusters ≤ 8 probes;
-    shortlist ≥ passing rows) the probed result EQUALS the filtered flat
-    scan for ivf/pq/ivfpq; lsh's bucket probing is not full-coverage, so
-    there the contract is hits-pass-filter + exact scores + hits drawn
-    from the brute-force ranking. A monkeypatched flat scorer proves the
-    index path actually served the query."""
+    """VERDICT r7 #2 + r8 #1: metadata-filtered search must run the
+    indexed path (pre-filtered candidates for the probed tiers,
+    filter-at-scoring beams for the graph tiers), not silently forfeit
+    the index to a flat scan. With the fixture's full-coverage regime
+    (6 clusters ≤ 8 probes; shortlist ≥ passing rows; ef=64 ≥ every
+    shard size, so graph beams are exhaustive — the full-beam == exact
+    contract under filters) the indexed result EQUALS the filtered flat
+    scan for ivf/pq/ivfpq/hnsw/hnsw_routed; lsh's bucket probing is not
+    full-coverage, so there the contract is hits-pass-filter + exact
+    scores + hits drawn from the brute-force ranking. A monkeypatched
+    flat scorer proves the index path actually served the query."""
     from vectordb_from_scratch_spark.operators import knn as knn_ops
 
     cat = VectorCatalog(spark, str(tmp_path / index_type))
@@ -892,8 +898,15 @@ def test_filtered_search_serves_through_the_index(spark, tmp_path, index_type, m
         )
     else:
         assert [c for c, _ in got_pairs] == [c for _, c in want]
+        # graph-tier serve output rounds scores to 6dp (search_graphs /
+        # routed_search contract) — compare at that grain there
+        tol = (
+            {"abs": 1e-6}
+            if index_type in ("hnsw", "hnsw_routed")
+            else {"rel": 1e-9}
+        )
         for (cid, score), (wscore, _) in zip(got_pairs, want):
-            assert score == pytest.approx(wscore, rel=1e-9)
+            assert score == pytest.approx(wscore, **tol)
 
     # selectivity gate: at k=10 only 24 rows pass < 8*10 — the exact
     # scan is the right plan and must be the one that runs

@@ -709,6 +709,60 @@ def test_ktruss_fixture_oracle_parity_nondefault_args(spark, sf_oracle):
     assert got == want and len(got) > 0
 
 
+def test_truss_support_delta_equals_full_recompute(spark):
+    """VERDICT r8 #2: the incrementally-maintained support artifact must
+    equal a from-scratch support enumeration on the merged graph — on a
+    synthetic item table whose delta batch both BUMPS existing edges
+    (weight-only, support untouched) and CREATES new edges that close
+    new triangles through old ones (the decomposition's interesting
+    case). Zero-support edges are asserted too (coalesce path)."""
+    # base orders: a triangle (1,2,3), edge (3,4), pendant (4,5) — the
+    # delta closes triangles through (3,4) but nothing reaches node 5
+    base_rows = [(10, 1), (10, 2), (10, 3), (11, 3), (11, 4), (12, 4), (12, 5)]
+    # delta orders: bump (1,2), add (2,4)+(1,4) — creates triangles
+    # (1,2,4) [two new edges + one old] and (1,3,4)? no: (1,4),(3,4) need
+    # (1,3) — yes (1,3) exists → triangle (1,3,4) too
+    delta_rows = [(20, 1), (20, 2), (21, 1), (21, 2), (21, 4)]
+    base_items = spark.createDataFrame(base_rows, "ok long, pk long")
+    delta_items = spark.createDataFrame(delta_rows, "ok long, pk long")
+    base = graph.copurchase_edges_from_items(base_items).localCheckpoint()
+    base_sup = graph.edge_support(base.select("src", "dst"))
+    got = {
+        (r["src"], r["dst"]): (r["n_orders"], r["sup"])
+        for r in graph.truss_support_delta(base, base_sup, delta_items).collect()
+    }
+    merged = graph.merge_edge_delta(base, delta_items).localCheckpoint()
+    full_sup = {
+        (r["src"], r["dst"]): r["sup"]
+        for r in graph.edge_support(merged.select("src", "dst")).collect()
+    }
+    want = {
+        (r["src"], r["dst"]): (r["n_orders"], full_sup.get((r["src"], r["dst"]), 0))
+        for r in merged.collect()
+    }
+    assert got == want and len(got) >= 6
+    assert any(s == 0 for _, s in got.values())  # pendant edge kept at 0
+    assert any(s >= 2 for _, s in got.values())  # multi-triangle edge
+
+
+def test_ktruss_incremental_matches_cold_peel(spark, sf_oracle):
+    """The registered warm-peel composition equals the cold
+    graph_ktruss on the same corpus (same oracle SQL, so the driver
+    cross-checks it against DuckDB too)."""
+    warm = sorted(
+        map(tuple, graph.graph_ktruss_incremental(spark, sf_oracle).collect())
+    )
+    cold = sorted(
+        map(
+            tuple,
+            graph.ktruss(
+                graph.copurchase_edges(spark, sf_oracle).select("src", "dst")
+            ).collect(),
+        )
+    )
+    assert warm == cold and len(warm) > 0
+
+
 def test_node_embeddings_training_signal(spark, sf_oracle):
     """The in-engine SGNS trainer (r8) must produce a REAL training
     signal, not just oracle-matching arithmetic: on the fixture graph
@@ -728,6 +782,33 @@ def test_node_embeddings_training_signal(spark, sf_oracle):
     assert len(emb) == n_nodes
     assert len({r["part_id"] for r in emb}) == n_nodes
     registry.release_tracked()
+
+
+def test_vocab_index_matches_global_row_number(spark):
+    """VERDICT r8 #4: `_vocab_index` (range-partitioned per-partition
+    offsets, the zipWithIndex shape) must produce the EXACT mapping of
+    `row_number() OVER (ORDER BY node) - 1` — the equality the DuckDB
+    oracle's unchanged window form stands on — and its physical plan
+    must hold no SinglePartition Exchange (the r8 funnel it replaces)."""
+    from pyspark.sql import Window
+
+    from vectordb_from_scratch_spark import plans
+
+    nodes = spark.range(0, 997).select(
+        (F.col("id") * 7919 % 1000003).alias("node")
+    ).distinct()
+    got = {r["node"]: r["idx"] for r in graph._vocab_index(nodes).collect()}
+    want = {
+        r["node"]: r["idx"]
+        for r in nodes.select(
+            "node",
+            (F.row_number().over(Window.orderBy("node")) - 1)
+            .cast("long")
+            .alias("idx"),
+        ).collect()
+    }
+    assert got == want and len(got) == 997
+    assert "SinglePartition" not in plans.physical_plan(graph._vocab_index(nodes))
 
 
 def test_random_walks_replay_exactly_in_python(spark):

@@ -495,19 +495,14 @@ def run_pca(spark, n: int, d: int) -> None:
     )
 
 
-def run_bpe(spark, n: int) -> None:
-    """BPE training at a web-scale-shaped vocabulary: n DISTINCT words
-    (the fixture has 31 — here the distinct-word table is the workload),
-    random 6-12-char words over an 8-letter alphabet in 50-word docs,
-    plus a 200-word Zipf-ish head repeated in every doc so the learned
-    merges are non-degenerate. Prints the one-time corpus aggregation
-    wall and the per-round wall separately: the scale claim is that
-    rounds cost O(vocab · word_len) — they never rescan the corpus."""
+def _bpe_corpus(spark, n: int) -> str:
+    """n-distinct-word synthetic corpus (the fixture has 31 — here the
+    distinct-word table is the workload): random 6-12-char words over an
+    8-letter alphabet in 50-word docs, plus a 200-word Zipf-ish head
+    repeated in every doc so the learned merges are non-degenerate."""
     import random
 
     import pandas as pd
-
-    from vectordb_from_scratch_spark.operators import bpe
 
     rng = random.Random(42)
     alpha = "abcdefgh"
@@ -530,6 +525,18 @@ def run_bpe(spark, n: int) -> None:
     spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(
         path + "/documents.parquet"
     )
+    return path
+
+
+def run_bpe(spark, n: int) -> None:
+    """The RETIRED r8 per-round distributed trainer at a web-scale-shaped
+    vocabulary — kept for comparison against `bpe_local`. Prints the
+    one-time corpus aggregation wall and the per-round wall separately:
+    the scale claim is that rounds cost O(vocab · word_len) — they never
+    rescan the corpus."""
+    from vectordb_from_scratch_spark.operators import bpe
+
+    path = _bpe_corpus(spark, n)
 
     t0 = time.perf_counter()
     from vectordb_from_scratch_spark.registry import track_persist
@@ -559,6 +566,50 @@ def run_bpe(spark, n: int) -> None:
         f"10 rounds {sum(walls):6.2f}s (per-round min/median/max "
         f"{min(walls):.2f}/{sorted(walls)[len(walls) // 2]:.2f}/{max(walls):.2f}s "
         f"— rounds touch only the distinct-word table)"
+    )
+
+
+def run_bpe_local(spark, n: int, n_merges: int = 1024) -> None:
+    """The r9 production trainer (VERDICT r8 #3) at a web-scale-shaped
+    vocabulary: one distributed corpus aggregation + bounded collect,
+    then the exact driver-side heap loop to ``n_merges``, then the
+    rank-priority encoding pass over the distinct-word table. The scale
+    claims: the merge loop is corpus-independent (it sees only the
+    bounded word-count table) and encoding is one Arrow pass over the
+    Heaps-law vocabulary."""
+    from vectordb_from_scratch_spark.operators import bpe
+    from vectordb_from_scratch_spark.registry import track_persist
+
+    path = _bpe_corpus(spark, n)
+
+    t0 = time.perf_counter()
+    wf = track_persist(bpe.word_frequencies(spark, path))
+    n_vocab = wf.count()
+    collected = (
+        wf.select("word", "freq")
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(bpe.BPE_TRAIN_WORDS)
+        .collect()
+    )
+    t_corpus = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    merges = bpe.train_merges_local(
+        [(r["word"], r["freq"]) for r in collected], n_merges
+    )
+    t_train = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_rows = bpe.encode_token_counts(wf, merges).agg(
+        F.count(F.lit(1)), F.sum("n_tokens")
+    ).collect()[0]
+    t_encode = time.perf_counter() - t0
+    print(
+        f"bpe_local vocab={n_vocab}: corpus agg+collect {t_corpus:6.2f}s; "
+        f"{len(merges)} merges trained in {t_train:6.2f}s "
+        f"({len(merges) / max(t_train, 1e-9):,.0f} merges/s, driver-side); "
+        f"rank-priority encode of {n_rows[0]} words "
+        f"({int(n_rows[1])} tokens) {t_encode:6.2f}s"
     )
 
 
@@ -1161,6 +1212,8 @@ def main() -> None:
         return run_dupspan(spark, n)
     if mode == "bpe":
         return run_bpe(spark, n)
+    if mode == "bpe_local":
+        return run_bpe_local(spark, n, n_merges=d if d > 64 else 1024)
     if mode == "betw":
         return run_betw(spark, n)
     if mode == "pca":

@@ -88,10 +88,14 @@ INDEX_TYPES = (
 #: candidate generation is a join against cluster/bucket/code tables, so
 #: restricting to filter-passing ids before the rerank (ivf/lsh) or
 #: before the ADC shortlist (pq/ivfpq) preserves exactness within the
-#: probed set. The graph-traversal tiers (hnsw*) are excluded — filtering
-#: a beam search's frontier breaks connectivity guarantees — and route to
-#: the exact scan instead.
-FILTERED_ANN_TYPES = frozenset({"ivf", "lsh_simhash", "pq", "ivfpq", "cascade"})
+#: probed set. The graph-traversal tiers (hnsw*) filter at SCORING time
+#: instead (VERDICT r8 #1): the beam navigates the full shard graph —
+#: so connectivity is untouched — and only filter-passing nodes enter
+#: the result heap (``hnsw._beam_filtered``), sized to return k passing
+#: results or a proof the component held fewer.
+FILTERED_ANN_TYPES = frozenset(
+    {"ivf", "lsh_simhash", "pq", "ivfpq", "cascade", "hnsw", "hnsw_routed"}
+)
 
 #: Selectivity gate for filtered ANN: below ``FILTERED_ANN_MIN_PASS · k``
 #: passing rows, probed clusters cannot be trusted to hold k passing
@@ -1444,7 +1448,7 @@ class VectorCatalog:
                 if corpus.limit(threshold).count() < threshold:
                     index_type = "flat"
             else:
-                index_type = "flat"  # graph-traversal indexes: exact scan
+                index_type = "flat"  # unindexable metric/type combos
         if metric != "cosine":
             # Every ANN index here (ivf / lsh_simhash / pq / ivfpq) is
             # built for cosine; silently answering an l2/manhattan query
@@ -1540,6 +1544,19 @@ class VectorCatalog:
             import pandas as pd
 
             graph = self.spark.read.parquet(self._index_path(lib_id, "graph"))
+            if metadata_filters:
+                # filter-at-scoring (VERDICT r8 #1): the graph keeps every
+                # node (beam navigation needs full adjacency) and carries
+                # the filter verdict as a `passing` flag — one id-keyed
+                # join of an id-only projection, the same shuffle class as
+                # the groupBy(shard) the serve path already pays
+                graph = graph.join(
+                    corpus.select("id", F.lit(True).alias("passing")),
+                    "id",
+                    "left",
+                ).withColumn(
+                    "passing", F.coalesce(F.col("passing"), F.lit(False))
+                )
             qpdf = pd.DataFrame(
                 {"query_id": range(len(qvecs)), "query_vec": qvecs}
             )
@@ -1553,6 +1570,17 @@ class VectorCatalog:
             import pandas as pd
 
             centroids, graph, nsub = self._read_hnsw_routed(lib_id)
+            if metadata_filters:
+                # same filter-at-scoring flag as the hnsw branch; probe
+                # routing is untouched (filters never change which
+                # clusters are closest to the query)
+                graph = graph.join(
+                    corpus.select("id", F.lit(True).alias("passing")),
+                    "id",
+                    "left",
+                ).withColumn(
+                    "passing", F.coalesce(F.col("passing"), F.lit(False))
+                )
             qpdf = pd.DataFrame(
                 {"query_id": range(len(qvecs)), "query_vec": qvecs}
             )

@@ -129,21 +129,138 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+#: driver-side training vocabulary bound (VERDICT r8 #3, the
+#: train_centroids sample discipline): the merge loop runs over the TOP
+#: ``BPE_TRAIN_WORDS`` words by (freq DESC, word ASC) — at web scale the
+#: frequency head carries essentially all pair mass (Zipf), and the
+#: bound keeps the collected table broadcast-class. Fixture vocabularies
+#: (≤ tens of thousands of words) sit far below it, so the trained
+#: merges equal full-vocabulary training there — which is what the
+#: unrolled-CTE oracle replays.
+BPE_TRAIN_WORDS = 1 << 18
+
+#: the production merge budget (VERDICT r8 #3: past the 10-merge toy
+#: ceiling). At fixture scale this budget exhausts the corpus — every
+#: pair eventually merges and each known word collapses to ONE token —
+#: which is exactly what `text_bpe_token_counts_big`'s closed-form
+#: oracle pins end to end.
+BPE_BIG_MERGES = 1024
+
+
+def _greedy_merge_syms(syms: list[str], left: str, right: str) -> list[str]:
+    """One merge over a symbol list, leftmost-first non-overlapping —
+    the in-memory twin of the wrapped-string ``replace`` (pinned equal
+    by tests/test_bpe.py's hypothesis suite)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_merges_local(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact BPE training over an in-memory (word, freq) table —
+    the driver-side merge loop (VERDICT r8 #3: the ``train_centroids``
+    precedent — distributed corpus aggregation, bounded-state driver
+    iteration). Semantics are IDENTICAL to the r8 per-round Spark
+    aggregates: adjacent pairs weighted by word frequency, overlaps
+    counted, argmax tie-break (count DESC, left ASC, right ASC),
+    greedy leftmost merges — pinned by the 10-merge unrolled-CTE
+    oracle replay and a hypothesis equivalence suite vs the textbook
+    reference trainer.
+
+    Cost shape: a lazy-deletion heap keyed (-count, l, r) makes each
+    round O(affected-word length · log) instead of an O(|pairs|) scan —
+    1k+ merges over a 400k-word vocabulary is seconds, not the 1k Spark
+    jobs the r8 round loop would have paid (SCALE.md r9)."""
+    import heapq
+
+    words: list[tuple[list[str], int]] = [
+        (list(w), int(f)) for w, f in word_freqs
+    ]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, f) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-n, p[0], p[1]) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        # pop stale entries: an entry is live only if it matches the
+        # pair's CURRENT count (every count change pushes a fresh entry)
+        while heap:
+            nn, l, r = heap[0]
+            if pair_counts.get((l, r), 0) == -nn and -nn > 0:
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break  # alphabet exhausted — every word fully merged
+        nn, l, r = heapq.heappop(heap)
+        merges.append((rank, l, r, -nn))
+        pair_counts.pop((l, r), None)
+        for i in sorted(pair_words.pop((l, r), ())):
+            syms, f = words[i]
+            for p in zip(syms, syms[1:]):
+                c = pair_counts.get(p)
+                if c is not None:
+                    pair_counts[p] = c - f
+                    if c - f > 0:
+                        heapq.heappush(heap, (-(c - f), p[0], p[1]))
+            merged = _greedy_merge_syms(syms, l, r)
+            words[i] = (merged, f)
+            for p in zip(merged, merged[1:]):
+                c = pair_counts.get(p, 0) + f
+                pair_counts[p] = c
+                pair_words.setdefault(p, set()).add(i)
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
 def train_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(rank, left, right, count)].
 
-    Each round collects exactly ONE row (the argmax pair — the same
-    scalar-stats-class driver materialization as the IVF probe policy);
-    the words table re-persists every 4 rounds so a round's pair-count
-    aggregate replays a bounded replace chain, not the corpus scan."""
+    One distributed corpus aggregation (``word_frequencies`` — the only
+    pass that touches the corpus), one bounded collect (top
+    ``BPE_TRAIN_WORDS`` by (freq DESC, word ASC) — broadcast-class), then
+    the exact driver-side merge loop. The r8 form ran one pair-count
+    Spark aggregate + argmax PER ROUND — fine at 10 merges, a 1000-job
+    serialization at a real vocabulary size; the word-count table is the
+    bounded state the whole loop needs (VERDICT r8 #3)."""
     key = (spark.sparkContext.applicationId, str(sf_dir), int(n_merges))
     if key in _MERGE_CACHE:
         return _MERGE_CACHE[key]
+    wf = (
+        word_frequencies(spark, sf_dir)
+        .select("word", "freq")
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(BPE_TRAIN_WORDS)
+        .collect()
+    )
+    merges = train_merges_local([(r["word"], r["freq"]) for r in wf], n_merges)
+    _MERGE_CACHE[key] = merges
+    return merges
+
+
+def train_merges_rounds(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """The r8 per-round distributed trainer, kept as the semantic
+    cross-check for :func:`train_merges` (tests pin route equality):
+    each round is one pair-count aggregate over the distinct-word table
+    + a 1-row argmax collect + one replace projection."""
     wf = track_persist(word_frequencies(spark, sf_dir))
     # size the iteration state to the measured vocabulary: the corpus agg
-    # runs wide, but 10 rounds of tiny aggregates over a 31-row table in
+    # runs wide, but rounds of tiny aggregates over a 31-row table in
     # 32 shuffle partitions is pure task-scheduling overhead (measured
     # 11.1s → 3.4s at sf0.1). ~64k words per partition keeps single-task
     # rounds at fixture scale and wide rounds at web-scale vocabularies.
@@ -164,16 +281,71 @@ def train_merges(
         words = words.withColumn("s", merge_pair(F.col("s"), row["l"], row["r"]))
         if rank % 4 == 0 and rank < n_merges:
             words = track_persist(words)
-    _MERGE_CACHE[key] = merges
     return merges
 
 
 def apply_merges(s: Column, merges: list[tuple[int, str, str, int]]) -> Column:
     """Encode: replay the learned merges in rank order as one chained
-    projection (each rank one literal replace — pure codegen, no UDF)."""
+    projection (each rank one literal replace — pure codegen, no UDF).
+    Right for SMALL merge tables (the 10-merge oracled family): the
+    expression tree is O(merges) deep. Past that, use
+    :func:`encode_token_counts` (rank-priority, O(present pairs))."""
     for _, left, right, _ in merges:
         s = merge_pair(s, left, right)
     return s
+
+
+def encode_word_local(word: str, rank_of: dict) -> list[str]:
+    """Rank-priority BPE encoding of one word: repeatedly merge the
+    LOWEST-rank adjacent pair present (all its occurrences, leftmost
+    first). Provably identical to replaying the full merge list in rank
+    order — a merge can only create pairs involving its brand-new token,
+    which no earlier-rank rule references — while costing O(pairs
+    present), not O(vocabulary) (VERDICT r8 #3; the hypothesis suite
+    pins the equality against the replay chain)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for p in zip(syms, syms[1:]):
+            rk = rank_of.get(p)
+            if rk is not None and (best is None or rk < best[0]):
+                best = (rk, p)
+        if best is None:
+            break
+        syms = _greedy_merge_syms(syms, *best[1])
+    return syms
+
+
+def encode_token_counts(
+    words: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """(word, n_tokens) under rank-priority encoding — the scale path
+    for big merge tables: one Arrow ``mapInPandas`` pass over the
+    DISTINCT-WORD table (Heaps-law sublinear in corpus size), the merge
+    ranks riding the closure as a dict (1k merges ≈ 50 KB; a 32k-merge
+    production vocabulary would move to an explicit broadcast
+    variable). No shuffle beyond the distinct-word aggregate the caller
+    already paid."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    rank_of = {(l, r): rank for rank, l, r, _ in merges}
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_tokens": [
+                        len(encode_word_local(w, rank_of)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return words.select("word").mapInPandas(enc, schema="word string, n_tokens long")
 
 
 # --- oracle: the training loop as an unrolled MATERIALIZED-CTE chain --------
@@ -291,6 +463,82 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.length("word")) / F.sum("n_tokens"), 6
             ).alias("chars_per_token"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint"),
+            F.col("n_chars").cast("bigint"),
+            F.col("bpe_tokens").cast("bigint"),
+            "chars_per_token",
+        )
+    )
+
+
+# --- the production-scale merge budget (1k+ merges) --------------------------
+
+
+@register("text_bpe_merges_big")  # rows-only: a 1k-round training loop has
+# no bounded SQL replay; the 10-merge unrolled-CTE oracle pins the exact
+# prefix and the hypothesis suite pins trainer equivalence at this depth
+def text_bpe_merges_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge table under the production ``BPE_BIG_MERGES`` budget
+    (VERDICT r8 #3). Deterministic (same tie-breaks as the oracled
+    10-merge table — by construction its first ten rows ARE that
+    table); at fixture scale training exhausts (every pair eventually
+    merges) well inside the budget, so the row count is the corpus's
+    total merge capacity."""
+    merges = train_merges(spark, sf_dir, n_merges=BPE_BIG_MERGES)
+    rows = [
+        (rank, left, right, left + right, n) for rank, left, right, n in merges
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, lhs string, rhs string, new_token string, pair_count bigint"
+    )
+
+
+_BPE_TOKENS_BIG_SQL = """
+WITH dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+            FROM documents)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(length(word))::BIGINT AS n_chars,
+       count(*)::BIGINT AS bpe_tokens,
+       round(sum(length(word)) * 1.0 / count(*), 6) AS chars_per_token
+FROM dw GROUP BY doc_id
+"""
+
+
+@register("text_bpe_token_counts_big", _BPE_TOKENS_BIG_SQL)
+def text_bpe_token_counts_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting under the ``BPE_BIG_MERGES``
+    vocabulary, encoded by the rank-priority kernel
+    (:func:`encode_token_counts`) over the distinct-word table.
+
+    Oracle (closed form, and a REAL end-to-end property): a merge
+    budget past the corpus's total merge capacity trains to
+    exhaustion — the pair table empties only when every training word
+    is a single symbol — so every in-vocabulary word encodes to
+    EXACTLY ONE token and per-doc ``bpe_tokens`` equals ``n_words``.
+    A trainer that stops early, an encoder that misses a rank, or a
+    tie-break drift all break the equality. The non-exhausted regime
+    (the interesting middle) is pinned by the 10-merge unrolled-CTE
+    replay plus the hypothesis equivalence suite (tests/test_bpe.py)."""
+    merges = train_merges(spark, sf_dir, n_merges=BPE_BIG_MERGES)
+    d = load_table(spark, sf_dir, "documents")
+    vocab = encode_token_counts(word_frequencies(spark, sf_dir), merges)
+    from vectordb_from_scratch_spark.operators.textstats import vocab_join
+
+    dw = d.select("doc_id", F.explode(texthash.words("text")).alias("word"))
+    return (
+        vocab_join(dw, vocab, "word", sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_tokens").alias("bpe_tokens"),
+            F.round(F.sum(F.length("word")) / F.sum("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
         )
         .select(
             "doc_id",

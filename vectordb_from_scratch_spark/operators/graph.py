@@ -1561,12 +1561,120 @@ def edge_support(cur: DataFrame, oriented: DataFrame | None = None) -> DataFrame
 TRUSS_REENUM_FRAC = 0.2
 
 
+def _frontier_triangles(
+    frontier: DataFrame, graph_edges: DataFrame, n_edges: int
+) -> tuple[DataFrame, int]:
+    """(triples, n_cand): every triangle of ``graph_edges`` containing at
+    least one ``frontier`` edge, de-duplicated by sorted node triple
+    (column ``t`` = array[a,b,c]) — the shared kernel behind the k-truss
+    decrement rounds AND the incremental support delta
+    (:func:`truss_support_delta`). Each frontier edge pivots on its
+    min-(degree, id) endpoint so candidate fanout is Σ min-deg
+    (hub-proof, the same discipline as the degree orientation); closing
+    uses the bloom-bitmap prefilter above ``TRI_BLOOM_WEDGE_FLOOR`` and
+    an estimate-scaled sort-free ShuffledHashJoin. ``n_edges`` sizes the
+    SHJ build side. Both frames must be id-ordered (src < dst) edge
+    lists."""
+    spark = graph_edges.sparkSession
+    floor_part = spark.sparkContext.defaultParallelism
+    sym_s = graph_edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(
+        graph_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg_s = sym_s.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    r = (
+        frontier.join(deg_s.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "ds")
+        .join(
+            deg_s.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dd"),
+            "dst",
+        )
+    )
+    fwd = F.struct("ds", "src") < F.struct("dd", "dst")
+    piv = r.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("p"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("q"),
+        F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("dp"),
+    )
+    est_row = piv.agg(F.sum("dp").alias("c")).collect()[0]
+    n_cand = int(est_row["c"] or 0)
+    n_part = int(
+        min(
+            WEDGE_MAX_PARTITIONS,
+            max(
+                floor_part,
+                n_cand * WEDGE_ROW_BYTES // WEDGE_PARTITION_TARGET_BYTES + 1,
+                # the closing build side is edge-shaped: keep each
+                # partition's unspillable hash map small
+                n_edges * WEDGE_ROW_BYTES // SHJ_BUILD_TARGET_BYTES + 1,
+            ),
+        )
+    )
+    cand = (
+        piv.join(sym_s, piv["p"] == sym_s["a"])
+        .filter(F.col("b") != F.col("q"))
+        .select(
+            "p",
+            "q",
+            F.col("b").alias("w"),
+            F.least("q", F.col("b")).alias("x"),
+            F.greatest("q", F.col("b")).alias("y"),
+        )
+    )
+    closing = graph_edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    bm = _closing_bitmap(closing, n_edges) if n_cand >= TRI_BLOOM_WEDGE_FLOOR else None
+    if bm is not None:
+        bitmap, n_words = bm
+        cand = cand.join(
+            F.broadcast(bitmap),
+            F.pmod(F.xxhash64("x", "y"), F.lit(n_words)) == F.col("w_idx"),
+        ).filter(
+            F.expr(
+                "(word & shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pmod(xxhash64(y, x), 64) AS INT))) != 0"
+            )
+        )
+    tri = (
+        cand.select("p", "q", "w", "x", "y")
+        .repartition(n_part, "x", "y")
+        .join(
+            closing.repartition(n_part, "x", "y").hint("shuffle_hash"),
+            ["x", "y"],
+        )
+    )
+    trid = tri.select(F.array_sort(F.array("p", "q", "w")).alias("t")).distinct()
+    return trid, n_cand
+
+
+def _triple_edge_counts(trid: DataFrame) -> DataFrame:
+    """Sorted node triples → per-edge triangle counts (src, dst, c):
+    each triple explodes to its three id-ordered edges."""
+    return (
+        trid.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("t")[0].alias("s"), F.col("t")[1].alias("d")),
+                    F.struct(F.col("t")[0].alias("s"), F.col("t")[2].alias("d")),
+                    F.struct(F.col("t")[1].alias("s"), F.col("t")[2].alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def ktruss(
     edges: DataFrame,
     k: int = TRUSS_K,
     rounds: int = TRUSS_ROUNDS,
     oriented0: DataFrame | None = None,
     reenum_frac: float = TRUSS_REENUM_FRAC,
+    support0: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, support): the edges of the k-truss — the maximal
     subgraph where every edge participates in ≥ k-2 triangles — with
@@ -1613,10 +1721,19 @@ def ktruss(
     W·(1-f)², decrement ∝ f·Σ min-deg ≈ 2.5·f·W → f* ≈ 0.2). Both
     routes produce support inside the surviving subgraph exactly, so
     the choice is value-neutral (pinned by
-    ``test_graph.py::test_ktruss_decrement_and_reenum_routes_agree``)."""
-    spark = edges.sparkSession
+    ``test_graph.py::test_ktruss_decrement_and_reenum_routes_agree``).
+
+    ``support0`` (VERDICT r8 #2) serves a PREBUILT whole-graph support
+    table — the incrementally-maintained artifact from
+    :func:`truss_support_delta` — so a warm peel skips the seed
+    enumeration entirely (the ~95–140 s floor at the 1M design point)
+    and pays only the rounds."""
     cur = edges.select("src", "dst")
-    sup0 = edge_support(cur, oriented=oriented0)
+    sup0 = (
+        support0.select("src", "dst", "sup")
+        if support0 is not None
+        else edge_support(cur, oriented=oriented0)
+    )
     state = (
         cur.join(sup0, ["src", "dst"], "left")
         .select(
@@ -1625,7 +1742,6 @@ def ktruss(
         .localCheckpoint()
     )
     n_state = state.count()
-    floor_part = spark.sparkContext.defaultParallelism
     debug = bool(os.environ.get("SPARK_GRAFT_TRUSS_DEBUG"))
     for rnd in range(rounds):
         t_round = time.perf_counter()
@@ -1658,106 +1774,13 @@ def ktruss(
                     f"left={n_state} {time.perf_counter() - t_round:.1f}s"
                 )
             continue
-        # pre-removal adjacency + degrees of S (recomputed lazily from the
-        # checkpointed edge-sized state — never shuffled as a whole)
-        sym_s = state.select(
-            F.col("src").alias("a"), F.col("dst").alias("b")
-        ).unionAll(state.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        deg_s = sym_s.groupBy(F.col("a").alias("node")).agg(
-            F.count(F.lit(1)).alias("deg")
+        # enumerate ONLY the triangles of the pre-removal subgraph S that
+        # contain a frontier edge (shared kernel — also the incremental
+        # support delta's workhorse), then decrement each survivor once
+        trid, n_cand = _frontier_triangles(
+            removed, state.select("src", "dst"), n_state
         )
-        # pivot each frontier edge on its min-(degree, id) endpoint so the
-        # candidate fanout is Σ_R min(deg) — hub-proof, the support-update
-        # cost truss decomposition is supposed to pay
-        r = (
-            removed.join(deg_s.withColumnRenamed("node", "src"), "src")
-            .withColumnRenamed("deg", "ds")
-            .join(
-                deg_s.withColumnRenamed("node", "dst").withColumnRenamed(
-                    "deg", "dd"
-                ),
-                "dst",
-            )
-        )
-        fwd = F.struct("ds", "src") < F.struct("dd", "dst")
-        piv = r.select(
-            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("p"),
-            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("q"),
-            F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("dp"),
-        )
-        est_row = piv.agg(F.sum("dp").alias("c")).collect()[0]
-        n_cand = int(est_row["c"] or 0)
-        n_part = int(
-            min(
-                WEDGE_MAX_PARTITIONS,
-                max(
-                    floor_part,
-                    n_cand * WEDGE_ROW_BYTES // WEDGE_PARTITION_TARGET_BYTES + 1,
-                    # the closing build side is edge-shaped: keep each
-                    # partition's unspillable hash map small
-                    n_state * WEDGE_ROW_BYTES // SHJ_BUILD_TARGET_BYTES + 1,
-                ),
-            )
-        )
-        cand = (
-            piv.join(sym_s, piv["p"] == sym_s["a"])
-            .filter(F.col("b") != F.col("q"))
-            .select(
-                "p",
-                "q",
-                F.col("b").alias("w"),
-                F.least("q", F.col("b")).alias("x"),
-                F.greatest("q", F.col("b")).alias("y"),
-            )
-        )
-        closing = state.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-        bm = (
-            _closing_bitmap(closing, n_state)
-            if n_cand >= TRI_BLOOM_WEDGE_FLOOR
-            else None
-        )
-        if bm is not None:
-            bitmap, n_words = bm
-            cand = cand.join(
-                F.broadcast(bitmap),
-                F.pmod(F.xxhash64("x", "y"), F.lit(n_words)) == F.col("w_idx"),
-            ).filter(
-                F.expr(
-                    "(word & shiftleft(CAST(1 AS BIGINT), "
-                    "CAST(pmod(xxhash64(y, x), 64) AS INT))) != 0"
-                )
-            )
-        tri = (
-            cand.select("p", "q", "w", "x", "y")
-            .repartition(n_part, "x", "y")
-            .join(
-                closing.repartition(n_part, "x", "y").hint("shuffle_hash"),
-                ["x", "y"],
-            )
-        )
-        trid = tri.select(
-            F.array_sort(F.array("p", "q", "w")).alias("t")
-        ).distinct()
-        dec = (
-            trid.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col("t")[0].alias("s"), F.col("t")[1].alias("d")
-                        ),
-                        F.struct(
-                            F.col("t")[0].alias("s"), F.col("t")[2].alias("d")
-                        ),
-                        F.struct(
-                            F.col("t")[1].alias("s"), F.col("t")[2].alias("d")
-                        ),
-                    )
-                ).alias("e")
-            )
-            .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        dec = _triple_edge_counts(trid)
         state = (
             state.filter(F.col("sup") >= k - 2)
             .join(dec, ["src", "dst"], "left")
@@ -1783,6 +1806,80 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(
         shared_edges(spark, sf_dir).select("src", "dst"),
         oriented0=shared_artifact(spark, sf_dir, "oriented"),
+    )
+
+
+def truss_support_delta(
+    base_edges: DataFrame, base_support: DataFrame, new_items: DataFrame
+) -> DataFrame:
+    """Incrementally maintain the whole-graph per-edge support artifact
+    under a WHOLE-ORDER delta batch (VERDICT r8 #2 — the
+    ``merge_edge_delta`` discipline extended one derived table deeper):
+    returns (src, dst, n_orders, sup) for the merged graph.
+
+    Orders only ADD edges, so support is monotone under the delta and
+    decomposes exactly: every triangle of the merged graph either
+    existed in the base (no new edge — already counted in
+    ``base_support``) or contains ≥ 1 new edge. The delta therefore
+    enumerates ONLY triangles incident to new edges
+    (:func:`_frontier_triangles` with frontier = new edges over the
+    merged edge set — cost ∝ Σ min-deg over NEW edges, never the whole
+    graph's wedge volume) and adds each such triangle once to each of
+    its three edges; a brand-new edge starts from sup 0 and receives
+    all its triangles this way (each contains itself). Weight bumps on
+    existing edges (n_orders) never change support — support counts
+    distinct edge pairs, not weights.
+
+    This is the nightly path that makes repeated truss peels warm:
+    maintain (edges, support) per delta batch, then
+    ``ktruss(..., support0=maintained)`` skips the seed enumeration —
+    the ~95–140 s floor at the 1M-order design point — and pays only
+    the peel rounds (SCALE.md r9)."""
+    merged = merge_edge_delta(base_edges, new_items).localCheckpoint()
+    n_edges = merged.count()
+    new_e = merged.select("src", "dst").join(
+        base_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    trid, _ = _frontier_triangles(new_e, merged.select("src", "dst"), n_edges)
+    delta = _triple_edge_counts(trid)
+    return (
+        merged.join(base_support, ["src", "dst"], "left")
+        .join(delta, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            "n_orders",
+            (
+                F.coalesce(F.col("sup"), F.lit(0))
+                + F.coalesce(F.col("c"), F.lit(0))
+            ).alias("sup"),
+        )
+    )
+
+
+@register("graph_ktruss_incremental", _ktruss_sql())
+def graph_ktruss_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warm-peel composition, end to end: split orders 90/10 (the
+    ``graph_edges_incremental`` split), seed-enumerate support on the
+    BASE graph only, maintain (edges, support) through the whole-order
+    delta (:func:`truss_support_delta`), then peel with the maintained
+    support as ``support0`` — no full-graph seed enumeration touches
+    the merged graph anywhere. The oracle is the SAME full k-truss
+    recomputation as ``graph_ktruss`` (``_ktruss_sql`` over all of
+    lineitem): hash equality proves the incremental support arithmetic
+    AND the warm peel are exact, not approximately refreshed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    base = copurchase_edges_from_items(
+        items.filter(F.col("ok") % 10 != 0)
+    ).localCheckpoint()
+    base_sup = edge_support(base.select("src", "dst"))
+    maintained = truss_support_delta(
+        base, base_sup, items.filter(F.col("ok") % 10 == 0)
+    ).localCheckpoint()
+    return ktruss(
+        maintained.select("src", "dst"),
+        support0=maintained.select("src", "dst", "sup"),
     )
 
 
@@ -2234,8 +2331,9 @@ def node_embeddings(
     that lets 1000 executors train without a parameter server; this is
     one synchronous step of distributed SGNS (the Spark analog of
     MLlib Word2Vec's per-partition updates, minus the nondeterministic
-    merge). The vocabulary index is one global sort of |V| node ids —
-    the unigram-table build every word2vec pays once.
+    merge). The vocabulary index is the distributed zipWithIndex shape
+    (``_vocab_index``): range-partitioned per-partition offsets, no
+    single-task global sort (VERDICT r8 #4).
 
     Scale shape: pairs ≤ (steps+1)·2·window·|V| rows; each iteration's
     joins shuffle pair-sized frames on node keys; gradients are
@@ -2248,6 +2346,55 @@ def node_embeddings(
         F.col("node").alias("part_id"),
         *[F.round(F.col(f"i{d}"), 6).alias(f"e{d}") for d in range(dims)],
     )
+
+
+def _vocab_index(nodes: DataFrame) -> DataFrame:
+    """(node, idx): the dense ascending-node index, distributed
+    (VERDICT r8 #4). The r8 form — ``row_number() OVER (ORDER BY
+    node)`` — funnels every node id through ONE task (a SinglePartition
+    Exchange); this is the zipWithIndex shape instead: range-partition
+    on node (partitions are disjoint ordered ranges), sort within
+    partitions, collect ONE COUNT PER PARTITION (bounded,
+    broadcast-class), and emit idx = partition offset + local position.
+    The mapping is identical to the global row_number for ANY choice of
+    range bounds — offsets absorb whatever split the sampler picked —
+    so the DuckDB oracle keeps replaying the plain window form. The
+    ranged frame is checkpointed eagerly: the counts pass and the rank
+    pass must observe the SAME physical layout (range-sampler re-runs
+    are not guaranteed to draw identical bounds)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas batches
+
+    spark = nodes.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        nodes.repartitionByRange(p, "node")
+        .sortWithinPartitions("node")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        int(r["pid"]): int(r["c"])
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def assign(batches):
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["pid"].iloc[0])]
+            out = pdf[["node"]].copy()
+            out["idx"] = np.arange(base + seen, base + seen + len(pdf), dtype="int64")
+            seen += len(pdf)
+            yield out
+
+    node_type = nodes.schema["node"].dataType.simpleString()
+    return ranged.mapInPandas(assign, schema=f"node {node_type}, idx long")
 
 
 def _train_sgns(
@@ -2274,10 +2421,7 @@ def _train_sgns(
     vocab_nodes = (
         _sym(edges).select(F.col("a").alias("node")).distinct()
     )
-    w = Window.orderBy("node")
-    vocab = vocab_nodes.select(
-        "node", (F.row_number().over(w) - 1).cast("long").alias("idx")
-    ).localCheckpoint(eager=False)
+    vocab = _vocab_index(vocab_nodes)
     nv = vocab.count()
     pos = pairs.select(
         "center", "context", "n_pairs", F.lit(1.0).alias("y")

@@ -61,15 +61,51 @@ DEFAULT_K = 10
 N_QUERIES = 10
 
 
-def _beam(adj: list, Xu: np.ndarray, q: np.ndarray, ef: int, entry: int = 0):
+def _beam(
+    adj: list,
+    Xu: np.ndarray,
+    q: np.ndarray,
+    ef: int,
+    entry: int = 0,
+    allowed: np.ndarray | None = None,
+):
     """Best-first NSW search over adjacency lists: returns [(sim, node)]
     of up to ``ef`` best nodes. Ties pop deterministically (heap orders by
-    (score, node)); neighbor dots run as one gemv per expansion."""
+    (score, node)); neighbor dots run as one gemv per expansion.
+
+    ``allowed`` (optional bool mask) is the filter-aware mode (VERDICT r8
+    #1, the hnswlib-style filtered search): NAVIGATION runs over the full
+    graph — every admissible node still enters the candidate heap, so the
+    beam can cross non-passing regions — but only ``allowed`` nodes enter
+    the result heap, and ``ef`` bounds the PASSING results. Termination
+    invariant the widening loop stands on: the early break requires
+    ``len(res) >= ef``, so a return with fewer than ``ef`` results means
+    the candidate heap drained — the entire reachable component was
+    traversed and the result is EXACT over reachable passing nodes."""
     d0 = float(Xu[entry] @ q)
     visited = np.zeros(len(Xu), dtype=bool)
     visited[entry] = True
     cand = [(-d0, entry)]  # max-heap on similarity
-    res = [(d0, entry)]  # min-heap keeps the ef best
+    if allowed is None:
+        res = [(d0, entry)]  # min-heap keeps the ef best
+        while cand:
+            nd, u = heapq.heappop(cand)
+            if len(res) >= ef and -nd < res[0][0]:
+                break
+            nbrs = [v for v in adj[u] if not visited[v]]
+            if not nbrs:
+                continue
+            visited[np.array(nbrs)] = True
+            sims = Xu[nbrs] @ q
+            for v, dv in zip(nbrs, sims):
+                dv = float(dv)
+                if len(res) < ef or dv > res[0][0]:
+                    heapq.heappush(cand, (-dv, v))
+                    heapq.heappush(res, (dv, v))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+        return res
+    res = [(d0, entry)] if allowed[entry] else []
     while cand:
         nd, u = heapq.heappop(cand)
         if len(res) >= ef and -nd < res[0][0]:
@@ -81,12 +117,38 @@ def _beam(adj: list, Xu: np.ndarray, q: np.ndarray, ef: int, entry: int = 0):
         sims = Xu[nbrs] @ q
         for v, dv in zip(nbrs, sims):
             dv = float(dv)
+            # expansion gate keys on the worst PASSING result — while
+            # fewer than ef passing nodes are known, everything expands
             if len(res) < ef or dv > res[0][0]:
                 heapq.heappush(cand, (-dv, v))
-                heapq.heappush(res, (dv, v))
-                if len(res) > ef:
-                    heapq.heappop(res)
+                if allowed[v]:
+                    heapq.heappush(res, (dv, v))
+                    if len(res) > ef:
+                        heapq.heappop(res)
     return res
+
+
+def _beam_filtered(
+    adj: list,
+    Xu: np.ndarray,
+    q: np.ndarray,
+    ef: int,
+    k: int,
+    allowed: np.ndarray,
+):
+    """Filter-aware beam sized to guarantee "k passing results or proof
+    of exhaustion" in ONE pass: the beam runs at ``ef' = max(ef, k)``
+    (capped at the shard size), so by the ``_beam`` termination
+    invariant every return either carries a full beam — ≥ ef' ≥ k
+    passing results — or proves the reachable component held fewer
+    passing nodes than ef', i.e. ALL of them were found. The
+    widen-and-retry loop the probed tiers would need collapses here
+    because ef bounds PASSING results (not visited nodes): there is no
+    third outcome to retry. At ``ef`` ≥ shard size this IS the filtered
+    exact scan of the shard — the full-beam == exact contract extends
+    unchanged (pinned in tests/test_catalog.py)."""
+    n = len(Xu)
+    return _beam(adj, Xu, q, min(n, max(ef, k)), allowed=allowed)
 
 
 def _connect(
@@ -368,7 +430,14 @@ def search_graphs(
     PARTITIONS fails loudly (adjacency references a missing node).
     ``grouped=True`` (catalog path over a parquet-read graph, where the
     scanner may split a shard's file): pays one groupBy(shard) shuffle of
-    the graph table for unconditional correctness."""
+    the graph table for unconditional correctness.
+
+    Filter-aware mode (VERDICT r8 #1): a boolean ``passing`` column on
+    ``graph`` marks the metadata-filter survivors; the beam then
+    navigates the FULL shard graph but admits only passing nodes to the
+    result heap (``_beam_filtered``), and ``k`` is guaranteed per shard
+    whenever the reachable component holds k passing nodes — no column
+    means unfiltered search, byte-identical to before."""
     import pandas as pd
 
     from vectordb_from_scratch_spark.operators import knn
@@ -382,9 +451,16 @@ def search_graphs(
         pos = {v: i for i, v in enumerate(ids)}
         Xu = _normalize(np.stack(g[vec_col].to_list()).astype("float64"))
         adj = [[pos[v] for v in nbrs] for nbrs in g["neighbors"].to_list()]
+        mask = (
+            g["passing"].to_numpy(dtype=bool) if "passing" in g.columns else None
+        )
         out_q, out_id, out_s = [], [], []
         for qi, q in zip(qids, Q):
-            res = _beam(adj, Xu, q, ef)
+            res = (
+                _beam(adj, Xu, q, ef)
+                if mask is None
+                else _beam_filtered(adj, Xu, q, ef, k, mask)
+            )
             sims = np.array([s for s, _ in res])
             nodes = np.array([v for _, v in res])
             # rank by (score desc, positional id asc) — positions are in
@@ -732,8 +808,17 @@ def routed_search(
             pos = {v: i for i, v in enumerate(ids)}
             Xu = _normalize(np.stack(g[vec_col].to_list()).astype("float64"))
             adj = [[pos[v] for v in nbrs] for nbrs in g["neighbors"].to_list()]
+            mask = (
+                g["passing"].to_numpy(dtype=bool)
+                if "passing" in g.columns
+                else None
+            )
             for qi in routed:
-                res = _beam(adj, Xu, Q[qi], ef)
+                res = (
+                    _beam(adj, Xu, Q[qi], ef)
+                    if mask is None
+                    else _beam_filtered(adj, Xu, Q[qi], ef, k, mask)
+                )
                 sims = np.array([s for s, _ in res])
                 nodes = np.array([v for _, v in res])
                 sel = knn.local_topk_indices(sims, nodes, k)
