@@ -152,6 +152,8 @@ HEADLINE = [
     "eval_ann_ndcg",
     "eval_mrl_overlap",
     "embedding_pca_components",
+    "embedding_pca_components_r4",
+    "eval_pca_ivf_recall",
     "embedding_pca_scores",
     "embedding_jl_project",
     "eval_jl_distortion",
@@ -167,6 +169,7 @@ HEADLINE = [
     "text_heavy_hitters",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
+    "multimodal_jpeg_420_decode",
     "multimodal_image_ahash",
     "multimodal_image_neardup",
     "multimodal_audio_neardup",

@@ -196,12 +196,38 @@ def test_jpeg_color_decoder_rejects_corrupt_payloads():
     bad[-20] ^= 0xFF
     with pytest.raises(ValueError):
         mm._decode_jpeg(bytes(bad))
-    # claim 2x2 luma sampling (4:2:0): decoder must refuse, not mis-tile
-    sub = good.replace(bytes([1, 0x11, 0, 2, 0x11, 0]), bytes([1, 0x22, 0, 2, 0x11, 0]), 1)
+    # 4:2:0 (2×2 luma) is now a SUPPORTED layout (r9) — but factor
+    # combinations outside {4:4:4, 4:2:0} must still be refused, not
+    # mis-tiled (2×1 luma = 4:2:2, and 2×2 chroma over 1×1 luma)
+    sub = good.replace(bytes([1, 0x11, 0, 2, 0x11, 0]), bytes([1, 0x21, 0, 2, 0x11, 0]), 1)
     with pytest.raises(ValueError):
         mm._decode_jpeg(sub)
+    sub2 = good.replace(bytes([1, 0x11, 0, 2, 0x11, 0]), bytes([1, 0x11, 0, 2, 0x22, 0]), 1)
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(sub2)
     with pytest.raises(ValueError):
         mm._decode_jpeg_gray(good)  # gray contract rejects color
+
+
+def test_jpeg_420_roundtrip_reconstructs_all_channels():
+    """The 4:2:0 codec (r9, VERDICT r8 #5) round-trips EXACTLY per
+    channel: each MCU's four Y blocks decode to the constant byte, the
+    chroma planes decode at quarter resolution and replication-upsample
+    to the same constants at full frame size, and a truncated scan
+    still raises."""
+    pix = TEXT.encode()
+    y, cb, cr = mm._decode_jpeg(mm.encode_jpeg_420_blocks(pix))
+    hb = (len(pix) + mm.JPEG_MCUS_W_420 - 1) // mm.JPEG_MCUS_W_420
+    assert y.shape == cb.shape == cr.shape == (hb * 16, 16 * mm.JPEG_MCUS_W_420)
+    mcus = list(pix.ljust(hb * mm.JPEG_MCUS_W_420, b"\x00"))
+    for m, v in enumerate(mcus):
+        rm, cm = divmod(m, mm.JPEG_MCUS_W_420)
+        sl = (slice(rm * 16, rm * 16 + 16), slice(cm * 16, cm * 16 + 16))
+        vy, vcb, vcr = mm._jpeg_color_channels(v)
+        assert (y[sl] == vy).all() and (cb[sl] == vcb).all() and (cr[sl] == vcr).all()
+    good = mm.encode_jpeg_420_blocks(pix)
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(good[: len(good) - 12])
 
 
 def test_jpeg_decoder_handles_general_ac_symbols():

@@ -1018,6 +1018,110 @@ def run_truss(spark, n_orders: int) -> None:
     items.unpersist()
 
 
+def run_truss_incr(spark, n_orders: int) -> None:
+    """Warm-peel design point (r9, VERDICT r8 #2): split the planted-hub
+    corpus's orders 90/10, measure (a) the cold full-graph seed
+    enumeration, (b) the incremental support maintenance over the 10%
+    whole-order delta, and (c) the warm peel served from the maintained
+    artifact — the claim is warm-peel wall ≈ rounds-only cost, with the
+    seed pass amortized into (b)'s new-edge-proportional delta."""
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import graph
+
+    items, edges, P, n_items, m, t_edges = _graph_corpus(spark, n_orders)
+    print(f"truss_incr n_orders={n_orders} P={P}: {m} edges in {t_edges:6.2f}s")
+
+    t0 = time.perf_counter()
+    sup_full = graph.edge_support(edges.select("src", "dst")).persist()
+    n_sup = sup_full.count()
+    k25 = int(sup_full.agg(F.expr("percentile_approx(sup, 0.25)")).collect()[0][0])
+    t_cold_seed = time.perf_counter() - t0
+    print(f"cold seed enumeration (full graph): {t_cold_seed:6.2f}s ({n_sup} edges)")
+    sup_full.unpersist()
+    registry.release_tracked()
+
+    base_items = items.filter(F.col("ok") % 10 != 0)
+    delta_items = items.filter(F.col("ok") % 10 == 0)
+    base = graph.copurchase_edges_from_items(base_items).localCheckpoint()
+    t0 = time.perf_counter()
+    base_sup = graph.edge_support(base.select("src", "dst"))
+    maintained = graph.truss_support_delta(base, base_sup, delta_items).persist()
+    n_m = maintained.count()
+    t_base = time.perf_counter() - t0
+    # the nightly regime pays only the delta: re-measure it alone with
+    # the base support already materialized
+    base_sup2 = graph.edge_support(base.select("src", "dst")).localCheckpoint()
+    t0 = time.perf_counter()
+    m2 = graph.truss_support_delta(base, base_sup2, delta_items)
+    n_m2 = m2.count()
+    t_delta = time.perf_counter() - t0
+    print(
+        f"maintained support: base-seed+delta {t_base:6.2f}s; "
+        f"delta alone (base support warm) {t_delta:6.2f}s ({n_m} edges)"
+    )
+    registry.release_tracked()
+
+    kk = k25 + 2
+    t0 = time.perf_counter()
+    nt_w = graph.ktruss(
+        maintained.select("src", "dst"), k=kk,
+        support0=maintained.select("src", "dst", "sup"),
+    ).count()
+    t_warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nt_c = graph.ktruss(maintained.select("src", "dst"), k=kk).count()
+    t_cold = time.perf_counter() - t0
+    assert nt_w == nt_c, (nt_w, nt_c)
+    print(
+        f"ktruss(k={kk}): warm peel {t_warm:6.2f}s vs cold {t_cold:6.2f}s "
+        f"({nt_w} surviving edges; warm skips the {t_cold_seed:5.1f}s-class "
+        f"seed pass, paying only rounds)"
+    )
+    maintained.unpersist()
+    edges.unpersist()
+    items.unpersist()
+
+
+def run_vocabidx(spark, n_orders: int) -> None:
+    """The SGNS vocabulary index at the 1M-order graph (r9, VERDICT r8
+    #4): the distributed zipWithIndex shape vs the single-task global
+    row_number it replaced — same mapping (asserted on a sample), walls
+    printed for both."""
+    from pyspark.sql import Window
+
+    from vectordb_from_scratch_spark.operators import graph
+
+    items, edges, P, n_items, m, t_edges = _graph_corpus(spark, n_orders)
+    nodes = graph._sym(edges.select("src", "dst")).select(
+        F.col("a").alias("node")
+    ).distinct().persist()
+    nn = nodes.count()
+    print(f"vocabidx n_orders={n_orders}: {nn} nodes, {m} edges in {t_edges:6.2f}s")
+
+    t0 = time.perf_counter()
+    vi = graph._vocab_index(nodes).persist()
+    n1 = vi.count()
+    t_dist = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    w = Window.orderBy("node")
+    vw = nodes.select(
+        "node", (F.row_number().over(w) - 1).cast("long").alias("idx")
+    ).persist()
+    n2 = vw.count()
+    t_single = time.perf_counter() - t0
+    bad = vi.join(vw, "node").filter(vi["idx"] != vw["idx"]).count()
+    assert bad == 0 and n1 == n2 == nn
+    print(
+        f"vocab index: distributed zipWithIndex {t_dist:6.2f}s vs "
+        f"single-task row_number {t_single:6.2f}s (mappings identical)"
+    )
+    vi.unpersist()
+    vw.unpersist()
+    nodes.unpersist()
+    edges.unpersist()
+    items.unpersist()
+
+
 def run_walks(spark, n_orders: int) -> None:
     """Walk-family design point on the planted-hub corpus (VERDICT r7
     #4): node2vec's candidate join fans out by RAW degree of the walk's
@@ -1224,6 +1328,10 @@ def main() -> None:
         return run_graph2(spark, n)
     if mode == "truss":
         return run_truss(spark, n)
+    if mode == "truss_incr":
+        return run_truss_incr(spark, n)
+    if mode == "vocabidx":
+        return run_vocabidx(spark, n)
     if mode == "walks":
         return run_walks(spark, n)
     if mode == "prefixjoin":

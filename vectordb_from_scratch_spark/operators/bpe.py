@@ -175,52 +175,98 @@ def train_merges_local(
     oracle replay and a hypothesis equivalence suite vs the textbook
     reference trainer.
 
-    Cost shape: a lazy-deletion heap keyed (-count, l, r) makes each
-    round O(affected-word length · log) instead of an O(|pairs|) scan —
-    1k+ merges over a 400k-word vocabulary is seconds, not the 1k Spark
-    jobs the r8 round loop would have paid (SCALE.md r9)."""
+    Cost shape: per merge, only the pairs TOUCHING a merge site update
+    (positional diff — ~5 dict ops per occurrence instead of two full
+    word recounts), and the lazy max-heap never pushes on decrements
+    (a popped stale-high entry re-pushes at its current count, so the
+    "heap holds an entry ≥ every live count" invariant is maintained
+    with one push per INCREMENT only). 1024 merges over a 262k-word
+    collected vocabulary run in tens of seconds driver-side — vs the
+    1k Spark jobs the r8 round loop would have paid (SCALE.md r9)."""
     import heapq
+    from sys import intern
 
     words: list[tuple[list[str], int]] = [
-        (list(w), int(f)) for w, f in word_freqs
+        ([intern(c) for c in w], int(f)) for w, f in word_freqs
     ]
-    pair_counts: dict[tuple[str, str], int] = {}
+    counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
-    for i, (syms, f) in enumerate(words):
+    for idx, (syms, f) in enumerate(words):
         for p in zip(syms, syms[1:]):
-            pair_counts[p] = pair_counts.get(p, 0) + f
-            pair_words.setdefault(p, set()).add(i)
-    heap = [(-n, p[0], p[1]) for p, n in pair_counts.items()]
+            counts[p] = counts.get(p, 0) + f
+            s = pair_words.get(p)
+            if s is None:
+                pair_words[p] = s = set()
+            s.add(idx)
+    heap = [(-n, p[0], p[1]) for p, n in counts.items()]
     heapq.heapify(heap)
+    push, pop = heapq.heappush, heapq.heappop
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        # pop stale entries: an entry is live only if it matches the
-        # pair's CURRENT count (every count change pushes a fresh entry)
+        # pop to the first entry whose count is CURRENT: entries are
+        # only ever stale-HIGH, so a mismatched top re-enters at its
+        # true count and the loop converges on the exact argmax with
+        # the exact tie order (count DESC, l ASC, r ASC)
         while heap:
             nn, l, r = heap[0]
-            if pair_counts.get((l, r), 0) == -nn and -nn > 0:
+            cur = counts.get((l, r), 0)
+            if cur <= 0:
+                pop(heap)
+            elif cur != -nn:
+                pop(heap)
+                push(heap, (-cur, l, r))
+            else:
                 break
-            heapq.heappop(heap)
         if not heap:
             break  # alphabet exhausted — every word fully merged
-        nn, l, r = heapq.heappop(heap)
+        nn, l, r = pop(heap)
+        pair = (l, r)
         merges.append((rank, l, r, -nn))
-        pair_counts.pop((l, r), None)
-        for i in sorted(pair_words.pop((l, r), ())):
-            syms, f = words[i]
-            for p in zip(syms, syms[1:]):
-                c = pair_counts.get(p)
+        counts.pop(pair, None)
+        t = intern(l + r)
+        for idx in pair_words.pop(pair, ()):
+            syms, f = words[idx]
+            n = len(syms)
+            out: list[str] = []
+            dest: set[int] = set()  # OLD pair indices destroyed
+            newpos: list[int] = []  # positions of t in the new word
+            i = 0
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    if i > 0:
+                        dest.add(i - 1)
+                    dest.add(i)
+                    if i + 2 < n:
+                        dest.add(i + 1)
+                    newpos.append(len(out))
+                    out.append(t)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if not newpos:
+                continue  # stale membership — pair already gone here
+            for j in dest:
+                p = (syms[j], syms[j + 1])
+                c = counts.get(p)
                 if c is not None:
-                    pair_counts[p] = c - f
-                    if c - f > 0:
-                        heapq.heappush(heap, (-(c - f), p[0], p[1]))
-            merged = _greedy_merge_syms(syms, l, r)
-            words[i] = (merged, f)
-            for p in zip(merged, merged[1:]):
-                c = pair_counts.get(p, 0) + f
-                pair_counts[p] = c
-                pair_words.setdefault(p, set()).add(i)
-                heapq.heappush(heap, (-c, p[0], p[1]))
+                    counts[p] = c - f  # decrements never push
+            created: set[int] = set()
+            for q in newpos:
+                if q > 0:
+                    created.add(q - 1)
+                if q + 1 < len(out):
+                    created.add(q)
+            for j in created:
+                p = (out[j], out[j + 1])
+                c = counts.get(p, 0) + f
+                counts[p] = c
+                push(heap, (-c, p[0], p[1]))
+                s = pair_words.get(p)
+                if s is None:
+                    pair_words[p] = s = set()
+                s.add(idx)
+            words[idx] = (out, f)
     return merges
 
 

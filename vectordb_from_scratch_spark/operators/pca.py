@@ -47,6 +47,14 @@ POWER_ITERS = 40
 #: reuses a fixture path (the _EDGES_CACHE key contract, ADVICE r8).
 _PCA_CACHE: dict[tuple[str, str], tuple] = {}
 
+#: (applicationId, sf_dir) -> (mu, C, trace): one moment pass feeds
+#: every consumer — the 2-component queries, the rank-r family, and the
+#: reduced-dim index composition.
+_COV_CACHE: dict[tuple[str, str], tuple] = {}
+
+#: (applicationId, sf_dir, r) -> (mu, [(v_k, eig_k)] * r)
+_PCA_TOPR_CACHE: dict[tuple[str, str, int], tuple] = {}
+
 
 def _moment_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per Arrow batch: one row carrying (n, Σx, flattened Σ x xᵀ)."""
@@ -65,17 +73,17 @@ def _moment_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def fit_pca2(spark: SparkSession, sf_dir: str) -> tuple:
-    """(mu, v1, eig1, v2, eig2, trace): the top TWO principal components
-    — PC2 by Hotelling deflation (C₂ = C − λ₁v₁v₁ᵀ, then the same 40
-    fixed power steps from the same init; both engines replay the
-    deflation in double precision so the second component is exactly as
-    deterministic as the first)."""
-    key = (spark.sparkContext.applicationId, str(sf_dir))
-    if key in _PCA_CACHE:
-        return _PCA_CACHE[key]
+def _covariance(spark: SparkSession, sf_dir: str):
+    """(mu, C, trace): the corpus mean and covariance from ONE moment
+    pass (cached per (applicationId, sf_dir)). The reduction runs
+    executor-side: posexplode + keyed sum — never more than d² rows on
+    any node at any batch count; only the d + d² totals
+    (broadcast-class) ever reach the driver."""
     import numpy as np
 
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    if key in _COV_CACHE:
+        return _COV_CACHE[key]
     from vectordb_from_scratch_spark.registry import track_persist
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
@@ -84,10 +92,6 @@ def fit_pca2(spark: SparkSession, sf_dir: str) -> tuple:
             _moment_rows, schema="n long, s array<double>, g array<double>"
         )
     )
-    # reduce the per-batch moments executor-side: posexplode + keyed sum —
-    # the reduction never concentrates more than d² rows on any node, so
-    # it holds at any batch count; only the d + d² totals (broadcast-
-    # class) ever reach the driver.
     n = float(parts.agg(F.sum("n")).collect()[0][0])
     s_rows = (
         parts.select(F.posexplode("s").alias("i", "val"))
@@ -110,6 +114,29 @@ def fit_pca2(spark: SparkSession, sf_dir: str) -> tuple:
     G = G.reshape(DIMS, DIMS)
     mu = s / n
     C = G / n - np.outer(mu, mu)
+    out = (mu, C, float(np.trace(C)))
+    _COV_CACHE[key] = out
+    return out
+
+
+def fit_pca_topr(spark: SparkSession, sf_dir: str, r: int) -> tuple:
+    """(mu list, [(v_k list, eig_k)] × r): the top-r principal
+    components by SEQUENTIAL Hotelling deflation (r9, VERDICT r8 #6) —
+    C_{k+1} = C_k − λ_k v_k v_kᵀ, each component the same 40 fixed
+    power steps from the same pinned init. Deflation (not QR block
+    iteration) is the rank-r generalization the VALUE ORACLE can
+    replay: every arithmetic step is a deterministic function the
+    unrolled CTE chain reproduces in double precision, where a QR's
+    column signs/pivoting are not SQL-stable. The corpus cost is
+    unchanged — ONE moment pass feeds any r (the d² covariance is
+    computed in full); each extra component is 40 driver-side 64×64
+    matvecs."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, str(sf_dir), int(r))
+    if key in _PCA_TOPR_CACHE:
+        return _PCA_TOPR_CACHE[key]
+    mu, C, _ = _covariance(spark, sf_dir)
 
     def power(M):
         v = np.full(DIMS, 0.125, dtype=np.float64)  # unit-norm fixed init
@@ -118,10 +145,30 @@ def fit_pca2(spark: SparkSession, sf_dir: str) -> tuple:
             v = w / np.sqrt(float(w @ w))
         return v, float(v @ M @ v)
 
-    v1, eig1 = power(C)
-    v2, eig2 = power(C - eig1 * np.outer(v1, v1))
-    trace = float(np.trace(C))
-    out = (mu.tolist(), v1.tolist(), eig1, v2.tolist(), eig2, trace)
+    comps = []
+    Mk = C
+    for _ in range(r):
+        v, eig = power(Mk)
+        comps.append((v.tolist(), eig))
+        Mk = Mk - eig * np.outer(v, v)
+    out = (mu.tolist(), comps)
+    _PCA_TOPR_CACHE[key] = out
+    return out
+
+
+def fit_pca2(spark: SparkSession, sf_dir: str) -> tuple:
+    """(mu, v1, eig1, v2, eig2, trace): the top TWO principal components
+    — PC2 by Hotelling deflation (C₂ = C − λ₁v₁v₁ᵀ, then the same 40
+    fixed power steps from the same init; both engines replay the
+    deflation in double precision so the second component is exactly as
+    deterministic as the first). Thin view over :func:`fit_pca_topr`."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    if key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+    mu, comps = fit_pca_topr(spark, sf_dir, 2)
+    (v1, eig1), (v2, eig2) = comps
+    trace = _covariance(spark, sf_dir)[2]
+    out = (mu, v1, eig1, v2, eig2, trace)
     _PCA_CACHE[key] = out
     return out
 
@@ -129,9 +176,18 @@ def fit_pca2(spark: SparkSession, sf_dir: str) -> tuple:
 # --- oracle -------------------------------------------------------------------
 
 
-def _pca_cte_chain() -> str:
-    """Covariance + the unrolled 40-step power iteration. Every v{k} is
-    MATERIALIZED: w{k+1} references it 64 times through the join."""
+#: CTE name prefixes per component — pa/pb keep the r8 names so the
+#: 2-component oracle text is unchanged; pc/pd extend the family.
+_PCA_PREFIXES = ("pa", "pb", "pc", "pd")
+
+
+def _pca_cte_chain(n_comp: int = 2) -> str:
+    """Covariance + ``n_comp`` unrolled 40-step power iterations with a
+    Hotelling deflation between each (the exact replay of
+    :func:`fit_pca_topr`). Every v{k} is MATERIALIZED: w{k+1} references
+    it 64 times through the join. Component k's vector lands in
+    ``{prefix_k}{POWER_ITERS}``, its Rayleigh eigenvalue in
+    ``ray{k}``."""
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         "nn AS (SELECT count(*)::DOUBLE AS n FROM e)",
@@ -147,6 +203,7 @@ def _pca_cte_chain() -> str:
         f"v0 AS (SELECT i, 0.125::DOUBLE AS vi "
         f"FROM unnest(range(1, {DIMS + 1})) AS t(i))",
     ]
+
     def power_chain(prefix: str, mat: str) -> None:
         for k in range(1, POWER_ITERS + 1):
             prev = f"{prefix}{k - 1}" if k > 1 else "v0"
@@ -160,24 +217,26 @@ def _pca_cte_chain() -> str:
                 f"FROM {prefix}w{k})"
             )
 
-    last1 = f"pa{POWER_ITERS}"
-    power_chain("pa", "c")
-    ctes.append(
-        f"ray1 AS (SELECT sum(va.vi * c.cij * vb.vi) AS eig "
-        f"FROM c JOIN {last1} va ON va.i = c.i JOIN {last1} vb ON vb.i = c.j)"
-    )
-    # Hotelling deflation: C2 = C - eig1 * v1 v1ᵀ, then the same 40 steps
-    ctes.append(
-        f"c2 AS MATERIALIZED (SELECT c.i, c.j, "
-        f"c.cij - (SELECT eig FROM ray1) * a.vi * b.vi AS cij "
-        f"FROM c JOIN {last1} a ON a.i = c.i JOIN {last1} b ON b.i = c.j)"
-    )
-    last2 = f"pb{POWER_ITERS}"
-    power_chain("pb", "c2")
-    ctes.append(
-        f"ray2 AS (SELECT sum(va.vi * c2.cij * vb.vi) AS eig "
-        f"FROM c2 JOIN {last2} va ON va.i = c2.i JOIN {last2} vb ON vb.i = c2.j)"
-    )
+    mat = "c"
+    for comp in range(1, n_comp + 1):
+        prefix = _PCA_PREFIXES[comp - 1]
+        power_chain(prefix, mat)
+        last = f"{prefix}{POWER_ITERS}"
+        ctes.append(
+            f"ray{comp} AS (SELECT sum(va.vi * {mat}.cij * vb.vi) AS eig "
+            f"FROM {mat} JOIN {last} va ON va.i = {mat}.i "
+            f"JOIN {last} vb ON vb.i = {mat}.j)"
+        )
+        if comp < n_comp:
+            # Hotelling deflation: C_{k+1} = C_k - eig_k * v_k v_kᵀ
+            nxt = f"c{comp + 1}"
+            ctes.append(
+                f"{nxt} AS MATERIALIZED (SELECT {mat}.i, {mat}.j, "
+                f"{mat}.cij - (SELECT eig FROM ray{comp}) * a.vi * b.vi AS cij "
+                f"FROM {mat} JOIN {last} a ON a.i = {mat}.i "
+                f"JOIN {last} b ON b.i = {mat}.j)"
+            )
+            mat = nxt
     ctes.append("tr AS (SELECT sum(cij) AS trace FROM c WHERE i = j)")
     return ",\n".join(ctes)
 
@@ -258,6 +317,162 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.round(proj(v1), 6).alias("pc1"), F.round(proj(v2), 6).alias("pc2")
     )
+
+
+# --- rank-r components (r9, VERDICT r8 #6) ------------------------------------
+
+PCA_R4 = 4
+
+_PCA_R4_SQL = (
+    "WITH "
+    + _pca_cte_chain(PCA_R4)
+    + "\nSELECT component, dim_idx, loading, eigenvalue, explained_ratio FROM ("
+    + "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS component, (v.i - 1)::BIGINT AS dim_idx, "
+        f"round(v.vi, 6) AS loading, round(ray{k}.eig, 6) AS eigenvalue, "
+        f"round(ray{k}.eig / tr.trace, 6) AS explained_ratio "
+        f"FROM {_PCA_PREFIXES[k - 1]}{POWER_ITERS} v CROSS JOIN ray{k} CROSS JOIN tr"
+        for k in range(1, PCA_R4 + 1)
+    )
+    + ")"
+)
+
+
+@register("embedding_pca_components_r4", _PCA_R4_SQL)
+def embedding_pca_components_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 PCA loadings (256 rows) — the rank-r family past the r8
+    2-component ceiling (VERDICT r8 #6). FULL value oracle: DuckDB
+    replays all 160 power steps and all three deflations through the
+    unrolled CTE chain. The corpus cost is identical to the 2-component
+    query (one shared moment pass); only driver-side 64×64 matvecs
+    grow with r."""
+    mu, comps = fit_pca_topr(spark, sf_dir, PCA_R4)
+    _, _, trace = _covariance(spark, sf_dir)
+    rows = [
+        (k + 1, i, round(float(x), 6), round(eig, 6), round(eig / trace, 6))
+        for k, (vec, eig) in enumerate(comps)
+        for i, x in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component bigint, dim_idx bigint, loading double, "
+        "eigenvalue double, explained_ratio double",
+    )
+
+
+def pca_project_col(emb: Column, mu: list, comps: list) -> Column:
+    """array<double> of (x − μ)·v_k for each component — pure codegen
+    zip_with folds, the same expression family as the 2-D scores."""
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(emb.cast("array<double>"), mu_lit, lambda x, m: x - m)
+    outs = []
+    for vec, _ in comps:
+        v_lit = F.array(*[F.lit(float(x)) for x in vec])
+        outs.append(
+            F.aggregate(
+                F.zip_with(centered, v_lit, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+    return F.array(*outs)
+
+
+# --- reduced-dim index composition (r9, VERDICT r8 #6) -------------------------
+#
+# The loop eval_mrl_overlap opened, closed: project the corpus onto the
+# top PCA_INDEX_R components, build an IVF index ON THE REDUCED vectors,
+# and measure what serving from the compacted index costs against the
+# full-dimension exact ranking. This is the whitening/compaction
+# decision a 100 TB deployment makes before committing an index: the
+# reduced index stores r/d of the bytes and scores r/d of the floats
+# per candidate.
+
+PCA_INDEX_RS = (8, 16, 32)
+PCA_RECALL_Q = 20
+PCA_RECALL_K = 10
+
+
+@register("eval_pca_ivf_recall")  # rows-only: k-means training is not
+# SQL-expressible; the recall curve is pinned in tests/test_ann_recall.py
+# and recorded in BASELINE.md
+def eval_pca_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, query_id, overlap_at_k): top-10 overlap between IVF search
+    over the r-dim PCA-reduced corpus and the full-dimension exact
+    scan, for r ∈ PCA_INDEX_RS and the first PCA_RECALL_Q vectors as
+    queries — the sizing table a deployment reads BEFORE committing a
+    compacted index. One component fit at max(r) serves every r
+    (sequential deflation is prefix-stable: components 1..8 of the
+    rank-32 fit ARE the rank-8 fit), one map-side projection emits the
+    32-dim scores, and each r's corpus is a slice of it;
+    train/assign/search are the standard ivf kernels with ``vec_col``
+    pointed at the sliced column — the composition is wiring, not new
+    machinery.
+
+    Measured on the fixture (BASELINE.md): recall@10 ≈ 0.22 / 0.31 /
+    0.48 at r = 8 / 16 / 32, tracking the flat eigen-spectrum (energy
+    retained 0.20 / 0.38 / 0.65) — the fixture's within-cluster
+    directions are near-isotropic, so THIS corpus does not compact,
+    and the eval's job is precisely to say so before an index is
+    built (contrast eval_mrl_overlap, which measures the oblivious
+    prefix cut the same way)."""
+    from vectordb_from_scratch_spark.operators import ivf as ivf_ops
+    from vectordb_from_scratch_spark.operators import knn
+    from vectordb_from_scratch_spark.registry import track_persist
+
+    r_max = max(PCA_INDEX_RS)
+    mu, comps = fit_pca_topr(spark, sf_dir, r_max)
+    emb = load_table(spark, sf_dir, "embeddings")
+    reduced = track_persist(
+        emb.select(
+            "vec_id", pca_project_col(F.col("embedding"), mu, comps).alias("rv")
+        )
+    )
+    n = reduced.count()
+    n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, n // 8 or 1))
+    fq = emb.filter(F.col("vec_id") < PCA_RECALL_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    full_top = knn.topk(emb, fq, k=PCA_RECALL_K).select("query_id", "vec_id")
+    outs = []
+    for r in PCA_INDEX_RS:
+        red_r = reduced.select(
+            "vec_id", F.slice(F.col("rv"), 1, r).alias("rv")
+        )
+        centroids = ivf_ops.train_centroids(
+            red_r, n_clusters=n_clusters, vec_col="rv", n_hint=n
+        )
+        assignments = ivf_ops.assign(
+            red_r, centroids, id_col="vec_id", vec_col="rv"
+        )
+        rq = red_r.filter(F.col("vec_id") < PCA_RECALL_Q).select(
+            F.col("vec_id").alias("query_id"), F.col("rv").alias("query_vec")
+        )
+        red_top = ivf_ops.search(
+            red_r, centroids, assignments, rq,
+            k=PCA_RECALL_K, id_col="vec_id", vec_col="rv",
+        ).select("query_id", "vec_id")
+        ov = (
+            red_top.join(full_top, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("overlap_at_k"))
+        )
+        outs.append(
+            fq.select("query_id")
+            .join(ov, "query_id", "left")
+            .select(
+                F.lit(r).cast("long").alias("r"),
+                "query_id",
+                F.coalesce(F.col("overlap_at_k"), F.lit(0))
+                .cast("long")
+                .alias("overlap_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 # --- Johnson-Lindenstrauss random projection ---------------------------------
