@@ -144,6 +144,29 @@ def test_hnsw_bigq_cogroups_and_matches_driver_path(spark, sf_oracle):
     assert rgot == rwant and len(rgot) > 0
 
 
+def test_hnsw_bigq_filtered_matches_driver_path(spark, sf_oracle):
+    """Filter-aware search extends to the distributed exits (r9): a
+    `passing` flag on the graph table rides the cogroup into the
+    filtered beam kernel, results equal the (already filter-aware)
+    driver-side fan-out, and every hit passes the filter."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators import hnsw, knn
+
+    qpdf, queries = knn.fixture_query_set(spark, sf_oracle, 6)
+    g = hnsw.built_graph(spark, sf_oracle).withColumn(
+        "passing", F.col("vec_id") % 3 == 0
+    )
+    drv = hnsw.search_graphs(g, qpdf, k=10)
+    dist = hnsw.search_graphs_distributed(
+        g, queries, k=10, shard_ids=list(range(hnsw.SHARDS)), n_queries_hint=6
+    )
+    got = sorted(map(tuple, dist.collect()))
+    want = sorted(map(tuple, drv.collect()))
+    assert got == want and len(got) > 0
+    assert all(vid % 3 == 0 for _, vid, _, _ in got)
+
+
 def test_pq_bigq_cogroups_and_matches_closure_path(spark, sf_oracle):
     """The compressed tier's large-batch exit: block-joined ADC + in-plan
     rerank (FlatMapCoGroupsInPandas, no LUT closure), identical results

@@ -566,7 +566,9 @@ def _make_pair_topk(id_col: str, vec_col: str, k: int, ef: int):
     """The cogroup kernel shared by the full-fan-out and routed
     distributed searches: one (graph rows, query rows) pair per task —
     rebuild the shard adjacency, beam every query in the right frame,
-    emit per-shard top-k under the exact global tie order."""
+    emit per-shard top-k under the exact global tie order. A boolean
+    ``passing`` column on the graph side switches every beam to the
+    filter-aware kernel (the same contract as ``search_graphs``)."""
     import pandas as pd
 
     from vectordb_from_scratch_spark.operators import knn
@@ -581,13 +583,20 @@ def _make_pair_topk(id_col: str, vec_col: str, k: int, ef: int):
         pos = {v: i for i, v in enumerate(ids)}
         Xu = _normalize(np.stack(g_[vec_col].to_list()).astype("float64"))
         adj = [[pos[v] for v in nbrs] for nbrs in g_["neighbors"].to_list()]
+        mask = (
+            g_["passing"].to_numpy(dtype=bool) if "passing" in g_.columns else None
+        )
         Qm = _normalize(np.stack(right["query_vec"].to_list()).astype("float64"))
         qids = right["query_id"].to_numpy()
         out_q: list = []
         out_id: list = []
         out_s: list = []
         for qi, qv in zip(qids, Qm):
-            res = _beam(adj, Xu, qv, ef)
+            res = (
+                _beam(adj, Xu, qv, ef)
+                if mask is None
+                else _beam_filtered(adj, Xu, qv, ef, k, mask)
+            )
             sims = np.array([s for s, _ in res])
             nodes = np.array([v for _, v in res])
             sel = knn.local_topk_indices(sims, nodes, k)
@@ -630,11 +639,11 @@ def search_graphs_distributed(
         )
     nq = n_queries_hint if n_queries_hint is not None else queries.count()
     nqb = max(1, -(-int(nq) // queries_per_block))
+    gcols = ["shard", id_col, vec_col, "neighbors"] + (
+        ["passing"] if "passing" in graph.columns else []
+    )
     g = graph.select(
-        "shard",
-        id_col,
-        vec_col,
-        "neighbors",
+        *gcols,
         F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
     )
     q = queries.select(
@@ -948,13 +957,13 @@ def routed_search_distributed(
         "query_vec",
         F.pmod(F.xxhash64("query_id"), F.lit(nqb)).cast("int").alias("qblk"),
     )
+    gcols = ["shard", id_col, vec_col, "neighbors"] + (
+        ["passing"] if "passing" in graph.columns else []
+    )
     pruned = graph.join(
         probes.select("shard").distinct(), "shard", "left_semi"
     ).select(
-        "shard",
-        id_col,
-        vec_col,
-        "neighbors",
+        *gcols,
         F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("qblk"),
     )
     id_type = graph.schema[id_col].dataType.simpleString()
