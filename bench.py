@@ -117,6 +117,7 @@ HEADLINE = [
     "text_maxsim_search",
     "text_bpe_merges",
     "text_bpe_token_counts",
+    "text_bpe_merges_mid",
     "text_bpe_merges_big",
     "text_bpe_token_counts_big",
     "text_zipf_fit",
@@ -154,6 +155,7 @@ HEADLINE = [
     "embedding_pca_components",
     "embedding_pca_components_r4",
     "eval_pca_ivf_recall",
+    "eval_pca_route_rerank",
     "embedding_pca_scores",
     "embedding_jl_project",
     "eval_jl_distortion",

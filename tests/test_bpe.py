@@ -169,6 +169,43 @@ def test_spark_trainer_matches_python_reference(spark, tmp_path):
     assert bpe.train_merges_rounds(spark, str(d), n_merges=8) == expected
 
 
+def test_mid_oracle_safe_chain_both_regimes(spark, tmp_path):
+    """The 96-round exhaustion-safe CTE chain must equal the trainer in
+    BOTH regimes on the same corpus family: a corpus whose merge
+    capacity exceeds the budget (all 96 rounds merge) — the regime the
+    fixture never exercises — checked here directly against DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    docs = [
+        " ".join(f"w{i}abcdefghij{i % 7}" for i in range(j, j + 8))
+        for j in range(0, 40, 8)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    d = tmp_path / "bpemid"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    got = bpe.train_merges(spark, str(d), n_merges=bpe.BPE_MID_MERGES)
+    assert len(got) == bpe.BPE_MID_MERGES  # capacity >> budget: no break
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = [
+        (r[0], r[1], r[2], r[4])
+        for r in con.execute(bpe._BPE_MERGES_MID_SQL).fetchall()
+    ]
+    assert [(rk, l, r, n) for rk, l, r, n in got] == want
+
+
 def test_big_budget_trains_to_exhaustion(spark, sf_small):
     """The closed-form contract behind text_bpe_token_counts_big's
     oracle, asserted directly: under BPE_BIG_MERGES the trainer

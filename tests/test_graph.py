@@ -555,6 +555,43 @@ def test_edge_maintenance_stream_equals_batch(spark, tmp_path):
     registry.release_tracked()
 
 
+def test_truss_support_stream_equals_batch(spark, tmp_path):
+    """Streaming twin of the r9 support artifact: whole-order
+    micro-batches fold into exactly the (edges, support) table the
+    one-shot derivation builds — batch 2 closes NEW triangles through
+    batch-1 edges (the decomposition's interesting case), and an edge
+    whose weight accumulates across batches keeps its support."""
+    from vectordb_from_scratch_spark import streaming
+
+    batch1 = [(10, 1), (10, 2), (10, 3), (11, 3), (11, 4), (12, 4), (12, 5)]
+    batch2 = [(20, 1), (20, 2), (21, 1), (21, 2), (21, 4)]
+    src = tmp_path / "items"
+    src.mkdir()
+    for name, rows in (("b1", batch1), ("b2", batch2)):
+        spark.createDataFrame(rows, "ok long, pk long").coalesce(1).write.parquet(
+            str(src / name)
+        )
+    got_df = streaming.truss_support_stream(
+        spark, str(src / "*"), str(tmp_path / "ckpt")
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_orders"], r["sup"]) for r in got_df.collect()
+    }
+    all_items = spark.createDataFrame(batch1 + batch2, "ok long, pk long")
+    edges = graph.copurchase_edges_from_items(all_items).localCheckpoint()
+    sup = {
+        (r["src"], r["dst"]): r["sup"]
+        for r in graph.edge_support(edges.select("src", "dst")).collect()
+    }
+    want = {
+        (r["src"], r["dst"]): (r["n_orders"], sup.get((r["src"], r["dst"]), 0))
+        for r in edges.collect()
+    }
+    assert got == want and len(got) >= 6
+    assert got[(1, 2)][0] == 3  # weight accumulated across 3 orders
+    registry.release_tracked()
+
+
 def test_triangle_estimate_full_sample_equals_exact(spark):
     """mod=1 keeps every edge and scales by 1 — the estimator must then
     equal the exact kernel (the full-probe==exact discipline ANN tiers

@@ -61,9 +61,12 @@ def test_load_events_under_vanilla_session():
         [sys.executable, "-c", _SCRIPT],
         capture_output=True,
         text=True,
-        # ~200 registered queries × a couple seconds of sf0.001 smoke each:
+        # ~230 registered queries × a few seconds of sf0.001 smoke each:
         # the surface outgrew the original 300s budget at ~180 queries
-        timeout=900,
+        # and the 900s budget at ~230 (r9 — measured 900s+ with the
+        # iterative graph/PCA evals on a loaded box; 1800 leaves the
+        # same ~2× headroom the 900 originally did)
+        timeout=1800,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "VANILLA_OK" in proc.stdout

@@ -520,6 +520,84 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deep oracle replay: exhaustion-safe CTE chain ----------------------------
+
+#: merge budget for the DEEP value-oracled table: ~10× the r8 replay
+#: depth, with BOTH engines running exactly this many rounds — the
+#: oracle stays correct for ANY corpus (under- or over-exhaustion)
+#: because round count, not vocabulary shape, pins the replay length.
+BPE_MID_MERGES = 96
+
+
+def _bpe_cte_chain_safe(n_merges: int) -> str:
+    """Like :func:`_bpe_cte_chain` but EXHAUSTION-SAFE: a round whose
+    pair table is empty produces an empty ``m{i}``, and ``s{i}`` carries
+    the previous state through a LEFT JOIN instead of annihilating it
+    (the plain CROSS JOIN form returns zero rows on an empty argmax —
+    correct only while merges remain). This is what lets the oracle
+    run a FIXED round budget past the corpus's merge capacity and
+    still equal the early-breaking trainer."""
+    S = "chr(31)"
+    ctes = [
+        "wf AS MATERIALIZED (SELECT w AS word, count(*)::BIGINT AS freq "
+        "FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w "
+        "FROM documents) GROUP BY w)",
+        f"s0 AS MATERIALIZED (SELECT word, freq, "
+        f"left({S} || regexp_replace(word, '([\\s\\S])', '\\1' || {S} || {S}, 'g'), -1) AS s "
+        f"FROM wf)",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT ss[i] AS l, ss[i+1] AS r, "
+            f"sum(freq)::BIGINT AS n "
+            f"FROM (SELECT freq, list_filter(string_split(s, {S}), x -> x != '') AS ss "
+            f"FROM s{i - 1}), unnest(range(1, len(ss))) AS u(i) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT {i}::BIGINT AS rank, l, r, n FROM p{i} "
+            f"ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT word, freq, "
+            f"CASE WHEN m.l IS NULL THEN s ELSE "
+            f"replace(s, {S} || m.l || {S} || {S} || m.r || {S}, "
+            f"{S} || m.l || m.r || {S}) END AS s "
+            f"FROM s{i - 1} LEFT JOIN m{i} m ON true)"
+        )
+    return ",\n".join(ctes)
+
+
+_BPE_MERGES_MID_SQL = (
+    "WITH "
+    + _bpe_cte_chain_safe(BPE_MID_MERGES)
+    + "\nSELECT rank, lhs, rhs, lhs || rhs AS new_token, pair_count FROM ("
+    + " UNION ALL ".join(
+        f"SELECT rank, l AS lhs, r AS rhs, n AS pair_count FROM m{i}"
+        for i in range(1, BPE_MID_MERGES + 1)
+    )
+    + ") ORDER BY rank"
+)
+
+
+@register("text_bpe_merges_mid", _BPE_MERGES_MID_SQL)
+def text_bpe_merges_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge table at a 96-round budget with a FULL value oracle —
+    ~10× the r8 replay depth, proving the unrolled-CTE discipline holds
+    far past the toy ceiling. DuckDB runs ALL 96 rounds of the
+    exhaustion-safe chain (empty argmax rounds carry state unchanged),
+    so the comparison is exact whether the corpus exhausts early (the
+    fixture: 89 merges at sf0.01) or not at all — the round budget,
+    not the vocabulary, pins the replay length, which keeps this query
+    correct under fixture regeneration."""
+    merges = train_merges(spark, sf_dir, n_merges=BPE_MID_MERGES)
+    rows = [
+        (rank, left, right, left + right, n) for rank, left, right, n in merges
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, lhs string, rhs string, new_token string, pair_count bigint"
+    )
+
+
 # --- the production-scale merge budget (1k+ merges) --------------------------
 
 

@@ -521,6 +521,66 @@ def edge_maintenance_stream(
     return state["edges"]
 
 
+def truss_support_stream(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming twin of :func:`operators.graph.truss_support_delta`
+    (r9): whole-order micro-batches fold into the (src, dst, n_orders,
+    sup) support artifact — the first batch seeds edges + one support
+    enumeration, every later batch pays only its new-edge-incident
+    triangles. The nightly warm-peel regime (`ktruss(support0=...)`)
+    as a continuously-maintained stream; equality with the one-shot
+    (merge_edge_delta over everything + full edge_support) is the test
+    contract, same as the edge-maintenance twin."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from vectordb_from_scratch_spark import sources
+    from vectordb_from_scratch_spark.operators import graph
+
+    schema = T.StructType(
+        [
+            T.StructField("ok", T.LongType()),
+            T.StructField("pk", T.LongType()),
+        ]
+    )
+    stream = sources.read_stream(spark, src_dir, schema=schema)
+    state: dict = {"table": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if state["table"] is None:
+            edges = graph.copurchase_edges_from_items(batch_df).localCheckpoint()
+            sup = graph.edge_support(edges.select("src", "dst"))
+            state["table"] = (
+                edges.join(sup, ["src", "dst"], "left")
+                .select(
+                    "src",
+                    "dst",
+                    "n_orders",
+                    F.coalesce(F.col("sup"), F.lit(0)).alias("sup"),
+                )
+                .localCheckpoint()
+            )
+        else:
+            prev = state["table"]
+            state["table"] = graph.truss_support_delta(
+                prev.select("src", "dst", "n_orders"),
+                prev.select("src", "dst", "sup"),
+                batch_df,
+            ).localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["table"]
+
+
 def pca_moments_stream(emb: DataFrame) -> DataFrame:
     """Streaming twin of the PCA moment pass (operators/pca.py): the
     (n, Σx, Σxxᵀ) accumulator carried as a streaming sum over keyed
