@@ -52,6 +52,7 @@ HEADLINE = [
     "events_partition_pruned_rollup",
     "streaming_attribution_pairs",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_components",
     "dedup_decontaminate",
     "dedup_decontaminate_bloom",

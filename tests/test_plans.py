@@ -167,6 +167,25 @@ def test_hnsw_bigq_filtered_matches_driver_path(spark, sf_oracle):
     assert all(vid % 3 == 0 for _, vid, _, _ in got)
 
 
+def test_minhash_incremental_delta_is_exercised(spark, sf_oracle):
+    """`dedup_minhash_incremental` equals the full recompute BY ORACLE
+    (test_oracle_parity covers the hash); this pins the non-vacuity the
+    hash can't: the fixture's 90/10 split actually produces pairs that
+    TOUCH the delta batch, so the delta joins — not just the carried
+    base state — are on the verified path."""
+    from vectordb_from_scratch_spark.operators import dedup
+
+    rows = dedup.dedup_minhash_incremental(spark, sf_oracle).collect()
+    touch = [r for r in rows if r["doc_a"] % 10 == 0 or r["doc_b"] % 10 == 0]
+    assert rows and touch, (len(rows), len(touch))
+    full = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in dedup.dedup_minhash_lsh(spark, sf_oracle).collect()
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in rows}
+    assert got == full
+
+
 def test_pq_bigq_cogroups_and_matches_closure_path(spark, sf_oracle):
     """The compressed tier's large-batch exit: block-joined ADC + in-plan
     rerank (FlatMapCoGroupsInPandas, no LUT closure), identical results

@@ -437,6 +437,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_minhash_incremental", _MINHASH_SQL)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup MAINTAINED under a document delta batch (r9 —
+    the `graph_edges_incremental` / `truss_support_delta` discipline
+    applied to the most-used pipeline family): split the corpus 90/10,
+    treat the 90% side's band table AND candidate-pair table as the
+    precomputed nightly state, then fold the 10% batch in by joining
+    ONLY delta-touching band buckets — (all × delta) for pairs whose
+    larger id is new, (delta × base) for pairs whose smaller id is new;
+    each shared band of each new pair appears in exactly one of the two
+    joins, and base×base pairs are UNCHANGED by construction (a new doc
+    cannot alter whether two old signatures agree), so
+    state ∪ delta-pairs IS the full recomputation — which is exactly
+    what the oracle computes (`_MINHASH_SQL` over all documents; hash
+    equality proves the decomposition exact).
+
+    Scale shape: the nightly cost is the two delta-sided band joins —
+    shuffle keyed (band_id, band_key) with the delta side small — plus
+    one signature pass over the NEW documents only; the base corpus is
+    never re-hashed and never re-self-joined. (This registered query
+    also rebuilds the base state from scratch so the driver can check
+    it cold — the amortized regime keeps `base_bands`/`base_pairs`
+    materialized, exactly like the edge and support artifacts.)"""
+    from vectordb_from_scratch_spark.registry import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_bands = track_persist(
+        minhash_bands(minhash_signatures(docs.filter(F.col("doc_id") % 10 != 0)))
+    )
+    delta_bands = track_persist(
+        minhash_bands(minhash_signatures(docs.filter(F.col("doc_id") % 10 == 0)))
+    )
+
+    def pair_counts(left: DataFrame, right: DataFrame) -> DataFrame:
+        a, b = left.alias("a"), right.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+
+    base_pairs = pair_counts(base_bands, base_bands)  # the maintained state
+    all_bands = base_bands.unionByName(delta_bands)
+    new_pairs = pair_counts(all_bands, delta_bands).unionByName(
+        pair_counts(delta_bands, base_bands)
+    )
+    # the two delta joins cover disjoint (smaller-new / larger-new) pair
+    # orientations, but one PAIR's bands never split across them — each
+    # union branch already carries the pair's full band count
+    return base_pairs.unionByName(
+        new_pairs.groupBy("doc_a", "doc_b").agg(
+            F.sum("n_shared_bands").cast("long").alias("n_shared_bands")
+        )
+    )
+
+
 # --- 4. SimHash ---------------------------------------------------------------------
 
 SIMHASH_BITS = 32
