@@ -569,6 +569,96 @@ def run_bpe(spark, n: int) -> None:
     )
 
 
+def run_minhash_incr(spark, n: int) -> None:
+    """Incremental MinHash-LSH maintenance at design point (r9): n docs
+    of 30 unique words with a planted near-dup every 100 docs, split
+    90/10. Times (a) the FULL band self-join over everything — the
+    nightly cost WITHOUT maintenance — vs (b) the delta regime: base
+    band table precomputed and persisted (the maintained state), pay
+    only delta signatures + the two delta-sided band joins."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import dedup
+
+    rows = []
+    for i in range(n):
+        words = [f"w{i}x{j}" for j in range(30)]
+        # plant near-dups in BOTH regimes: (6,7) mod 100 stays entirely
+        # in the base (its pairs ride the carried state), (39,40) mod
+        # 100 has its higher doc in the delta (its pairs must come from
+        # the delta joins) — so neither path can be vacuously fast
+        if i % 100 in (7, 40):
+            words = [f"w{i - 1}x{j}" for j in range(27)] + [
+                f"w{i}x{j}" for j in range(27, 30)
+            ]
+        rows.append((i, " ".join(words)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = f"/tmp/stress_mh_{n}"
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(
+        path + "/documents.parquet"
+    )
+    docs = spark.read.parquet(path + "/documents.parquet")
+    docs.count()
+
+    def pair_counts(left, right):
+        a, b = left.alias("a"), right.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+
+    t0 = time.perf_counter()
+    all_bands = dedup.minhash_bands(dedup.minhash_signatures(docs)).persist()
+    n_full = pair_counts(all_bands, all_bands).count()
+    t_full = time.perf_counter() - t0
+    all_bands.unpersist()
+    registry.release_tracked()
+
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    # the maintained state is stored PRE-PARTITIONED on the band key
+    # (bucketed at 100 TB): the delta joins then reuse its partitioning
+    # and exchange only the delta side — without this the "incremental"
+    # join silently re-shuffles the whole base band table every night
+    base_bands = (
+        dedup.minhash_bands(dedup.minhash_signatures(base))
+        .repartition(64, "band_id", "band_key")
+        .persist()
+    )
+    base_bands.count()  # materialized OUTSIDE the timer
+    t0 = time.perf_counter()
+    delta_bands = dedup.minhash_bands(dedup.minhash_signatures(delta)).persist()
+    a, b = base_bands.alias("a"), delta_bands.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .groupBy(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    n_new = cross.unionByName(pair_counts(delta_bands, delta_bands)).count()
+    t_delta = time.perf_counter() - t0
+    print(
+        f"minhash_incr n_docs={n}: full self-join {t_full:6.2f}s "
+        f"({n_full} pairs) vs delta-only maintenance {t_delta:6.2f}s "
+        f"({n_new} new-pair rows) — {t_full / max(t_delta, 1e-9):.1f}x"
+    )
+    base_bands.unpersist()
+    delta_bands.unpersist()
+
+
 def run_bpe_local(spark, n: int, n_merges: int = 1024) -> None:
     """The r9 production trainer (VERDICT r8 #3) at a web-scale-shaped
     vocabulary: one distributed corpus aggregation + bounded collect,
@@ -1318,6 +1408,8 @@ def main() -> None:
         return run_bpe(spark, n)
     if mode == "bpe_local":
         return run_bpe_local(spark, n, n_merges=d if d > 64 else 1024)
+    if mode == "minhash_incr":
+        return run_minhash_incr(spark, n)
     if mode == "betw":
         return run_betw(spark, n)
     if mode == "pca":

@@ -453,13 +453,20 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the oracle computes (`_MINHASH_SQL` over all documents; hash
     equality proves the decomposition exact).
 
-    Scale shape: the nightly cost is the two delta-sided band joins —
-    shuffle keyed (band_id, band_key) with the delta side small — plus
-    one signature pass over the NEW documents only; the base corpus is
-    never re-hashed and never re-self-joined. (This registered query
-    also rebuilds the base state from scratch so the driver can check
-    it cold — the amortized regime keeps `base_bands`/`base_pairs`
-    materialized, exactly like the edge and support artifacts.)"""
+    Scale shape: the nightly cost is one signature pass over the NEW
+    documents plus two delta-sided band joins — base×delta (cross
+    pairs, ids normalized least/greatest) and delta×delta (tiny) —
+    keyed (band_id, band_key). Deliberately NOT base∪delta on the big
+    side: a union erases the maintained table's partitioning and
+    silently re-shuffles the whole base every night, where the
+    two-join form lets a band-key-partitioned (bucketed, at 100 TB)
+    base table join exchange-free with only the delta moving
+    (tools/stress.py minhash_incr measures the difference). The base
+    corpus is never re-hashed and never re-self-joined. (This
+    registered query also rebuilds the base state from scratch so the
+    driver can check it cold — the amortized regime keeps
+    `base_bands`/`base_pairs` materialized, exactly like the edge and
+    support artifacts.)"""
     from vectordb_from_scratch_spark.registry import track_persist
 
     docs = load_table(spark, sf_dir, "documents")
@@ -486,18 +493,25 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     base_pairs = pair_counts(base_bands, base_bands)  # the maintained state
-    all_bands = base_bands.unionByName(delta_bands)
-    new_pairs = pair_counts(all_bands, delta_bands).unionByName(
-        pair_counts(delta_bands, base_bands)
-    )
-    # the two delta joins cover disjoint (smaller-new / larger-new) pair
-    # orientations, but one PAIR's bands never split across them — each
-    # union branch already carries the pair's full band count
-    return base_pairs.unionByName(
-        new_pairs.groupBy("doc_a", "doc_b").agg(
-            F.sum("n_shared_bands").cast("long").alias("n_shared_bands")
+    # cross pairs: one endpoint base, one delta — ids are disjoint
+    # across the split, so least/greatest normalization alone dedups
+    a, b = base_bands.alias("a"), delta_bands.alias("b")
+    cross_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
         )
+        .groupBy(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+    dd_pairs = pair_counts(delta_bands, delta_bands)
+    # the three branches hold disjoint pair sets by construction
+    # (base-base / base-delta / delta-delta)
+    return base_pairs.unionByName(cross_pairs).unionByName(dd_pairs)
 
 
 # --- 4. SimHash ---------------------------------------------------------------------
