@@ -230,6 +230,17 @@ def test_jpeg_420_roundtrip_reconstructs_all_channels():
         mm._decode_jpeg(good[: len(good) - 12])
 
 
+def test_jpeg_420_encoder_rejects_sof_height_overflow():
+    """SOF0's 16-bit height field caps a 16px-MCU-row payload at
+    4095 rows; one byte past the ceiling raises the codec family's
+    explicit ValueError instead of a bare struct overflow (ADVICE r9),
+    and the ceiling byte itself still encodes."""
+    max_bytes = 0xFFFF // 16 * mm.JPEG_MCUS_W_420
+    assert mm.encode_jpeg_420_blocks(b"x" * max_bytes)[:2] == b"\xff\xd8"
+    with pytest.raises(ValueError, match="65535px SOF0 limit"):
+        mm.encode_jpeg_420_blocks(b"x" * (max_bytes + 1))
+
+
 def test_jpeg_decoder_handles_general_ac_symbols():
     """The decoder implements FULL baseline AC decoding (run/size,
     ZRL, EOB), not just the EOB path our encoder emits: a hand-built

@@ -1572,8 +1572,16 @@ class VectorCatalog:
             centroids, graph, nsub = self._read_hnsw_routed(lib_id)
             if metadata_filters:
                 # same filter-at-scoring flag as the hnsw branch; probe
-                # routing is untouched (filters never change which
-                # clusters are closest to the query)
+                # routing stays UNFILTERED (routing asks which clusters
+                # are closest to the query, not which contain passing
+                # rows), so a selective filter anti-correlated with the
+                # query's nearest clusters can return under k hits where
+                # a flat scan returns exactly k — the standard
+                # filtered-ANN coverage tradeoff. Mitigation below:
+                # filtered searches widen n_probes 2x (bounded by the
+                # cluster count) to raise per-probe passing density
+                # coverage; the k≥hits contract is per-probe-set, not
+                # global (ADVICE r9).
                 graph = graph.join(
                     corpus.select("id", F.lit(True).alias("passing")),
                     "id",
@@ -1589,7 +1597,10 @@ class VectorCatalog:
             # sub-graphs (their union IS the cluster, so probe semantics
             # are unchanged); the shard filter becomes partition pruning
             # on the partitionBy(shard) layout
-            n_probes = min(ROUTED_N_PROBES, centroids.count())
+            n_probes = min(
+                ROUTED_N_PROBES * (2 if metadata_filters else 1),
+                centroids.count(),
+            )
             probes = hnsw_ops.expand_probes(
                 ivf_ops.probe_clusters(centroids, list(enumerate(qvecs)), n_probes),
                 nsub,

@@ -203,10 +203,12 @@ def train_merges_local(
     push, pop = heapq.heappush, heapq.heappop
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        # pop to the first entry whose count is CURRENT: entries are
-        # only ever stale-HIGH, so a mismatched top re-enters at its
-        # true count and the loop converges on the exact argmax with
-        # the exact tie order (count DESC, l ASC, r ASC)
+        # pop to the first entry whose count is CURRENT: increments
+        # push a fresh entry (leaving the older, now stale-LOW copies
+        # behind) and decrements push nothing (leaving stale-HIGH
+        # entries), so a mismatched top in EITHER direction re-enters
+        # at its true count and the loop converges on the exact argmax
+        # with the exact tie order (count DESC, l ASC, r ASC)
         while heap:
             nn, l, r = heap[0]
             cur = counts.get((l, r), 0)
@@ -292,6 +294,21 @@ def train_merges(
         .limit(BPE_TRAIN_WORDS)
         .collect()
     )
+    if len(wf) >= BPE_TRAIN_WORDS:
+        # The DuckDB oracles for the small-budget queries train on the
+        # FULL vocabulary; hitting the cap means trainer and oracle now
+        # see different word tables, so an eventual hash mismatch must be
+        # diagnosable as THIS truncation, not chased as a merge-loop bug
+        # (ADVICE r9). The cap itself stays: at web scale the sub-head
+        # tail can't change the first n_merges argmaxes it's meant for.
+        import warnings
+
+        warnings.warn(
+            f"BPE training vocabulary truncated to BPE_TRAIN_WORDS="
+            f"{BPE_TRAIN_WORDS}; the small-budget oracle contract "
+            f"(full-vocabulary replay) no longer holds for {sf_dir}",
+            stacklevel=2,
+        )
     merges = train_merges_local([(r["word"], r["freq"]) for r in wf], n_merges)
     _MERGE_CACHE[key] = merges
     return merges
@@ -648,6 +665,19 @@ def text_bpe_token_counts_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the interesting middle) is pinned by the 10-merge unrolled-CTE
     replay plus the hypothesis equivalence suite (tests/test_bpe.py)."""
     merges = train_merges(spark, sf_dir, n_merges=BPE_BIG_MERGES)
+    # The closed-form oracle (bpe_tokens == n_words) is valid ONLY in the
+    # exhausted regime: the budget must exceed the corpus's total merge
+    # capacity (sum(len(w)-1) over distinct training words) and the
+    # trainer must have seen the WHOLE vocabulary. Fail loudly here when
+    # a regenerated fixture breaks either precondition, instead of
+    # surfacing as an opaque driver hash mismatch (ADVICE r9).
+    if len(merges) >= BPE_BIG_MERGES:
+        raise AssertionError(
+            f"text_bpe_token_counts_big: training consumed the full "
+            f"BPE_BIG_MERGES={BPE_BIG_MERGES} budget without exhausting "
+            f"the corpus — the bpe_tokens==n_words oracle no longer "
+            f"holds; raise the budget or re-oracle"
+        )
     d = load_table(spark, sf_dir, "documents")
     vocab = encode_token_counts(word_frequencies(spark, sf_dir), merges)
     from vectordb_from_scratch_spark.operators.textstats import vocab_join

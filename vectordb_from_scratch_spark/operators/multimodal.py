@@ -1296,6 +1296,16 @@ def encode_jpeg_420_blocks(pix: bytes) -> bytes:
     import struct
 
     hb = (len(pix) + JPEG_MCUS_W_420 - 1) // JPEG_MCUS_W_420
+    if 16 * hb > 0xFFFF:
+        # SOF0 packs the frame height as a 16-bit field; a 16px-tall MCU
+        # row halves the 4:4:4 encoder's payload ceiling. Fail with the
+        # decoder's explicit-error discipline instead of letting
+        # struct.pack raise a bare overflow deep in the writer (ADVICE r9).
+        raise ValueError(
+            f"encode_jpeg_420_blocks: payload of {len(pix)} bytes needs "
+            f"{hb} MCU rows = {16 * hb}px height, over the 65535px SOF0 "
+            f"limit (max {0xFFFF // 16 * JPEG_MCUS_W_420} bytes)"
+        )
     mcus = list(pix.ljust(hb * JPEG_MCUS_W_420, b"\x00"))
     dc_codes = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
