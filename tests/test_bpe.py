@@ -114,6 +114,28 @@ def test_incremental_trainer_equals_textbook(words, n_merges):
 
 @given(
     words=st.lists(
+        st.text(alphabet=" ab.'0", min_size=1, max_size=12),
+        min_size=1,
+        max_size=24,
+    ),
+    n_merges=st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=200, deadline=None)
+def test_trainer_equivalence_on_pretoken_shaped_symbols(words, n_merges):
+    """The GPT-2-regex pre-token variant (r10) feeds the trainer tokens
+    that CONTAIN leading spaces, apostrophes, digits and punctuation —
+    symbol material the whitespace tokenizer could never produce. The
+    heap trainer must still equal the textbook recount trainer on such
+    tables, through budgets past exhaustion (the registered query's 1k
+    regime): same merges, same counts, same tie order, same stop."""
+    freqs = collections.Counter(words)
+    want, _ = python_bpe(dict(freqs), n_merges)
+    got = bpe.train_merges_local(sorted(freqs.items()), n_merges)
+    assert got == want
+
+
+@given(
+    words=st.lists(
         st.text(alphabet="ab", min_size=1, max_size=12), min_size=1, max_size=16
     ),
     word=st.text(alphabet="ab", min_size=1, max_size=16),

@@ -131,3 +131,44 @@ def test_graph_artifacts_warm_then_serve(spark, sf_small, strict_serve, monkeypa
         # "ran without touching a derivation", not non-emptiness
         assert n > 0 or name == "graph_kcore", name
         registry.release_tracked()
+
+
+@pytest.mark.parametrize(
+    "name,mod,cache_attr",
+    [
+        ("graph_ktruss_warm", None, "_TRUSS_BASE_CACHE"),
+        ("dedup_minhash_delta_warm", None, "_MINHASH_BASE_CACHE"),
+    ],
+)
+def test_incremental_warm_twins_contract(
+    spark, sf_small, strict_serve, name, mod, cache_attr
+):
+    """The r10 warm-regime twins (VERDICT r9 #1): cold cache raises under
+    STRICT_SERVE; after the warmer, the twin returns EXACTLY the cold
+    composition's rows (the delta fold is the same arithmetic — only
+    where the base state comes from differs)."""
+    from vectordb_from_scratch_spark.operators import dedup, graph
+
+    mod = graph if name.startswith("graph") else dedup
+    cache = getattr(mod, cache_attr)
+    saved = dict(cache)
+    cache.clear()
+    try:
+        with pytest.raises(RuntimeError, match="cold build cache"):
+            registry.QUERIES[name](spark, sf_small)
+        registry.WARMERS[name](spark, sf_small)
+        got = sorted(map(tuple, registry.QUERIES[name](spark, sf_small).collect()))
+        registry.release_tracked()
+        cold_name = (
+            "graph_ktruss_incremental"
+            if name.startswith("graph")
+            else "dedup_minhash_incremental"
+        )
+        want = sorted(
+            map(tuple, registry.QUERIES[cold_name](spark, sf_small).collect())
+        )
+        registry.release_tracked()
+        assert got == want and got
+    finally:
+        cache.clear()
+        cache.update(saved)

@@ -106,6 +106,47 @@ def test_streaming_hll_registers_match_batch(spark, sf_oracle):
     assert got == want
 
 
+def test_minhash_maintenance_stream_equals_batch(spark, tmp_path):
+    """The r10 MinHash maintenance stream: document micro-batches folded
+    through the two delta-sided band joins land on EXACTLY the pair table
+    the one-shot self-join builds over the union — including a cross-batch
+    near-dup pair (batch-2 doc agreeing with a batch-1 doc's bands, the
+    decomposition's interesting case) and a batch contributing no pairs."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    b1 = [(1, base), (2, base + " again"), (3, "completely different words here now")]
+    b2 = [(10, base), (11, "nothing shares any shingle with others xyzzy")]
+    b3 = [(20, base + " again"), (21, base)]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for name, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / name))
+    bands, pairs = streaming.minhash_maintenance_stream(
+        spark, str(src / "*"), str(tmp_path / "ckpt")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in pairs.collect()
+    }
+    all_docs = spark.createDataFrame(b1 + b2 + b3, "doc_id long, text string")
+    all_bands = dedup.minhash_bands(dedup.minhash_signatures(all_docs))
+    want = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in dedup._minhash_pair_counts(all_bands, all_bands).collect()
+    }
+    assert got == want
+    assert (1, 10) in got and (1, 21) in got and (10, 21) in got  # cross-batch
+    assert got[(1, 10)] == 4  # identical text agrees on all four bands
+    # the maintained band table equals the one-shot one, row for row
+    assert sorted(map(tuple, bands.collect())) == sorted(
+        map(tuple, all_bands.collect())
+    )
+
+
 def test_streaming_countmin_counters_match_batch(spark, sf_oracle):
     """Count-Min counter state after draining the stream == the batch
     sketch: CM merge is addition, so the streaming sum IS the sketch."""

@@ -4,7 +4,7 @@ table is 2k rows at sf0.1; this synthesizes up to 200k x 64 and measures
 build/search throughput). Results recorded in SCALE.md.
 
 Usage: python tools/stress.py [n_rows] [dims] [mode]
-  mode: core (default, the original kernel battery) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | walks | recsys | robust | prefixjoin | bpe | betw | pca
+  mode: core (default, the original kernel battery) | wide (d=1024 ANN battery, r10) | cascade | neardup | zorder | hnsw | hnswrouted | hnswbounded | blockjoin | hybrid | winnow | semprune | dupspan | graph | graph2 | truss | walks | recsys | robust | prefixjoin | bpe | betw | pca
 """
 
 from __future__ import annotations
@@ -169,6 +169,90 @@ def run_neardup(spark, emb, n: int, d: int) -> None:
     cnt = dedup.embedding_pairs_blocked(emb, k=20, dims=d, n_rows=n).count()
     t = time.perf_counter() - t0
     print(f"blocked near-dup top-20: {t:6.2f}s ({cnt} rows) at {n} x {d}")
+
+
+def run_wide(spark, emb, n: int, d: int, n_queries: int, qpdf) -> None:
+    """The d=1024 design point (VERDICT r9 #3): the reference's actual
+    embedding width (Cohere embed-english-v3.0) is 16x the d=64 every
+    other SCALE.md row measures, which changes Arrow batch economics,
+    score-matrix chunk shapes, PQ subspace width (128-dim subspaces at
+    m=8), and the blocked near-dup bucket fill. Runs the ANN tiers +
+    blocked near-dup; deliberately SKIPS the all-pairs kernel (honestly
+    quadratic — 16x the flops would be an hour of measured nothing-new;
+    the blocking threshold already documents when not to run it)."""
+    from vectordb_from_scratch_spark.operators import dedup, hnsw, pq, quantization
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    t0 = time.perf_counter()
+    cnt = knn.topk_pandas(emb, qpdf, k=10).count()
+    t = time.perf_counter() - t0
+    print(f"flat BLAS kNN   Q={n_queries}: {t:6.2f}s  ({cnt} rows, "
+          f"{n * n_queries / t / 1e6:.0f}M scores/s)")
+
+    t0 = time.perf_counter()
+    cents = ivf.train_centroids(emb)
+    asg = ivf.assign(emb, cents).persist()
+    asg.count()
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cnt = ivf.search(emb, cents, asg, queries, k=10).count()
+    t_ivf = time.perf_counter() - t0
+    print(f"IVF build: {t_build:6.2f}s  search Q={n_queries}: {t_ivf:6.2f}s ({cnt} rows)")
+    asg.unpersist()
+
+    t0 = time.perf_counter()
+    enc = quantization.sq8_encode_pandas(emb).persist()
+    enc.count()
+    t_enc = time.perf_counter() - t0
+    sq_qpdf = (
+        enc.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "codes", "norm2")
+        .toPandas()
+    )
+    sq_qpdf["codes"] = sq_qpdf["codes"].map(list)
+    t0 = time.perf_counter()
+    cnt = quantization.sq8_topk_pandas(enc, sq_qpdf, k=10).count()
+    t_sq = time.perf_counter() - t0
+    print(f"SQ8 encode: {t_enc:6.2f}s  search Q={n_queries}: {t_sq:6.2f}s "
+          f"({cnt} rows, {n * n_queries / t_sq / 1e6:.0f}M scores/s)")
+    enc.unpersist()
+
+    t0 = time.perf_counter()
+    books = pq.train_codebooks(emb)
+    codes = pq.encode(emb, books).persist()
+    codes.count()
+    t_pq_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cnt = pq.search(emb, codes, books, qpdf, k=10).count()
+    t_pq = time.perf_counter() - t0
+    print(f"PQ build: {t_pq_build:6.2f}s  ADC+rerank Q={n_queries}: {t_pq:6.2f}s "
+          f"({cnt} rows; {d // pq.M_SUBSPACES}-dim subspaces)")
+    codes.unpersist()
+
+    shards = max(hnsw.SHARDS, n // 25_000)
+    t0 = time.perf_counter()
+    g = hnsw.build_graphs(emb, shards=shards).persist()
+    g.count()
+    t_hb = time.perf_counter() - t0
+    qp = qpdf.iloc[:20]
+    t0 = time.perf_counter()
+    res = hnsw.search_graphs(g, qp, k=10).collect()
+    t_hs = time.perf_counter() - t0
+    got = {(r["query_id"], r["vec_id"]) for r in res}
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in knn.topk_pandas(emb, qp, k=10).collect()
+    }
+    print(
+        f"hnsw build: {t_hb:6.2f}s at {shards} shards; serve Q=20: "
+        f"{t_hs:6.2f}s; recall@10 = {len(got & want) / len(want):.3f}"
+    )
+    g.unpersist()
+
+    run_neardup(spark, emb, n, d)
 
 
 def run_zorder(spark, n: int) -> None:
@@ -1455,6 +1539,8 @@ def main() -> None:
     )
     qpdf = queries.toPandas()
 
+    if mode == "wide":
+        return run_wide(spark, emb, n, d, n_queries, qpdf)
     if mode == "cascade":
         return run_cascade(spark, emb, n, d, n_queries, qpdf)
     if mode == "neardup":

