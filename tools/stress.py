@@ -186,21 +186,26 @@ def run_wide(spark, emb, n: int, d: int, n_queries: int, qpdf) -> None:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
 
-    t0 = time.perf_counter()
-    cnt = knn.topk_pandas(emb, qpdf, k=10).count()
-    t = time.perf_counter() - t0
-    print(f"flat BLAS kNN   Q={n_queries}: {t:6.2f}s  ({cnt} rows, "
-          f"{n * n_queries / t / 1e6:.0f}M scores/s)")
+    for tag in ("cold", "warm"):
+        # cold includes the first full-corpus parquet read + Arrow pass
+        # (n*d*8 bytes — 1.6 GB at 200k×1024); warm is the serve rate
+        t0 = time.perf_counter()
+        cnt = knn.topk_pandas(emb, qpdf, k=10).count()
+        t = time.perf_counter() - t0
+        print(f"flat BLAS kNN ({tag}) Q={n_queries}: {t:6.2f}s  ({cnt} rows, "
+              f"{n * n_queries / t / 1e6:.0f}M scores/s)")
 
     t0 = time.perf_counter()
     cents = ivf.train_centroids(emb)
     asg = ivf.assign(emb, cents).persist()
     asg.count()
     t_build = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cnt = ivf.search(emb, cents, asg, queries, k=10).count()
-    t_ivf = time.perf_counter() - t0
-    print(f"IVF build: {t_build:6.2f}s  search Q={n_queries}: {t_ivf:6.2f}s ({cnt} rows)")
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        cnt = ivf.search(emb, cents, asg, queries, k=10).count()
+        t_ivf = time.perf_counter() - t0
+        print(f"IVF build: {t_build:6.2f}s  search ({tag}) Q={n_queries}: "
+              f"{t_ivf:6.2f}s ({cnt} rows)")
     asg.unpersist()
 
     t0 = time.perf_counter()
