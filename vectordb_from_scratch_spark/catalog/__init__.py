@@ -2434,6 +2434,7 @@ class VectorCatalog:
         books = pq_ops.train_codebooks(
             train, m=m, k=kk, vec_col="embedding",
             n_hint=n if train_df is None else None,
+            id_col="id",
         )
         assignments = ivf_ops.assign(corpus, centroids, id_col="id", vec_col="embedding")
         codes = pq_ops.encode(corpus, books, id_col="id", vec_col="embedding")

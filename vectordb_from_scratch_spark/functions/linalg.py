@@ -92,3 +92,29 @@ METRICS: dict[str, tuple] = {
     "l2": (l2_distance, False),
     "manhattan": (manhattan_distance, False),
 }
+
+
+# --- the cross-engine integer lattice (r10) ----------------------------------
+# Registry-free home for the quantization shared by the IVF grid trainer
+# (operators/ivf.py) and the LSH lattice keys (operators/lsh.py): unit
+# vectors snap to floor(u * KQ_GRID + 0.5), making dots / sums / squared
+# norms integer-valued float64 below 2^53 — exact in any summation order,
+# in NumPy and DuckDB alike. floor(x+0.5), not round(): np.round is
+# half-even while Spark/DuckDB round() is half-up (the SQ8 discipline).
+
+KQ_GRID = 8192  # 2^13: quantization lattice for unit coordinates
+
+#: training-set cap that keeps every lattice sum exact (see the bounds in
+#: operators/ivf.py): m <= KQ_SAMPLE members of (KQ_GRID+1)-amplitude
+#: vectors keep squared-norm sums under 2^53
+KQ_SAMPLE = 8192
+
+
+def quantize_units_np(X, grid: int = KQ_GRID):
+    """(n, d) float64 → integer-valued float64 on the lattice."""
+    import numpy as np
+
+    X = X.astype("float64")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    U = X / np.where(norms == 0, 1.0, norms)
+    return np.floor(U * grid + 0.5)

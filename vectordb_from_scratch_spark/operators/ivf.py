@@ -34,13 +34,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectordb_from_scratch_spark import registry
-from vectordb_from_scratch_spark.functions import linalg
+from vectordb_from_scratch_spark.functions import lattice_sql, linalg
 from vectordb_from_scratch_spark.registry import register
 from vectordb_from_scratch_spark.session import load_table
 
-DEFAULT_N_CLUSTERS = 64  # reference ivf.py:22
-DEFAULT_N_PROBES = 8  # reference default is 1 (ivf.py:23); 8 hits recall>=0.9
-DEFAULT_TRAIN_ITERS = 20  # reference ivf.py:23
+DEFAULT_N_CLUSTERS = lattice_sql.IVF_N_CLUSTERS  # reference ivf.py:22
+DEFAULT_N_PROBES = lattice_sql.IVF_N_PROBES  # reference default is 1 (ivf.py:23)
+DEFAULT_TRAIN_ITERS = lattice_sql.IVF_TRAIN_ITERS  # reference ivf.py:23
 SEED = 42  # reference ivf.py:29
 
 
@@ -73,8 +73,8 @@ TRAIN_SAMPLE_PER_CLUSTER = 256  # FAISS-style cap: train on <= 256*k vectors
 # update, reseed empties — ivf.py:153-194) is preserved; only the random
 # draws are replaced by the md5 order and the arithmetic by the lattice.
 
-KQ_GRID = 8192  # 2^13: quantization lattice for unit coordinates
-KQ_SAMPLE = 8192  # training-set cap that keeps every sum exact (see above)
+KQ_GRID = linalg.KQ_GRID  # 2^13 — shared lattice, functions/linalg.py
+KQ_SAMPLE = linalg.KQ_SAMPLE  # training-set cap keeping every sum exact
 
 
 def _md5_rank(vid) -> tuple:
@@ -85,15 +85,8 @@ def _md5_rank(vid) -> tuple:
     return (int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16), vid)
 
 
-def quantize_units(X: np.ndarray, grid: int = KQ_GRID) -> np.ndarray:
-    """(n, d) float64 → integer-valued float64 on the lattice:
-    floor(unit * grid + 0.5). floor(x+0.5), not round(): np.round is
-    half-even while Spark/DuckDB round() is half-up — floor(x+0.5) is the
-    same function everywhere (the SQ8 discipline)."""
-    X = X.astype("float64")
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
-    U = X / np.where(norms == 0, 1.0, norms)
-    return np.floor(U * grid + 0.5)
+#: re-export of the shared lattice quantizer (functions/linalg.py)
+quantize_units = linalg.quantize_units_np
 
 
 def kmeans_grid(
@@ -442,67 +435,10 @@ def search_distributed(
     )
 
 
-def _kmeans_grid_sql(
-    iters: int = DEFAULT_TRAIN_ITERS,
-    k: int = DEFAULT_N_CLUSTERS,
-    grid: int = KQ_GRID,
-    sample: int = KQ_SAMPLE,
-) -> str:
-    """The CTE prefix that replays :func:`kmeans_grid` + the full-corpus
-    assignment in DuckDB, ending at ``afin(vec_id, cluster_id)`` and
-    ``c{iters}(cluster_id, c)`` — every step integer-exact, so the replay
-    is a hash-equality proof of the whole training loop (the SGNS/PCA
-    unrolled-oracle discipline applied to Lloyd's; VERDICT r9 #2).
-    Precondition: corpus has ≥ k vectors (both fixtures do); Spark's
-    early exit fires only at an exact fixed point, which this fixed
-    unroll reproduces by construction."""
-    from vectordb_from_scratch_spark.functions.texthash import hash60_sql
-
-    g = float(grid)
-    parts = [
-        "raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
-        "unit AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(e, e)) = 0"
-        " THEN e ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))"
-        " END AS u FROM raw)",
-        f"qv AS MATERIALIZED (SELECT vec_id,"
-        f" list_transform(u, x -> floor(x * {g} + 0.5)) AS q FROM unit)",
-        f"drw AS MATERIALIZED (SELECT vec_id, q,"
-        f" row_number() OVER (ORDER BY {hash60_sql('vec_id::VARCHAR')},"
-        f" vec_id) - 1 AS rk FROM qv)",
-        f"trn AS MATERIALIZED (SELECT * FROM drw WHERE rk < {sample})",
-        "tn AS (SELECT count(*) AS n FROM trn)",
-        f"c0 AS MATERIALIZED (SELECT rk AS cluster_id, q AS c"
-        f" FROM trn WHERE rk < {k})",
-    ]
-    for t in range(iters):
-        parts += [
-            f"a{t} AS MATERIALIZED (SELECT vec_id, q, cluster_id FROM ("
-            f"SELECT t.vec_id, t.q, c.cluster_id,"
-            f" row_number() OVER (PARTITION BY t.vec_id"
-            f" ORDER BY list_dot_product(t.q, c.c) DESC, c.cluster_id ASC)"
-            f" AS rn FROM trn t CROSS JOIN c{t} c) WHERE rn = 1)",
-            f"s{t} AS MATERIALIZED (SELECT cluster_id, dim, sum(val) AS sv"
-            f" FROM (SELECT cluster_id, generate_subscripts(q, 1) AS dim,"
-            f" unnest(q) AS val FROM a{t}) GROUP BY cluster_id, dim)",
-            f"w{t} AS MATERIALIZED (SELECT s.cluster_id,"
-            f" list(floor(s.sv * {g} / n.nrm + 0.5) ORDER BY s.dim) AS c"
-            f" FROM s{t} s JOIN (SELECT cluster_id, sqrt(sum(sv * sv)) AS nrm"
-            f" FROM s{t} GROUP BY cluster_id) n USING (cluster_id)"
-            f" WHERE n.nrm > 0 GROUP BY s.cluster_id)",
-            f"c{t + 1} AS MATERIALIZED (SELECT cluster_id, c FROM w{t}"
-            f" UNION ALL SELECT g.cluster_id, t.q AS c FROM ("
-            f"SELECT r.range AS cluster_id FROM range({k}) r"
-            f" EXCEPT SELECT cluster_id FROM w{t}) g JOIN trn t"
-            f" ON t.rk = ({t} * {k} + g.cluster_id) % (SELECT n FROM tn))",
-        ]
-    parts.append(
-        f"afin AS MATERIALIZED (SELECT vec_id, cluster_id FROM ("
-        f"SELECT d.vec_id, c.cluster_id,"
-        f" row_number() OVER (PARTITION BY d.vec_id"
-        f" ORDER BY list_dot_product(d.q, c.c) DESC, c.cluster_id ASC) AS rn"
-        f" FROM drw d CROSS JOIN c{iters} c) WHERE rn = 1)"
-    )
-    return ",\n".join(parts)
+#: the oracle-SQL builder lives registry-free in functions/lattice_sql.py
+#: (the functions/minhash.py precedent) so pq.py can embed the same chain
+#: in the composed IVFPQ oracle without a circular import
+_kmeans_grid_sql = lattice_sql.kmeans_grid_sql
 
 
 _IVF_SIZES_SQL = f"""

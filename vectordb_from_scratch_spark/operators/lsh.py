@@ -40,23 +40,50 @@ DEFAULT_N_TABLES = 8  # reference lsh_simhash.py:26
 SEED = 42  # reference lsh_simhash.py:37
 
 
+#: hyperplane coordinate amplitude: lattice ints in [-127, 127]
+H_AMP = 127
+
+
 def hyperplanes(
     dims: int, n_tables: int = DEFAULT_N_TABLES, n_bits: int = DEFAULT_N_BITS, seed: int = SEED
 ) -> np.ndarray:
-    """Seeded unit-norm hyperplanes (n_tables, n_bits, d) — mirrors
-    ``lsh_simhash.py:46-50`` (normal draws, L2-normalized per plane)."""
-    rng = np.random.RandomState(seed)
-    H = rng.normal(size=(n_tables, n_bits, dims))
-    H /= np.linalg.norm(H, axis=2, keepdims=True)
-    return H
+    """Deterministic integer-lattice hyperplanes (n_tables, n_bits, d) —
+    the reference's seeded normal draws (``lsh_simhash.py:46-50``)
+    replaced by the md5 draw discipline (r10, the kmeans_grid treatment
+    applied to V11): coordinate (t, b, j) is
+    ``hash60('lsh|seed|t|b|j') % 255 - 127``, which BOTH engines can
+    compute, so bucket keys carry full DuckDB value oracles. Two
+    deliberate deviations from the reference, both sign-invariant or
+    quality-neutral: no per-plane L2 normalization (a positive scale
+    never changes a sign bit), and uniform-on-cube rather than Gaussian
+    directions (recall at the served configs is re-pinned empirically in
+    tests/test_ann_recall.py)."""
+    import hashlib
+
+    flat = np.empty(n_tables * n_bits * dims, dtype="float64")
+    i = 0
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for j in range(dims):
+                h = int(
+                    hashlib.md5(f"lsh|{seed}|{t}|{b}|{j}".encode()).hexdigest()[:15],
+                    16,
+                )
+                flat[i] = (h % (2 * H_AMP + 1)) - H_AMP
+                i += 1
+    return flat.reshape(n_tables, n_bits, dims)
 
 
 def _keys_matrix(X: np.ndarray, H: np.ndarray) -> np.ndarray:
     """Vectorized V11 for a batch: (m, d) → (m, n_tables) int64 keys.
     Sign bits packed little-endianly with powers of two, like
-    ``lsh_simhash.py:55-58``."""
+    ``lsh_simhash.py:55-58``. The row vectors quantize to the KQ_GRID
+    unit lattice first (r10), so every projection is an exact
+    integer-valued float64 (|proj| <= d·(G+1)·H_AMP ≈ 6.7e7 << 2^53) and
+    no cross-engine ulp can flip a sign bit."""
     n_tables, n_bits, d = H.shape
-    proj = X @ H.reshape(n_tables * n_bits, d).T  # (m, T*B)
+    Xq = linalg.quantize_units_np(np.asarray(X, dtype="float64"))
+    proj = Xq @ H.reshape(n_tables * n_bits, d).T  # (m, T*B) exact ints
     bits = (proj > 0).astype(np.int64).reshape(-1, n_tables, n_bits)
     weights = (1 << np.arange(n_bits, dtype=np.int64))
     return (bits * weights).sum(axis=2)  # (m, n_tables)
@@ -267,7 +294,76 @@ def build_and_search(
     return search(emb, buckets, queries, H, k=k, n_flips=n_flips)
 
 
-@register("lsh_search")  # rows-only: seeded-hyperplane keys aren't SQL-expressible
+def _lsh_keys_sql(
+    n_tables: int, n_bits: int, dims: int = 64, seed: int = SEED
+) -> str:
+    """CTE prefix replaying :func:`hyperplanes` + :func:`_keys_matrix` in
+    DuckDB, ending at ``lkeys(vec_id, table_id, key)`` — exact because
+    every projection is integer arithmetic on the shared lattices (r10).
+    ``dims`` is a literal (the fixture is d=64); reuses the kmeans oracle's
+    quantization CTEs (raw/unit/qv)."""
+    from vectordb_from_scratch_spark.functions.texthash import hash60_sql
+
+    g = float(linalg.KQ_GRID)
+    hexpr = hash60_sql(f"'lsh|{seed}|' || t || '|' || b || '|' || j")
+    return f"""
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+unit AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+              ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+         END AS u FROM raw),
+qv AS MATERIALIZED (SELECT vec_id,
+        list_transform(u, x -> floor(x * {g} + 0.5)) AS q FROM unit),
+pl AS MATERIALIZED (
+  SELECT r1.range AS t, r2.range AS b, r3.range AS j,
+         ({hexpr} % {2 * H_AMP + 1}) - {H_AMP} AS h
+  FROM range({n_tables}) r1, range({n_bits}) r2, range({dims}) r3),
+vx AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS val
+  FROM qv),
+proj AS MATERIALIZED (
+  SELECT v.vec_id, p.t, p.b, sum(v.val * p.h) AS pr
+  FROM vx v JOIN pl p ON p.j = v.j GROUP BY 1, 2, 3),
+lkeys AS MATERIALIZED (
+  SELECT vec_id, t::INT AS table_id,
+         sum(CASE WHEN pr > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS key
+  FROM proj GROUP BY vec_id, t)"""
+
+
+_LSH_SEARCH_SQL = f"""
+WITH {_lsh_keys_sql(16, 8)},
+fl AS (SELECT 0::BIGINT AS f UNION ALL SELECT (1::BIGINT << r.range) FROM range(8) r),
+qk AS (SELECT vec_id AS query_id, table_id, key FROM lkeys WHERE vec_id < 10),
+pk AS (SELECT DISTINCT query_id, table_id, xor(key, f) AS key FROM qk CROSS JOIN fl),
+cand AS (SELECT DISTINCT p.query_id, k.vec_id
+         FROM pk p JOIN lkeys k USING (table_id, key)),
+sc AS (SELECT cand.query_id, cand.vec_id,
+              CASE WHEN sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(r.e, r.e)) = 0 THEN 0.0
+                   ELSE list_dot_product(q.e, r.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(r.e, r.e))) END AS score
+       FROM cand JOIN raw q ON q.vec_id = cand.query_id
+                 JOIN raw r ON r.vec_id = cand.vec_id),
+rk AS (SELECT query_id, vec_id, score,
+              row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS rnk
+       FROM sc)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM rk WHERE rnk <= 10
+"""
+
+_LSH_BUCKETS_SQL = f"""
+WITH {_lsh_keys_sql(DEFAULT_N_TABLES, DEFAULT_N_BITS)},
+bs AS (SELECT table_id, key, count(*)::BIGINT AS bucket_size
+       FROM lkeys GROUP BY table_id, key)
+SELECT table_id, count(*)::BIGINT AS n_buckets,
+       max(bucket_size) AS max_bucket,
+       round(avg(bucket_size), 4) AS avg_bucket
+FROM bs GROUP BY table_id
+"""
+
+
+@register("lsh_search", _LSH_SEARCH_SQL)
 def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe configuration (16 tables × 8 bits, 1-bit flips): the
     64-dim fixture's neighbors sit at mean cosine ≈0.30 (near-random),
@@ -293,7 +389,7 @@ def warm_lsh(spark: SparkSession, sf_dir: str) -> None:
 registry.WARMERS["lsh_search_prebuilt"] = warm_lsh
 
 
-@register("lsh_search_prebuilt")  # rows-only
+@register("lsh_search_prebuilt", _LSH_SEARCH_SQL)
 def lsh_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure query path against the process-cached bucket table (the
     reference's serving regime — tables built at add_chunk time, searches
@@ -309,7 +405,7 @@ def lsh_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 registry.WARMERS["lsh_search_bigq"] = warm_lsh
 
 
-@register("lsh_search_bigq")  # rows-only: seeded-hyperplane keys
+@register("lsh_search_bigq", _LSH_SEARCH_SQL)
 def lsh_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The large-batch exit (r4 verdict #4): query keys computed by the
     SAME hyperplane-broadcast Arrow kernel as corpus keys, multiprobe
@@ -331,7 +427,7 @@ def lsh_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_bucket_stats")  # rows-only
+@register("lsh_bucket_stats", _LSH_BUCKETS_SQL)
 def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-occupancy histogram per table — the collision diagnostic that
     governs candidate-set size (reference never measures it)."""

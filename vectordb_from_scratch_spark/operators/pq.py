@@ -56,7 +56,9 @@ DEFAULT_SHORTLIST = 100
 
 def _kmeans_euclidean(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     """Plain seeded Lloyd's (Euclidean) for one subspace. Empty clusters
-    reseed from random points, mirroring ivf.kmeans_cosine."""
+    reseed from random points, mirroring ivf.kmeans_cosine. Kept for
+    id-less corpora (catalog sample paths); the oracle-able default is
+    :func:`_kmeans_euclid_grid`."""
     n = len(X)
     k = min(k, n)
     C = X[rng.choice(n, size=k, replace=False)]
@@ -79,6 +81,41 @@ def _kmeans_euclidean(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     return C
 
 
+def _kmeans_euclid_grid(Xq: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Integer-exact Euclidean Lloyd's for one subspace (r10 — the
+    kmeans_grid treatment for PQ): rows are lattice ints ALREADY in md5
+    draw order; init = first k rows, assignment by exact-integer
+    argmin ||x−c||² (as argmax of 2x·c − ||c||², ties to the lowest
+    code), update = mean re-snapped to the lattice with floor(s/m + 0.5)
+    (an exact-int division, correctly rounded identically in both
+    engines), empty codes reseed from draw-rank (t*k + code) mod n.
+    Early exit only at an exact fixed point — value-neutral against the
+    oracle's fixed unroll. No renormalize: Euclidean means, per Jégou's
+    PQ, stay off the sphere."""
+    n = len(Xq)
+    k = min(k, n)
+    C = Xq[:k].copy()
+    for t in range(iters):
+        logits = 2.0 * (Xq @ C.T) - np.einsum("ij,ij->i", C, C)  # exact ints
+        a = np.argmax(logits, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, Xq)
+        counts = np.bincount(a, minlength=k)
+        newC = np.zeros_like(C)
+        live = counts > 0
+        if live.any():
+            newC[live] = np.floor(
+                sums[live] / counts[live][:, None] + 0.5
+            )
+        dead = np.flatnonzero(~live)
+        for c in dead:
+            newC[c] = Xq[(t * k + int(c)) % n]
+        if dead.size == 0 and np.array_equal(newC, C):
+            break
+        C = newC
+    return C
+
+
 def _unit(X: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(X, axis=1, keepdims=True)
     return X / np.where(n == 0, 1.0, n)
@@ -92,12 +129,45 @@ def train_codebooks(
     seed: int = SEED,
     vec_col: str = "embedding",
     n_hint: int | None = None,
+    id_col: str | None = "vec_id",
 ) -> np.ndarray:
     """(m, k, d/m) codebook tensor trained on a bounded sample of the
     unit-normalized corpus — one independent Euclidean k-means per
     subspace (PQ trains subspaces independently by construction).
     ``n_hint`` (row count from a parquet footer or an already-paid count)
-    skips the sampling-fraction scan."""
+    skips the sampling-fraction scan.
+
+    With ``id_col`` present (the default) the trainer is
+    :func:`_kmeans_euclid_grid` over md5-draw-ordered, lattice-quantized
+    unit vectors — fully deterministic and DuckDB-replayable, so the PQ
+    family carries full value oracles (r10). Codebook entries are exact
+    lattice points (ints / KQ_GRID). Pass id_col=None for id-less
+    corpora (legacy seeded float trainer, rows-only)."""
+    from vectordb_from_scratch_spark.functions import linalg, texthash
+    from vectordb_from_scratch_spark.operators.ivf import KQ_SAMPLE, _md5_rank
+
+    if id_col is not None and id_col in corpus.columns:
+        rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(
+                texthash.hash60(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            .limit(KQ_SAMPLE)
+            .collect()
+        )
+        rows.sort(key=lambda r: _md5_rank(r[0]))
+        Xq = linalg.quantize_units_np(
+            np.array([r[1] for r in rows], dtype="float64")
+        )
+        d = Xq.shape[1]
+        assert d % m == 0, f"dim {d} not divisible by {m} subspaces"
+        sub = d // m
+        return np.stack(
+            [
+                _kmeans_euclid_grid(Xq[:, i * sub : (i + 1) * sub], k, iters)
+                for i in range(m)
+            ]
+        ) / float(linalg.KQ_GRID)
     vecs = corpus.select(vec_col)
     n = n_hint if n_hint is not None else vecs.count()
     if n > TRAIN_SAMPLE_CAP:
@@ -121,21 +191,28 @@ def encode(
 ) -> DataFrame:
     """(id, codes array<int>): per-subspace nearest-centroid codes in one
     Arrow pass — the codebook tensor rides in the closure (m·k·sub
-    doubles ≈ 128 KB, broadcast-small)."""
+    doubles ≈ 128 KB, broadcast-small). Rows quantize to the shared unit
+    lattice and codes come from exact-integer argmin (r10) — with
+    lattice-trained codebooks both engines compute identical codes, the
+    property the PQ value oracles ride on."""
+    from vectordb_from_scratch_spark.functions import linalg
+
     mm, kk, sub = codebooks.shape
-    # precompute ||c||²/2 per subspace for the argmin expansion
-    chalf = 0.5 * np.einsum("mkd,mkd->mk", codebooks, codebooks)  # (m, k)
+    C_int = np.floor(codebooks * linalg.KQ_GRID + 0.5)  # exact lattice ints
+    cnorm2 = np.einsum("mkd,mkd->mk", C_int, C_int)  # (m, k) exact ints
     id_type = corpus.schema[id_col].dataType.simpleString()
 
     def enc_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = _unit(np.stack(pdf[vec_col].to_list()).astype("float64"))
+            X = linalg.quantize_units_np(
+                np.stack(pdf[vec_col].to_list()).astype("float64")
+            )
             codes = np.empty((len(X), mm), dtype="int64")
             for i in range(mm):
                 Xs = X[:, i * sub : (i + 1) * sub]
-                logits = Xs @ codebooks[i].T - chalf[i]
+                logits = 2.0 * (Xs @ C_int[i].T) - cnorm2[i]  # exact ints
                 codes[:, i] = np.argmax(logits, axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
@@ -148,14 +225,21 @@ def encode(
 
 def _query_luts(queries_pdf: pd.DataFrame, codebooks: np.ndarray):
     """(qids, lut): per-query (m, k) ADC lookup tables — LUT[q, m, c] =
-    dot(q_m, codebook[m][c]) over the unit-normalized queries. Shared by
+    dot(q_m, codebook[m][c]) over the lattice-quantized queries (r10:
+    exact-integer entries, so ADC sums and the shortlist cut are
+    cross-engine exact; the uniform G² scale never reorders). Shared by
     the shortlist scan and the candidate scorer so the two can never
     drift."""
+    from vectordb_from_scratch_spark.functions import linalg
+
     mm, kk, sub = codebooks.shape
+    C_int = np.floor(codebooks * linalg.KQ_GRID + 0.5)
     qids = queries_pdf["query_id"].to_numpy()
-    Q = _unit(np.stack(queries_pdf["query_vec"].to_list()).astype("float64"))
+    Q = linalg.quantize_units_np(
+        np.stack(queries_pdf["query_vec"].to_list()).astype("float64")
+    )
     lut = np.stack(
-        [Q[:, i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)], axis=1
+        [Q[:, i * sub : (i + 1) * sub] @ C_int[i].T for i in range(mm)], axis=1
     )
     return qids, lut
 
@@ -247,6 +331,171 @@ def rerank_exact(
     )
 
 
+def _pq_cte_sql(
+    m: int = M_SUBSPACES,
+    k: int = K_CODES,
+    iters: int = TRAIN_ITERS,
+    sub: int = 8,
+    include_base: bool = True,
+) -> str:
+    """CTE prefix replaying :func:`train_codebooks` (lattice route) +
+    :func:`encode` in DuckDB, ending at ``pcodes(vec_id, m, code)`` and
+    ``pc{iters}(m, code, c)`` — every assignment and mean-resnap is
+    integer-exact, so the replay hash-proves the whole per-subspace
+    training loop (the kmeans_grid discipline; VERDICT r9 #2 extended to
+    PQ in r10). Preconditions: corpus d = m·sub = 64 and n ≥ k (both
+    fixtures)."""
+    from vectordb_from_scratch_spark.functions import linalg
+    from vectordb_from_scratch_spark.functions.texthash import hash60_sql
+
+    KQ_SAMPLE = linalg.KQ_SAMPLE
+    g = float(linalg.KQ_GRID)
+    parts = [] if not include_base else [
+        "raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "unit AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(e, e)) = 0"
+        " THEN e ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))"
+        " END AS u FROM raw)",
+        f"qv AS MATERIALIZED (SELECT vec_id,"
+        f" list_transform(u, x -> floor(x * {g} + 0.5)) AS q FROM unit)",
+        f"drw AS MATERIALIZED (SELECT vec_id, q,"
+        f" row_number() OVER (ORDER BY {hash60_sql('vec_id::VARCHAR')},"
+        f" vec_id) - 1 AS rk FROM qv)",
+        f"trn AS MATERIALIZED (SELECT * FROM drw WHERE rk < {KQ_SAMPLE})",
+        "tn AS (SELECT count(*) AS n FROM trn)",
+    ]
+    parts += [
+        f"psub AS MATERIALIZED (SELECT vec_id, rk, mm.range AS m,"
+        f" q[mm.range * {sub} + 1 : mm.range * {sub} + {sub}] AS sv"
+        f" FROM trn, range({m}) mm)",
+        f"pc0 AS MATERIALIZED (SELECT m, rk AS code, sv AS c"
+        f" FROM psub WHERE rk < {k})",
+    ]
+    assign = (
+        "SELECT s.vec_id, s.m, s.sv, c.code, row_number() OVER ("
+        "PARTITION BY s.vec_id, s.m ORDER BY "
+        "2 * list_dot_product(s.sv, c.c) - list_dot_product(c.c, c.c) DESC, "
+        "c.code ASC) AS rn FROM {src} s JOIN {cb} c USING (m)"
+    )
+    for t in range(iters):
+        parts += [
+            f"pa{t} AS MATERIALIZED (SELECT vec_id, m, sv, code FROM ("
+            + assign.format(src="psub", cb=f"pc{t}")
+            + ") WHERE rn = 1)",
+            f"ps{t} AS MATERIALIZED (SELECT m, code, dim, sum(val) AS s,"
+            f" count(*) AS cnt FROM (SELECT m, code,"
+            f" generate_subscripts(sv, 1) AS dim, unnest(sv) AS val"
+            f" FROM pa{t}) GROUP BY 1, 2, 3)",
+            f"pw{t} AS MATERIALIZED (SELECT m, code,"
+            f" list(floor(s / cnt + 0.5) ORDER BY dim) AS c"
+            f" FROM ps{t} GROUP BY m, code)",
+            f"pc{t + 1} AS MATERIALIZED (SELECT m, code, c FROM pw{t}"
+            f" UNION ALL SELECT g.m, g.code, t.sv AS c FROM ("
+            f"SELECT mm.range AS m, r.range AS code"
+            f" FROM range({m}) mm, range({k}) r"
+            f" EXCEPT SELECT m, code FROM pw{t}) g JOIN psub t"
+            f" ON t.m = g.m AND t.rk = ({t} * {k} + g.code)"
+            f" % (SELECT n FROM tn))",
+        ]
+    parts += [
+        f"suball AS MATERIALIZED (SELECT vec_id, mm.range AS m,"
+        f" q[mm.range * {sub} + 1 : mm.range * {sub} + {sub}] AS sv"
+        f" FROM drw, range({m}) mm)",
+        f"pcodes AS MATERIALIZED (SELECT vec_id, m, code FROM ("
+        + assign.format(src="suball", cb=f"pc{iters}")
+        + ") WHERE rn = 1)",
+    ]
+    return ",\n".join(parts)
+
+
+_PQ_BALANCE_SQL = f"""
+WITH {_pq_cte_sql()}
+SELECT code::BIGINT AS code0, count(*)::BIGINT AS n_vectors
+FROM pcodes WHERE m = 0 GROUP BY code
+"""
+
+_PQ_SEARCH_SQL = f"""
+WITH {_pq_cte_sql()},
+lut AS (SELECT q.vec_id AS query_id, c.m, c.code,
+               list_dot_product(q.q[c.m * 8 + 1 : c.m * 8 + 8], c.c) AS dot
+        FROM qv q CROSS JOIN pc{TRAIN_ITERS} c WHERE q.vec_id < 10),
+adc AS (SELECT l.query_id, p.vec_id, sum(l.dot) AS adc
+        FROM pcodes p JOIN lut l USING (m, code)
+        GROUP BY 1, 2),
+short AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, vec_id ASC) AS rn
+            FROM adc) WHERE rn <= {DEFAULT_SHORTLIST}),
+sc AS (SELECT s.query_id, s.vec_id,
+              CASE WHEN sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(r.e, r.e)) = 0 THEN 0.0
+                   ELSE list_dot_product(q.e, r.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(r.e, r.e))) END AS score
+       FROM short s JOIN raw q ON q.vec_id = s.query_id
+                    JOIN raw r ON r.vec_id = s.vec_id),
+rk AS (SELECT query_id, vec_id, score,
+              row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS rnk
+       FROM sc)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM rk WHERE rnk <= 10
+"""
+
+
+def _ivfpq_search_sql(n_probes: int = 8, k: int = 10) -> str:
+    """The composed IVFPQ oracle (r10): the IVF grid-training chain
+    (probes + afin) and the PQ chain (pc{T} + pcodes) concatenate over a
+    shared base — candidates are the probed clusters' members, ADC runs
+    only on those, the shortlist exact-reranks. Every discrete step
+    (training, probes, codes, ADC cut) is integer-exact; only the final
+    rerank is float, under the proven knn-oracle pattern."""
+    from vectordb_from_scratch_spark.functions.lattice_sql import (
+        IVF_TRAIN_ITERS as IVF_ITERS,
+        kmeans_grid_sql as _kmeans_grid_sql,
+    )
+
+    return f"""
+WITH {_kmeans_grid_sql()},
+{_pq_cte_sql(include_base=False)},
+ipr AS (SELECT query_id, cluster_id FROM (
+          SELECT q.vec_id AS query_id, c.cluster_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.q, c.c) DESC,
+                              c.cluster_id ASC) AS rn
+          FROM qv q CROSS JOIN c{IVF_ITERS} c WHERE q.vec_id < 10)
+        WHERE rn <= {n_probes}),
+icand AS (SELECT p.query_id, a.vec_id FROM ipr p JOIN afin a USING (cluster_id)),
+lut AS (SELECT q.vec_id AS query_id, c.m, c.code,
+               list_dot_product(q.q[c.m * 8 + 1 : c.m * 8 + 8], c.c) AS dot
+        FROM qv q CROSS JOIN pc{TRAIN_ITERS} c WHERE q.vec_id < 10),
+adc AS (SELECT ic.query_id, ic.vec_id, sum(l.dot) AS adc
+        FROM icand ic JOIN pcodes p USING (vec_id)
+        JOIN lut l ON l.query_id = ic.query_id
+                  AND l.m = p.m AND l.code = p.code
+        GROUP BY 1, 2),
+short AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, vec_id ASC) AS rn
+            FROM adc) WHERE rn <= {DEFAULT_SHORTLIST}),
+sc AS (SELECT s.query_id, s.vec_id,
+              CASE WHEN sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(r.e, r.e)) = 0 THEN 0.0
+                   ELSE list_dot_product(q.e, r.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(r.e, r.e))) END AS score
+       FROM short s JOIN raw q ON q.vec_id = s.query_id
+                    JOIN raw r ON r.vec_id = s.vec_id),
+rk AS (SELECT query_id, vec_id, score,
+              row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS rnk
+       FROM sc)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM rk WHERE rnk <= {k}
+"""
+
+
 #: (app_id, sf_dir) → (codebooks, cached codes DataFrame); the
 #: train-once/search-many regime, same as ivf._BUILD_CACHE.
 _BUILD_CACHE: dict = {}
@@ -281,7 +530,7 @@ def build_and_search(
     return search(emb, codes, books, qpdf, k=k, shortlist=shortlist)
 
 
-@register("pq_search")  # rows-only: seeded k-means is not SQL-expressible
+@register("pq_search", _PQ_SEARCH_SQL)
 def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cold PQ pipeline: train codebooks + encode + ADC + rerank."""
     res = build_and_search(spark, sf_dir)
@@ -304,7 +553,7 @@ def warm_pq(spark: SparkSession, sf_dir: str) -> None:
 registry.WARMERS["pq_search_prebuilt"] = warm_pq
 
 
-@register("pq_search_prebuilt")  # rows-only
+@register("pq_search_prebuilt", _PQ_SEARCH_SQL)
 def pq_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve path against the process-cached codes table: ADC + rerank
     only — what a query costs once the index exists (compare ivf_search
@@ -447,7 +696,7 @@ def search_blockjoin(
 registry.WARMERS["pq_search_bigq"] = warm_pq
 
 
-@register("pq_search_bigq")  # rows-only: seeded k-means not SQL-expressible
+@register("pq_search_bigq", _PQ_SEARCH_SQL)
 def pq_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compressed tier's large-batch exit: block-joined ADC over the
     codes table + in-plan exact rerank — no LUT closure, no driver
@@ -476,7 +725,7 @@ def pq_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pq_code_balance")  # rows-only
+@register("pq_code_balance", _PQ_BALANCE_SQL)
 def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-utilization histogram for subspace 0 — the PQ analog of
     ivf_cluster_sizes: dead codes mean wasted codebook capacity, hot codes
@@ -534,9 +783,12 @@ def adc_score_candidates_joined(
     ~32 KB LUT on the fly per Arrow batch (rows grouped by query inside
     the batch), so no Q-sized LUT tensor rides in any closure and the
     batch size is unbounded. The per-query arithmetic is exactly
-    ``_query_luts`` (unit-normalize, per-subspace codebook matmul), so
-    scores match the closure path bit for bit."""
+    ``_query_luts`` (lattice-quantize, per-subspace integer codebook
+    matmul — r10), so scores match the closure path bit for bit."""
+    from vectordb_from_scratch_spark.functions import linalg
+
     mm, _, sub = codebooks.shape
+    C_int = np.floor(codebooks * linalg.KQ_GRID + 0.5)
     id_type = cand_codes.schema[id_col].dataType.simpleString()
     joined = cand_codes.select("query_id", id_col, "codes").join(
         queries.select("query_id", "query_vec"), "query_id"
@@ -549,14 +801,13 @@ def adc_score_candidates_joined(
             C = np.stack(pdf["codes"].to_list())  # (n, m) int
             out = np.zeros(len(pdf))
             for _, idx in pdf.groupby("query_id").indices.items():
-                q = np.asarray(
-                    pdf["query_vec"].iloc[idx[0]], dtype="float64"
-                )
-                qn = np.linalg.norm(q)
-                if qn > 0:
-                    q = q / qn
+                q = linalg.quantize_units_np(
+                    np.asarray(
+                        pdf["query_vec"].iloc[idx[0]], dtype="float64"
+                    )[None, :]
+                )[0]
                 lut = np.stack(
-                    [q[i * sub : (i + 1) * sub] @ codebooks[i].T for i in range(mm)]
+                    [q[i * sub : (i + 1) * sub] @ C_int[i].T for i in range(mm)]
                 )  # (m, k)
                 Ci = C[idx]
                 s = np.zeros(len(idx))
@@ -617,7 +868,7 @@ def ivfpq_search_df(
     qpdf, queries_df = knn.fixture_query_set(spark, sf_dir, n_queries)
     centroids, _ = ivf.built_index(spark, sf_dir)
     books, codes_c = ivfpq_codes(spark, sf_dir)
-    probes = ivf.probe_clusters_df(centroids, queries_df, n_probes)
+    probes = ivf.probe_clusters_df(centroids, queries_df, n_probes, grid=True)
     cand_codes = codes_c.join(F.broadcast(probes), "cluster_id").select(
         "query_id", "vec_id", "codes"
     )
@@ -631,7 +882,7 @@ def ivfpq_search_df(
     return rerank_exact(emb, short, qpdf, k)
 
 
-@register("ivfpq_search")  # rows-only: composed seeded k-means indexes
+@register("ivfpq_search", _ivfpq_search_sql())
 def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivfpq_search_df(spark, sf_dir)
     return res.select(
@@ -653,7 +904,7 @@ def warm_ivfpq(spark: SparkSession, sf_dir: str) -> None:
 registry.WARMERS["ivfpq_search_bigq"] = warm_ivfpq
 
 
-@register("ivfpq_search_bigq")  # rows-only: composed seeded k-means indexes
+@register("ivfpq_search_bigq", _ivfpq_search_sql())
 def ivfpq_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed tier's large-batch exit: probes were already in-plan
     (probe_clusters_df); this closes the last two driver dependencies —
@@ -667,7 +918,7 @@ def ivfpq_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, queries_df = knn.fixture_query_set(spark, sf_dir, 10)
     centroids, _ = ivf.built_index(spark, sf_dir)
     books, codes_c = ivfpq_codes(spark, sf_dir)
-    probes = ivf.probe_clusters_df(centroids, queries_df, 8)
+    probes = ivf.probe_clusters_df(centroids, queries_df, 8, grid=True)
     cand_codes = codes_c.join(probes, "cluster_id").select(
         "query_id", "vec_id", "codes"
     )
@@ -701,7 +952,7 @@ def ivfpq_search_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
 registry.WARMERS["ivfpq_search_prebuilt"] = warm_ivfpq
 
 
-@register("ivfpq_search_prebuilt")  # rows-only
+@register("ivfpq_search_prebuilt", _ivfpq_search_sql())
 def ivfpq_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve path against the process-cached IVFADC layout: probe + ADC +
     rerank only — what a query costs once both indexes exist (the same

@@ -572,7 +572,73 @@ def cascade_search_blockjoin(
     )
 
 
-@register("knn_cascade")  # rows-only: multi-tier pruning is not SQL-shaped
+def _cascade_sql(
+    q: int = _SQ_Q, k: int = _SQ_K, prefilter: int = 200, rerank_n: int = 40
+) -> str:
+    """The whole funnel replayed in DuckDB (r10): every cut is a global
+    window over cross-engine-exact scores — Hamming is integer, the SQ8
+    cosine is an exact-integer dot over an IEEE-identical sqrt/divide —
+    so tier membership can't drift; only the final rerank is float,
+    under the proven knn-oracle pattern. This is why the cascade's cuts
+    were made GLOBAL with pinned tie orders in r7: a partitioning-
+    dependent shortlist could never carry a value oracle."""
+    return f"""
+WITH b AS (
+  SELECT vec_id,
+         {_hamming_word_sql(0)} AS lo,
+         {_hamming_word_sql(1)} AS hi
+  FROM embeddings),
+enc AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+              THEN list_transform(embedding::DOUBLE[], x -> 0::BIGINT)
+              ELSE list_transform(embedding::DOUBLE[],
+                     x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+                                * 127 + 0.5)::BIGINT)
+         END AS codes
+  FROM embeddings),
+n AS (SELECT vec_id, codes,
+             list_dot_product(codes::DOUBLE[], codes::DOUBLE[]) AS norm2
+      FROM enc),
+qb AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM b WHERE vec_id < {q}),
+qc AS (SELECT vec_id AS query_id, codes AS qcd, norm2 AS qn FROM n WHERE vec_id < {q}),
+ham AS (SELECT qb.query_id, b.vec_id,
+               (bit_count(xor(qb.qlo, b.lo)) + bit_count(xor(qb.qhi, b.hi)))::BIGINT AS hamming
+        FROM qb CROSS JOIN b),
+t1 AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming ASC, vec_id ASC) AS rn
+         FROM ham) WHERE rn <= {prefilter}),
+t2s AS (SELECT t1.query_id, t1.vec_id,
+               CASE WHEN qc.qn * n.norm2 = 0 THEN 0.0
+                    ELSE list_dot_product(qc.qcd::DOUBLE[], n.codes::DOUBLE[])
+                         / sqrt(qc.qn * n.norm2) END AS sq8
+        FROM t1 JOIN qc USING (query_id) JOIN n ON n.vec_id = t1.vec_id),
+t2 AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                    ORDER BY sq8 DESC, vec_id ASC) AS rn
+         FROM t2s) WHERE rn <= {rerank_n}),
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sc AS (SELECT t2.query_id, t2.vec_id,
+              CASE WHEN sqrt(list_dot_product(qr.e, qr.e))
+                        * sqrt(list_dot_product(r.e, r.e)) = 0 THEN 0.0
+                   ELSE list_dot_product(qr.e, r.e)
+                        / (sqrt(list_dot_product(qr.e, qr.e))
+                           * sqrt(list_dot_product(r.e, r.e))) END AS score
+       FROM t2 JOIN raw qr ON qr.vec_id = t2.query_id
+               JOIN raw r ON r.vec_id = t2.vec_id),
+rk AS (SELECT query_id, vec_id, score,
+              row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS rnk
+       FROM sc)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM rk WHERE rnk <= {k}
+"""
+
+
+@register("knn_cascade", _cascade_sql())
 def knn_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → SQ8 → exact funnel over the fixture query set."""
     from vectordb_from_scratch_spark.operators import knn
@@ -588,7 +654,7 @@ def knn_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_cascade_bigq")  # rows-only: multi-tier pruning is not SQL-shaped
+@register("knn_cascade_bigq", _cascade_sql())
 def knn_cascade_bigq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cascade's large-batch exit (completing the bigq family:
     ivf/lsh/pq/ivfpq/hnsw/blockjoin): no toPandas of the batch, no query
