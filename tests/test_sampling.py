@@ -146,7 +146,11 @@ def test_semantic_prune_contract(spark, sf_oracle):
         n = len(members)
         pruned = [r for r in members if r["action"] == "prune"]
         kept = [r for r in members if r["action"] == "keep"]
-        assert len(pruned) == math.ceil((1 - SEMANTIC_KEEP_FRAC) * n), (cid, n)
+        # the chain seed is never pruned, so a singleton prunes nothing
+        # (r10: the cap only binds at n=1)
+        assert len(pruned) == min(
+            math.ceil((1 - SEMANTIC_KEEP_FRAC) * n), n - 1
+        ), (cid, n)
         pruned_any = pruned_any or bool(pruned)
         first = min(members, key=lambda r: r["vec_id"])
         assert first["action"] == "keep"  # redundancy -1 can never rank first
@@ -198,14 +202,16 @@ def test_semantic_prune_bounded_subshards(spark, sf_oracle):
     assert dict(per_cluster) == cluster_sizes
 
     # prune budget holds per cluster within sub-shard rounding: shard i
-    # prunes ceil(f*n_i), so cluster total is in
-    # [ceil(f*size), floor(f*size) + nsub] (md5 shards aren't balanced,
-    # but Σceil(f*n_i) <= f*size + nsub regardless of the split)
+    # prunes min(ceil(f*n_i), n_i - 1) — the seed exemption (r10) zeroes
+    # singleton shards — so the cluster total is in
+    # [max(0, ceil(f*size) - nsub), floor(f*size) + nsub] (md5 shards
+    # aren't balanced; each of the <= nsub singleton shards can forgo
+    # one prune, and Σceil(f*n_i) <= f*size + nsub regardless of split)
     pruned = Counter(r["cluster_id"] for r in rows if r["action"] == "prune")
     f = 1 - SEMANTIC_KEEP_FRAC
     for cid, size in cluster_sizes.items():
         nsub = math.ceil(size / cap)
-        lo = math.ceil(f * size)
+        lo = max(0, math.ceil(f * size) - nsub)
         hi = math.floor(f * size) + nsub
         assert lo <= pruned.get(cid, 0) <= hi, (cid, size, pruned.get(cid, 0))
 

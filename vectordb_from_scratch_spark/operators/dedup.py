@@ -1740,9 +1740,15 @@ def semantic_prune(
     sub-shard of an oversized cluster), each member's redundancy = max
     cosine to any LOWER-id member of the same scoring group; the
     ceil((1-keep_frac)·n) highest-redundancy members are pruned
-    (ties prune the higher id). Deterministic given assignments; for
-    clusters within ``max_members`` (the fixture case, and the design
-    point — k should scale with N) this is exact SemDeDup."""
+    (ties prune the higher id), except the group's chain seed (the
+    lowest id, redundancy -1 by construction — it HAS no lower-id
+    member to be redundant with), which is always kept; a singleton
+    group therefore prunes nothing (r10 — surfaced when the lattice
+    k-means produced a singleton cluster and ceil(0.1·1)=1 would have
+    pruned a document with zero duplicates). Deterministic given
+    assignments; for clusters within ``max_members`` (the fixture case,
+    and the design point — k should scale with N) this is exact
+    SemDeDup."""
     import math
 
     import pandas as pd
@@ -1761,7 +1767,9 @@ def semantic_prune(
             S = Xu[lo:hi] @ Xu[:hi].T  # (chunk, hi)
             mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
             red[lo:hi] = np.where(mask, S, -np.inf).max(axis=1)
-        n_prune = math.ceil((1.0 - keep_frac) * n)
+        # never prune the chain seed: cap at n-1 (only binds at n=1,
+        # where ceil would otherwise prune a duplicate-free document)
+        n_prune = min(math.ceil((1.0 - keep_frac) * n), n - 1)
         action = np.full(n, "keep", dtype=object)
         if n_prune > 0:
             ids = pdf[id_col].to_numpy()
