@@ -76,3 +76,41 @@ def kmeans_grid_sql(
         f" FROM drw d CROSS JOIN c{iters} c) WHERE rn = 1)"
     )
     return ",\n".join(parts)
+
+
+#: LSH hyperplane coordinate amplitude: lattice ints in [-127, 127]
+#: (mirrored by operators/lsh.py H_AMP)
+LSH_H_AMP = 127
+
+
+def lsh_keys_sql(
+    n_tables: int, n_bits: int, dims: int = 64, seed: int = 42
+) -> str:
+    """CTE prefix replaying :func:`hyperplanes` + :func:`_keys_matrix` in
+    DuckDB, ending at ``lkeys(vec_id, table_id, key)`` — exact because
+    every projection is integer arithmetic on the shared lattices (r10).
+    ``dims`` is a literal (the fixture is d=64); reuses the kmeans oracle's
+    quantization CTEs (raw/unit/qv)."""
+    g = float(linalg.KQ_GRID)
+    hexpr = hash60_sql(f"'lsh|{seed}|' || t || '|' || b || '|' || j")
+    return f"""
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+unit AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+              ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+         END AS u FROM raw),
+qv AS MATERIALIZED (SELECT vec_id,
+        list_transform(u, x -> floor(x * {g} + 0.5)) AS q FROM unit),
+pl AS MATERIALIZED (
+  SELECT r1.range AS t, r2.range AS b, r3.range AS j,
+         ({hexpr} % {2 * LSH_H_AMP + 1}) - {LSH_H_AMP} AS h
+  FROM range({n_tables}) r1, range({n_bits}) r2, range({dims}) r3),
+vx AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS val
+  FROM qv),
+proj AS MATERIALIZED (
+  SELECT v.vec_id, p.t, p.b, sum(v.val * p.h) AS pr
+  FROM vx v JOIN pl p ON p.j = v.j GROUP BY 1, 2, 3),
+lkeys AS MATERIALIZED (
+  SELECT vec_id, t::INT AS table_id,
+         sum(CASE WHEN pr > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS key
+  FROM proj GROUP BY vec_id, t)"""

@@ -1464,10 +1464,82 @@ def embedding_pairs_blocked(
     )
 
 
-@register("dedup_embedding_neardup_blocked")  # rows-only: LSH blocking is seeded-random
+def _blocked_neardup_sql(
+    k: int = 20, n_tables: int = 16, n_bits: int = 8, local_k: int = 20
+) -> str:
+    """Full replay of :func:`embedding_pairs_blocked` (r10 — the last
+    dedup family to go from rows-only to value-oracled): lattice LSH
+    keys (exact sign bits), base×base + base×probe bucket pairs, SQ8
+    in-bucket cosine (exact-int dot over IEEE-identical sqrt/divide),
+    the per-bucket local top-``local_k`` cut, the global max-merge +
+    shortlist, and the float rerank. Preconditions mirrored from the
+    operator's small regime: n ≤ 16384 rows (n_bits=8 from
+    blocked_n_bits), n ≤ 50k (multiprobe on), buckets under the 4096
+    hot cap (500/2000-row fixtures: ~2-8 members) — each noted where
+    the operator computes it dynamically."""
+    from vectordb_from_scratch_spark.functions.lattice_sql import lsh_keys_sql
+
+    shortlist = max(4 * k, 64)
+    return f"""
+WITH {lsh_keys_sql(n_tables, n_bits)},
+enc AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+              THEN list_transform(embedding::DOUBLE[], x -> 0::BIGINT)
+              ELSE list_transform(embedding::DOUBLE[],
+                     x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+                                * 127 + 0.5)::BIGINT)
+         END AS codes
+  FROM embeddings),
+cn AS (SELECT vec_id, codes,
+              list_dot_product(codes::DOUBLE[], codes::DOUBLE[]) AS norm2
+       FROM enc),
+prb AS (SELECT l.vec_id, l.table_id, xor(l.key, 1::BIGINT << r.range) AS key
+        FROM lkeys l, range({n_bits}) r),
+bb AS (SELECT a.table_id, a.key, a.vec_id AS va, b.vec_id AS vb
+       FROM lkeys a JOIN lkeys b
+         ON a.table_id = b.table_id AND a.key = b.key AND a.vec_id < b.vec_id),
+bp AS (SELECT a.table_id, a.key,
+              least(a.vec_id, p.vec_id) AS va,
+              greatest(a.vec_id, p.vec_id) AS vb
+       FROM lkeys a JOIN prb p
+         ON a.table_id = p.table_id AND a.key = p.key AND a.vec_id != p.vec_id),
+cand AS (SELECT DISTINCT table_id, key, va, vb
+         FROM (SELECT * FROM bb UNION ALL SELECT * FROM bp)),
+sc AS (SELECT c.table_id, c.key, c.va, c.vb,
+              CASE WHEN x.norm2 * y.norm2 = 0 THEN 0.0
+                   ELSE list_dot_product(x.codes::DOUBLE[], y.codes::DOUBLE[])
+                        / sqrt(x.norm2 * y.norm2) END AS s
+       FROM cand c JOIN cn x ON x.vec_id = c.va JOIN cn y ON y.vec_id = c.vb),
+loc AS (SELECT va, vb, s FROM (
+          SELECT va, vb, s,
+                 row_number() OVER (PARTITION BY table_id, key
+                     ORDER BY s DESC, va ASC, vb ASC) AS rn
+          FROM sc) WHERE rn <= {local_k}),
+gmx AS (SELECT va, vb, max(s) AS s FROM loc GROUP BY va, vb),
+short AS (SELECT va, vb FROM (
+            SELECT va, vb,
+                   row_number() OVER (ORDER BY s DESC, va ASC, vb ASC) AS rn
+            FROM gmx) WHERE rn <= {shortlist}),
+ex AS (SELECT s.va, s.vb,
+              CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e)) = 0 THEN 0.0
+                   ELSE list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))) END AS score
+       FROM short s JOIN raw a ON a.vec_id = s.va JOIN raw b ON b.vec_id = s.vb)
+SELECT va AS vec_a, vb AS vec_b, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, va ASC, vb ASC) AS rnk
+FROM ex QUALIFY rnk <= {k}
+"""
+
+
+@register("dedup_embedding_neardup_blocked", _blocked_neardup_sql())
 def dedup_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked near-dup top-20 — recall vs the exact kernel measured in
-    tests (the driver sees rows-only since hyperplanes aren't SQL)."""
+    """Blocked near-dup top-20 — FULL value oracle since r10 (lattice
+    hyperplanes made the blocking deterministic; every cut in the
+    funnel is over cross-engine-exact scores). Recall vs the exact
+    kernel additionally measured in tests."""
     n, dims = embedding_corpus_stats(sf_dir)
     return embedding_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"), k=20, dims=dims, n_rows=n
