@@ -1886,13 +1886,50 @@ def semantic_prune(
     )
 
 
-@register("dedup_semantic_prune")  # rows-only: k-means assignments not SQL
+def _semantic_prune_sql(keep_frac: float = SEMANTIC_KEEP_FRAC) -> str:
+    """SemDeDup replayed end-to-end (r10): the lattice k-means chain
+    yields the exact cluster assignments (``afin``), then redundancy =
+    max cosine to any lower-id member of the cluster and the
+    (redundancy DESC, id DESC) cut replicate the grouped-map kernel.
+    Precondition: every cluster within SEMANTIC_MAX_MEMBERS (fixture
+    clusters are ≤ ~100 members), so no md5 sub-sharding fires."""
+    from vectordb_from_scratch_spark.functions.lattice_sql import kmeans_grid_sql
+
+    f = 1.0 - keep_frac
+    return f"""
+WITH {kmeans_grid_sql()},
+mem AS (SELECT a.vec_id, a.cluster_id, r.e FROM afin a JOIN raw r USING (vec_id)),
+red AS (SELECT x.vec_id, x.cluster_id,
+               coalesce(max(CASE WHEN sqrt(list_dot_product(x.e, x.e))
+                                      * sqrt(list_dot_product(y.e, y.e)) = 0
+                                 THEN 0.0
+                                 ELSE list_dot_product(x.e, y.e)
+                                      / (sqrt(list_dot_product(x.e, x.e))
+                                         * sqrt(list_dot_product(y.e, y.e)))
+                            END), -1.0) AS red
+        FROM mem x LEFT JOIN mem y
+          ON y.cluster_id = x.cluster_id AND y.vec_id < x.vec_id
+        GROUP BY 1, 2),
+cnt AS (SELECT cluster_id, count(*) AS n FROM mem GROUP BY 1),
+rk AS (SELECT r.vec_id, r.cluster_id, r.red, c.n,
+              row_number() OVER (PARTITION BY r.cluster_id
+                  ORDER BY r.red DESC, r.vec_id DESC) AS rn
+       FROM red r JOIN cnt c USING (cluster_id))
+SELECT vec_id, cluster_id::INT AS cluster_id, round(red, 6) AS redundancy,
+       CASE WHEN rn <= least(ceil({f} * n), n - 1) THEN 'prune'
+            ELSE 'keep' END AS action
+FROM rk
+"""
+
+
+@register("dedup_semantic_prune", _semantic_prune_sql())
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings fixture at 90% retention, reusing the
     process-cached IVF index (the cluster structure is shared between
-    search and curation — one build, two consumers). Determinism and the
-    per-cluster prune-count/ordering contract are pinned in
-    tests/test_sampling.py."""
+    search and curation — one build, two consumers). FULL value oracle
+    since r10 (the lattice k-means made the assignments replayable);
+    determinism and the per-cluster prune-count/ordering contract are
+    additionally pinned in tests/test_sampling.py."""
     from vectordb_from_scratch_spark.operators import ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
