@@ -8,8 +8,9 @@ buckets map (table, key) → member set (``:60-78``); search unions the
 bucket members across tables for the query's keys, then exact-reranks with
 one matmul (``:104-130``).
 
-Spark design: hyperplanes are generated ONCE on the driver with the
-reference's seed (42, ``lsh_simhash.py:37``) and closed over by an
+Spark design: hyperplanes are generated ONCE on the driver (md5-lattice
+since r10 — deterministic in both engines, seed folded into the hash; the
+reference seeds NumPy instead, ``lsh_simhash.py:37``) and closed over by an
 Arrow-batched pandas iterator (``mapInPandas``) that computes all table keys
 in a single (batch × n_tables·n_bits) matmul — the vectorized path the
 reference uses per-vector, amortized per batch. Keys explode into a

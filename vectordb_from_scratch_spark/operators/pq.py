@@ -28,8 +28,10 @@ Spark design mirrors ivf.py:
   each partition's local top-shortlist, merges O(partitions·shortlist)
   rows, reranks only the shortlist.
 
-Not SQL-expressible (seeded k-means) → rows-only driver check; recall vs
-the exact flat scan is pinned in tests/test_ann_recall.py, the same
+Since r10 the trainer is the integer-lattice Euclidean Lloyd's
+(:func:`_kmeans_euclid_grid`) and the ADC arithmetic is exact-integer, so
+the whole family carries FULL DuckDB value oracles; recall vs the exact
+flat scan is additionally pinned in tests/test_ann_recall.py, the same
 discipline as IVF and LSH.
 """
 
