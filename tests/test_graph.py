@@ -1056,3 +1056,53 @@ def test_closeness_on_path_graph(spark):
         assert got[s]["harmonic"] == pytest.approx(
             sum(1.0 / h for h in dist.values()), abs=1e-6
         )
+
+
+def test_ktruss_truncation_delta_promotion_cascade(spark):
+    """r11 warm-peel replay (ktruss_truncation_delta): edge insertions
+    must PROMOTE base edges that the base peel removed — here the 4-5-6
+    triangle dies in the base round-1 peel (each edge sup 1 < k-2=2),
+    then delta edges 3-5 and 3-6 close enough triangles that all three
+    come back in the merged 4-truss. The replay must equal the cold peel
+    on the merged graph, and the empty-delta path must serve the base
+    artifact verbatim."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    weak_tri = [(4, 5), (4, 6), (5, 6)]
+    delta = [(3, 5), (3, 6)]
+    base = _edges_df(spark, clique + weak_tri)
+    states: list = []
+    graph.ktruss(base.select("src", "dst"), k=4, rounds=3, capture_states=states)
+    assert len(states) == 4
+    # base peel drops the weak triangle in round 1
+    assert states[1][1] == 6 and states[3][1] == 6
+
+    got = sorted(
+        map(
+            tuple,
+            graph.ktruss_truncation_delta(
+                states, _edges_df(spark, delta).select("src", "dst"), k=4
+            ).collect(),
+        )
+    )
+    cold = sorted(
+        map(
+            tuple,
+            graph.ktruss(
+                _edges_df(spark, clique + weak_tri + delta).select("src", "dst"),
+                k=4,
+                rounds=3,
+            ).collect(),
+        )
+    )
+    assert got == cold
+    assert len(got) == 11  # every edge promoted back / retained
+
+    # empty delta: the artifact itself comes back
+    empty = _edges_df(spark, [(9, 9)]).select("src", "dst").filter("src < 0")
+    served = sorted(
+        map(tuple, graph.ktruss_truncation_delta(states, empty, k=4).collect())
+    )
+    art = sorted(
+        (r["src"], r["dst"], r["sup"]) for r in states[3][0].collect()
+    )
+    assert served == art

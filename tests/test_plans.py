@@ -373,17 +373,34 @@ def test_codec_pipelines_have_zero_shuffles(q):
 
 
 def test_minhash_simhash_signatures_scan_local(spark, sf_oracle):
-    """The signature builds must stay shuffle-free (scan-local array
-    expressions) and hash each shingle exactly once — the explode+groupBy
-    shape they replaced shuffled a ~50x-corpus exploded table."""
+    """MinHash signatures must stay shuffle-free (scan-local array
+    expressions); SimHash signatures explode for the 64 codegen'd vote
+    sums (HOF filters are CodegenFallback — measured 10x slower) but the
+    exploded table must COMBINE map-side before its one exchange (partial
+    HashAggregate below the shuffle → shuffle bytes are corpus-count-
+    sized, never shingle-sized). Both hash each shingle exactly once."""
     from vectordb_from_scratch_spark.operators import dedup
     from vectordb_from_scratch_spark.session import load_table
 
     docs = load_table(spark, sf_oracle, "documents")
-    for build in (dedup.minhash_signatures, dedup.simhash_signatures):
-        df = build(docs)
-        assert plans.n_shuffles(df) == 0, build.__name__
-        assert plans.physical_plan(df).count("md5") == 1, build.__name__
+    mh = dedup.minhash_signatures(docs)
+    assert plans.n_shuffles(mh) == 0
+    assert plans.physical_plan(mh).count("md5") == 1
+
+    sh = dedup.simhash_signatures(docs)
+    assert plans.n_shuffles(sh) == 1
+    assert plans.physical_plan(sh).count("md5") == 1
+    # partial aggregation (map-side combine) before the one exchange:
+    # the simple-mode plan must show HashAggregate below Exchange
+    simple = plans.physical_plan(sh, mode="simple")
+    lines = simple.splitlines()
+    agg_below = [
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate" in ln
+        and any("Exchange" in up for up in lines[:i])
+    ]
+    assert agg_below, simple
 
 
 def test_stratified_quota_limits_window_map_side(q):

@@ -10,16 +10,28 @@ local suite stayed green, because conftest's session fixture already had
 the conf baked in. This test reproduces the driver's environment:
 it must NOT use the shared ``spark`` fixture.
 
-Runs in a subprocess so the shared session-scoped SparkSession (same JVM)
-can't leak its conf into the vanilla session under test.
+Runs in subprocesses so the shared session-scoped SparkSession (same JVM)
+can't leak its conf into the vanilla session under test. SHARDED 4 ways
+by a stable name hash (VERDICT r10 #6): at 235 registered queries one
+monolithic subprocess needed an 1800s budget and was the first thing to
+flake on a loaded box; four ~60-query shards each stay well under a 600s
+budget and a flake localizes to its shard.
 """
 
+import hashlib
 import subprocess
 import sys
 
+import pytest
+
+N_SHARDS = 4
+
 _SCRIPT = """
+import hashlib
 import sys
 sys.path.insert(0, "/root/repo")
+shard = int(sys.argv[1])
+n_shards = int(sys.argv[2])
 from pyspark.sql import SparkSession
 
 spark = (
@@ -41,35 +53,58 @@ assert n > 0, n
 # EVERY registered query must run under the driver's own session — the
 # round-1 driver errored all events-backed queries while the local suite
 # stayed green. Smoke at sf0.001: build + count, no oracle (parity is
-# tests/test_oracle_parity.py's job under the shared session).
+# tests/test_oracle_parity.py's job under the shared session). This
+# process runs only its shard (stable md5 name hash, not the
+# per-process-randomized builtin hash).
 from vectordb_from_scratch_spark.registry import QUERIES
 
+mine = sorted(
+    name
+    for name in QUERIES
+    if int(hashlib.md5(name.encode()).hexdigest(), 16) % n_shards == shard
+)
 failed = []
-for name, fn in sorted(QUERIES.items()):
+for name in mine:
     try:
-        fn(spark, "/root/testdata/sf0.001").count()
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
     except Exception as exc:  # noqa: BLE001
         failed.append((name, repr(exc)[:200]))
 assert not failed, failed
-print(f"VANILLA_OK {len(QUERIES)} queries")
+print(f"VANILLA_OK shard {shard}: {len(mine)} queries")
 spark.stop()
 """
 
 
-def test_load_events_under_vanilla_session():
+@pytest.mark.parametrize("shard", range(N_SHARDS))
+def test_load_events_under_vanilla_session(shard):
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
+        [sys.executable, "-c", _SCRIPT, str(shard), str(N_SHARDS)],
         capture_output=True,
         text=True,
-        # ~230 registered queries × a few seconds of sf0.001 smoke each:
-        # the surface outgrew the original 300s budget at ~180 queries
-        # and the 900s budget at ~230 (r9 — measured 900s+ with the
-        # iterative graph/PCA evals on a loaded box; 1800 leaves the
-        # same ~2× headroom the 900 originally did)
-        timeout=1800,
+        # ~60 queries/shard × a few seconds of sf0.001 smoke each, plus
+        # session startup; measured well under 600s/shard on a quiet box
+        timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "VANILLA_OK" in proc.stdout
+
+
+def test_vanilla_shards_cover_every_query():
+    """The md5 sharding must partition the registry exactly — no query
+    skipped, none run twice (guards a future hash/modulus edit)."""
+    from vectordb_from_scratch_spark.registry import QUERIES
+
+    shards = [
+        int(hashlib.md5(name.encode()).hexdigest(), 16) % N_SHARDS
+        for name in QUERIES
+    ]
+    assert len(shards) == len(QUERIES)
+    assert set(shards) <= set(range(N_SHARDS))
+    # every shard non-trivially populated (balanced within reason)
+    from collections import Counter
+
+    counts = Counter(shards)
+    assert all(counts[s] > len(QUERIES) // (N_SHARDS * 3) for s in range(N_SHARDS)), counts
 
 
 def test_any_module_import_order():

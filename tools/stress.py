@@ -863,6 +863,148 @@ def run_dupspan(spark, n: int) -> None:
 
 
 
+def run_simhash(spark, n: int) -> None:
+    """Block-combination SimHash banding (VERDICT r10 #1) at corpus scale:
+    n docs of 48 distinct synthetic words, 1-in-100 a near-copy of its
+    predecessor (differs in 5 of 48 words — Hamming-close fingerprints).
+    Claims to verify:
+
+    - candidate volume ~ planted pairs + hash noise, NOT ~n²: the old
+      8x4-bit banding had 16 possible buckets per band, so its banded
+      join examined ~n²/2 pairs (6x10^10 at 400k) regardless of data;
+      the 16-bit pair keys give 28·n²/2^16 worst-case and far less on
+      real (spread-out) fingerprints;
+    - planted-pair recall 100% (banding is EXACT for Hamming <= 6);
+    - wall ~linear in n.
+    """
+    import pandas as pd
+
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import dedup
+
+    rows = []
+    for i in range(n):
+        words = [f"w{i}x{j}" for j in range(48)]
+        if i % 100 == 1:  # near-copy: 5 of 48 words differ
+            words = [f"w{i - 1}x{j}" for j in range(43)] + [
+                f"w{i}x{j}" for j in range(43, 48)
+            ]
+        rows.append((i, " ".join(words)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = f"/tmp/stress_docs_simhash_{n}"
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    docs.count()
+
+    t0 = time.perf_counter()
+    sig = dedup.simhash_signatures(docs).persist()
+    n_sig = sig.count()
+    t_sig = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cand = dedup.simhash_candidate_pairs(sig).persist()
+    n_cand = cand.count()
+    t_cand = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    hamming = sum(
+        F.bit_count(F.col(f"ha{j}").bitwiseXOR(F.col(f"hb{j}")))
+        for j in range(dedup.SIMHASH_N_BLOCKS)
+    )
+    out = cand.filter(hamming <= dedup._HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
+    planted = out.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_b") % 100 == 1)
+    ).count()
+    n_pairs = out.count()
+    t_filter = time.perf_counter() - t0
+    # exactness denominator: of the planted pairs, how many are TRULY at
+    # Hamming <= 6? (5-of-48-word edits often land past the threshold —
+    # banding promises every <=6 pair, not every planted edit.) Direct
+    # per-pair join over the 1-in-100 planted ids — O(n/100), no quadratic.
+    sa = sig.select(*[F.col(c).alias(f"{c}_a") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"{c}_b") for c in sig.columns])
+    truth = (
+        sa.filter((F.col("doc_id_a") % 100 == 0))
+        .join(sb, F.col("doc_id_b") == F.col("doc_id_a") + 1)
+        .select(
+            sum(
+                F.bit_count(
+                    F.col(f"b{j}_a").bitwiseXOR(F.col(f"b{j}_b"))
+                )
+                for j in range(dedup.SIMHASH_N_BLOCKS)
+            ).alias("h")
+        )
+    )
+    n_true = truth.filter(F.col("h") <= dedup._HAMMING_MAX).count()
+    sig.unpersist()
+    cand.unpersist()
+    registry.release_tracked()
+    quad = n * (n - 1) // 4  # the old fixed-16-bucket candidate volume ~n²/2 over 8 bands /4
+    print(
+        f"simhash n={n}: sig {t_sig:6.2f}s ({n_sig} docs) | "
+        f"candidates {t_cand:6.2f}s -> {n_cand} "
+        f"({n_cand / max(quad, 1):.2e} of old ~n^2/2 regime; theory "
+        f"28n^2/2^17={28 * n * n / (1 << 17):.2e}) | "
+        f"filter {t_filter:6.2f}s -> {n_pairs} pairs, "
+        f"planted-at-<=6 recall {planted}/{n_true}"
+    )
+
+
+def run_fuzzy(spark, n: int) -> None:
+    """Name-level fuzzy join (VERDICT r10 #2) at corpus scale: n parts
+    over a name vocabulary that GROWS with n (n/4 distinct names, 4 parts
+    per name), names are 9-hex-char tags + a shared head noun — so the
+    old last-token blocking degenerates to ONE block (n²/2 levenshtein
+    evals: 8x10^10 at 400k) while the Ed-Join prefix filter sees diverse
+    grams. 1-in-50 names is a planted 1-char edit of another name.
+    Claims: candidate NAME pairs ~ planted + noise (not vocab²/2), 100%
+    planted recall, wall ~linear in n."""
+    import hashlib
+
+    import pandas as pd
+
+    from vectordb_from_scratch_spark import registry
+    from vectordb_from_scratch_spark.operators import textstats
+
+    n_names = n // 4
+    names = []
+    for v in range(n_names):
+        tag = hashlib.md5(f"name{v}".encode()).hexdigest()[:9]
+        if v % 50 == 1:  # planted: 1-char edit of the previous name's tag
+            base = hashlib.md5(f"name{v - 1}".encode()).hexdigest()[:9]
+            tag = ("z" if base[0] != "z" else "y") + base[1:]
+        names.append(f"{tag} widget")
+    rows = [(i, names[i % n_names]) for i in range(n)]
+    pdf = pd.DataFrame(rows, columns=["p_partkey", "p_name"])
+    path = f"/tmp/stress_parts_fuzzy_{n}"
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    sf_dir = f"/tmp/stress_fuzzy_sf_{n}"
+    import os
+    import shutil
+
+    os.makedirs(sf_dir, exist_ok=True)
+    shutil.rmtree(f"{sf_dir}/part.parquet", ignore_errors=True)
+    shutil.copytree(path, f"{sf_dir}/part.parquet")
+
+    t0 = time.perf_counter()
+    out = textstats.fuzzy_part_name_matches(spark, sf_dir).persist()
+    n_out = out.count()
+    t_all = time.perf_counter() - t0
+    n_planted_names = sum(1 for v in range(n_names) if v % 50 == 1)
+    planted_names = (
+        out.select("name_a", "name_b").distinct().count()
+    )
+    out.unpersist()
+    registry.release_tracked()
+    print(
+        f"fuzzy n={n} ({n_names} names, old-blocking regime ~n^2/2="
+        f"{n * n // 2:.1e} levenshteins): {t_all:6.2f}s -> {n_out} part pairs, "
+        f"{planted_names} matched name pairs (2x{n_planted_names} planted directed)"
+    )
+
+
 def run_prefixjoin(spark, n: int) -> None:
     """Lossless prefix-filtered Jaccard join + DSIR weights at corpus
     scale, on the adversarial corpus shape the PPJoin filter exists for:
@@ -1517,6 +1659,10 @@ def main() -> None:
         return run_walks(spark, n)
     if mode == "prefixjoin":
         return run_prefixjoin(spark, n)
+    if mode == "simhash":
+        return run_simhash(spark, n)
+    if mode == "fuzzy":
+        return run_fuzzy(spark, n)
     if mode == "recsys":
         return run_recsys(spark, n)
     if mode == "robust":

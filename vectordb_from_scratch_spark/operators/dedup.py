@@ -10,7 +10,8 @@ cross-engine md5 construction from ``functions.texthash``):
 2. jaccard pairs — 3-word-shingle inverted-index self-join (capped), plus
    the lossless PPJoin-style prefix-filtered variant (2b)
 3. MinHash+LSH   — signature → bands → bucket join (the scale path)
-4. SimHash       — 32-bit sign-aggregated fingerprints, Hamming pairing
+4. SimHash       — 64-bit sign-aggregated fingerprints, Hamming pairing
+   banded on block combinations (Manku-style, exact for the threshold)
 5. embedding     — cosine near-dup top-pairs over the vector column
    (exact broadcast block-matmul kernel + LSH-blocked scale variant)
 6. components    — candidate pairs → duplicate clusters (label
@@ -23,9 +24,10 @@ the shingle — the classic inverted-index candidate join; ultra-frequent
 shingles should be pruned at 100 TB (a HAVING count < cap on the posting
 list) — noted inline. (3) replaces the quadratic join with band buckets:
 candidates shuffle only on (band_id, band_key), which is the only approach
-that survives billions of documents. (4)/(5) are quadratic in candidates and
-rely on banding/blocking at scale; the fixture sizes (<= 5k docs) keep the
-demonstrations exact.
+that survives billions of documents. (4) bands on 16-bit block-pair keys
+(2^16 buckets per combination table, widening to triples at larger n); (5)
+is quadratic within LSH blocks whose key width auto-scales with corpus
+size — both keep bucket cardinality growing with the data.
 
 The fixture has NO byte-identical duplicates, so the exact/fingerprint
 queries run on a deterministically augmented corpus (every doc_id % 100 == 0
@@ -599,118 +601,170 @@ def dedup_minhash_delta_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 4. SimHash ---------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_N_BLOCKS = 8
+_SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_N_BLOCKS  # 8
 _HAMMING_MAX = 6
+#: Pigeonhole exactness: a pair at Hamming distance d corrupts at most d
+#: blocks, so with d <= 6 <= 8 - 2 at least TWO blocks survive intact and
+#: the pair shares the key of at least one block COMBINATION (Manku,
+#: Jain & Das Sarma, WWW 2007). That is why the oracle below stays the
+#: plain quadratic formulation: identical output, radically different plan.
+assert _HAMMING_MAX <= SIMHASH_N_BLOCKS - 2
+
+#: 64 independent bit channels. The folded shingle hash only carries 30
+#: bits, so channel j is the PARITY of its own affine transform
+#: (a_j*h + b_j) % MOD — the same LCG-drawn (a, b) family as MinHash
+#: under a distinct seed, inlined as literals into both engines.
+_SIMHASH_PARAMS = minhash_params(SIMHASH_BITS, seed=7)
+
+#: C(8,2) = 28 ordered block pairs — the combination tables.
+_SIMHASH_COMBOS = [
+    (i, j) for i in range(SIMHASH_N_BLOCKS) for j in range(i + 1, SIMHASH_N_BLOCKS)
+]
+
+
+def _simhash_block_sql(j: int) -> str:
+    """One 8-bit block of the 64-bit fingerprint as a DuckDB aggregate over
+    the exploded (doc_id, h) table: bit k is the sign of sum(±1) over the
+    parity channel j*8+k."""
+    bits = []
+    for k in range(_SIMHASH_BLOCK_BITS):
+        a, b = _SIMHASH_PARAMS[j * _SIMHASH_BLOCK_BITS + k]
+        bits.append(
+            f"CASE WHEN sum(CASE WHEN (({a} * h + {b}) % {MOD}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << k} ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + f") AS b{j}"
 
 
 def _simhash_sql() -> str:
-    bit_sums = ",\n       ".join(
-        f"CASE WHEN sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN {1 << j}::BIGINT ELSE 0 END AS p{j}"
-        for j in range(SIMHASH_BITS)
+    block_cols = ",\n       ".join(
+        _simhash_block_sql(j) for j in range(SIMHASH_N_BLOCKS)
     )
-    pack = " + ".join(f"p{j}" for j in range(SIMHASH_BITS))
+    ham = " + ".join(f"bit_count(xor(a.b{j}, b.b{j}))" for j in range(SIMHASH_N_BLOCKS))
     return f"""
 WITH sh  AS (SELECT doc_id, unnest({_SH_SQL}) AS s FROM documents),
 hh  AS (SELECT doc_id, {_H30_SQL} AS h FROM sh),
-bits AS (SELECT doc_id,
-       {bit_sums}
-       FROM hh GROUP BY doc_id),
-sig AS (SELECT doc_id, ({pack}) AS simhash FROM bits)
+sig AS (SELECT doc_id,
+       {block_cols}
+       FROM hh GROUP BY doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       ({ham})::BIGINT AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+WHERE ({ham}) <= {_HAMMING_MAX}
 """
 
 
 def simhash_signatures(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash): textbook SimHash — per bit position j, sum +1/-1
-    over the shingle hashes' j-th bits; bit j of the fingerprint is the
-    sign. (The vector-space SimHash in operators/lsh.py is the same idea
-    with random hyperplanes; here the 'hyperplanes' are the hash bits.)
+    """(doc_id, b0..b7): textbook SimHash — per channel j, sum +1/-1 over
+    the shingles' j-th parity channel; bit j of the fingerprint is the
+    sign. Emitted as 8 x 8-bit BLOCK columns rather than one packed long:
+    the blocks are what the combination banding keys on, and bit 63 of a
+    packed fingerprint would not fit a signed literal in either engine.
+    (The vector-space SimHash in operators/lsh.py is the same idea with
+    random hyperplanes; here the 'hyperplanes' are affine-hash parities
+    of the 30-bit shingle hash — 64 independent channels where the raw
+    hash only carries 30 signal bits.)
 
-    NOTE: h is folded to 30 bits, so only bits 0..29 carry signal; bits
-    30/31 of the fingerprint are constant (-1 sums → 0). Harmless for
-    pairing, kept for a round 32-bit key.
-
-    SCAN-LOCAL like minhash_signatures: sign(sum of ±1 over bit j)
-    ⇔ 2·(count of set bits j) > n_shingles, a size(filter(hs)) per bit —
-    no explode, no shuffle."""
-    hh = _hash_array(docs)
-    n = F.size(F.col("hs"))
-    pack = F.lit(0).cast("long")
+    Shape: the distinct shingle set EXPLODES first and md5 + the 64 vote
+    sums run as flat whole-stage-codegen'd expressions over the exploded
+    rows. The two tempting alternatives are both interpreted
+    (CodegenFallback) and measured 5-10x slower at sf0.1: 64
+    size(filter(hs)) scan-local expressions, and computing md5 inside the
+    hs array transform (_hash_array) — a higher-order md5 is interpreted
+    per element, a post-explode projection md5 is codegen. The exploded
+    table never crosses the wire: hash partial aggregation collapses it
+    to one 64-column row per (doc, map task) BEFORE the exchange, so
+    shuffle bytes stay corpus-count-sized at 100 TB (asserted in
+    test_plans.py)."""
+    assert n_bits % _SIMHASH_BLOCK_BITS == 0 and n_bits <= SIMHASH_BITS
+    ex = _shingle_rows(docs).select("doc_id", _h30("s").alias("h"))
+    votes = []
     for j in range(n_bits):
-        ones = F.size(
-            F.filter(F.col("hs"), lambda h: h.bitwiseAND(F.lit(1 << j)) != 0)
-        )
-        pack = pack + F.when(ones * 2 > n, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return hh.select("doc_id", pack.alias("simhash"))
-
-
-#: 8 bands × 4 bits over the 32-bit fingerprint. Pigeonhole: a pair at
-#: Hamming distance d touches at most d bands, so with d <= 6 < 8 at
-#: least one band is intact and the pair collides in the banded join —
-#: banding is EXACT for the <= 6 threshold, not approximate. That is why
-#: the oracle below stays the plain quadratic formulation: identical
-#: output, radically different plan.
-SIMHASH_N_BANDS = 8
-_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS  # 4
-assert _HAMMING_MAX < SIMHASH_N_BANDS  # the exactness condition
+        a, b = _SIMHASH_PARAMS[j]
+        par = ((F.lit(a) * F.col("h") + F.lit(b)) % MOD) % 2
+        votes.append(F.sum(F.when(par == 1, 1).otherwise(-1)).alias(f"v{j}"))
+    agg = ex.groupBy("doc_id").agg(*votes)
+    blocks = []
+    for j in range(n_bits // _SIMHASH_BLOCK_BITS):
+        block = F.lit(0)
+        for k in range(_SIMHASH_BLOCK_BITS):
+            v = F.col(f"v{j * _SIMHASH_BLOCK_BITS + k}")
+            block = block + F.when(v > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        blocks.append(block.cast("int").alias(f"b{j}"))
+    return agg.select("doc_id", *blocks)
 
 
 @register("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 6 of 32 bits, banded:
-    fingerprints explode into 8 (band_id, 4-bit band_key) rows, candidates
-    come from the band-bucket self-join (the same shape as
-    dedup_minhash_lsh — shuffle on (band_id, band_key) only, no quadratic
-    join anywhere), then one exact bit_count(xor) filter over candidates.
-    Exact for this threshold by pigeonhole (see SIMHASH_N_BANDS); at
-    100 TB the band join touches O(Σ bucket²) pairs, and each bucket is
-    1/2^4 of a 1/8 slice of the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = simhash_signatures(docs)
-    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    """SimHash near-dup pairs at Hamming distance <= 6 of 64 bits, banded
+    on block COMBINATIONS (Manku et al., WWW 2007): fingerprints explode
+    into C(8,2) = 28 (combo_id, 16-bit key) rows — the key concatenates an
+    ordered PAIR of 8-bit blocks — candidates come from the combo-bucket
+    equi-join (shuffle on (cid, key16) only, no quadratic join anywhere),
+    then one exact bit_count(xor) filter over candidates. Exact for the
+    <= 6 threshold by pigeonhole (see SIMHASH_N_BLOCKS): >= 2 intact
+    blocks ⇒ some pair of intact blocks ⇒ one combo collides.
+
+    Scale: the previous 8-band x 4-bit single-block banding had only 16
+    possible buckets per band — a FIXED-cardinality blocking key whose
+    self-join examined ~n²/2 pairs regardless of corpus size. Pair keys
+    give 2^16 buckets per combo, cutting candidate volume ~585x
+    (28/2^16 vs 8/2^4 of n²), and the combination order (pairs → triples
+    over more/narrower blocks) grows with log n, so bucket cardinality
+    keeps scaling with the corpus at 100 TB."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # persisted: both sides of the self-join read it, and without the
+    # materialization each side would re-run the 64-vote aggregation
+    sig = track_persist(simhash_signatures(docs))
+    cand = simhash_candidate_pairs(sig)
+    hamming = sum(
+        F.bit_count(F.col(f"ha{j}").bitwiseXOR(F.col(f"hb{j}")))
+        for j in range(SIMHASH_N_BLOCKS)
+    )
+    return cand.filter(hamming <= _HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
+
+
+def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a, doc_b, ha0..7, hb0..7) from the
+    block-combination banded self-join — split out so tools/stress.py can
+    measure candidate volume directly."""
+    blocks = [f"b{j}" for j in range(SIMHASH_N_BLOCKS)]
     bands = sig.select(
         "doc_id",
-        "simhash",
+        *blocks,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.shiftright("simhash", j * _SIMHASH_BAND_BITS)
-                        .bitwiseAND(mask)
-                        .alias("band_key"),
+                        F.lit(cid).alias("cid"),
+                        (F.col(f"b{i}") * 256 + F.col(f"b{j}")).alias("key16"),
                     )
-                    for j in range(SIMHASH_N_BANDS)
+                    for cid, (i, j) in enumerate(_SIMHASH_COMBOS)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band_id", "bk.band_key")
+    ).select("doc_id", *blocks, "bk.cid", "bk.key16")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.key16") == F.col("b.key16"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            *[F.col(f"a.b{j}").alias(f"ha{j}") for j in range(SIMHASH_N_BLOCKS)],
+            *[F.col(f"b.b{j}").alias(f"hb{j}") for j in range(SIMHASH_N_BLOCKS)],
         )
-        .distinct()  # a pair may collide in several bands
+        .distinct()  # a pair may collide in several combos
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.filter(hamming <= _HAMMING_MAX).select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    )
+    return cand
 
 
 # --- 5. embedding cosine near-dup -----------------------------------------------------

@@ -1675,6 +1675,7 @@ def ktruss(
     oriented0: DataFrame | None = None,
     reenum_frac: float = TRUSS_REENUM_FRAC,
     support0: DataFrame | None = None,
+    capture_states: list | None = None,
 ) -> DataFrame:
     """(src, dst, support): the edges of the k-truss — the maximal
     subgraph where every edge participates in ≥ k-2 triangles — with
@@ -1742,6 +1743,8 @@ def ktruss(
         .localCheckpoint()
     )
     n_state = state.count()
+    if capture_states is not None:
+        capture_states.append((state, n_state))
     debug = bool(os.environ.get("SPARK_GRAFT_TRUSS_DEBUG"))
     for rnd in range(rounds):
         t_round = time.perf_counter()
@@ -1768,6 +1771,8 @@ def ktruss(
                 .localCheckpoint()
             )
             n_state = n_state - n_removed
+            if capture_states is not None:
+                capture_states.append((state, n_state))
             if debug:
                 print(
                     f"[truss] round {rnd}: reenum removed={n_removed} "
@@ -1792,12 +1797,19 @@ def ktruss(
             .localCheckpoint()
         )
         n_state = n_state - n_removed
+        if capture_states is not None:
+            capture_states.append((state, n_state))
         if debug:
             print(
                 f"[truss] round {rnd}: decrement removed={n_removed} "
                 f"cand={n_cand} left={n_state} "
                 f"{time.perf_counter() - t_round:.1f}s"
             )
+    if capture_states is not None:
+        # early fixpoint exit: later rounds are identity — pad so callers
+        # always receive rounds + 1 states
+        while len(capture_states) < rounds + 1:
+            capture_states.append(capture_states[-1])
     return state.select("src", "dst", F.col("sup").alias("support"))
 
 
@@ -1857,6 +1869,133 @@ def truss_support_delta(
     )
 
 
+def ktruss_truncation_delta(
+    base_states: list,
+    delta_edges: DataFrame,
+    k: int = TRUSS_K,
+    rounds: int = TRUSS_ROUNDS,
+) -> DataFrame:
+    """Delta-proportional warm k-truss (VERDICT r10 #3) that replicates
+    the TRUNCATION contract exactly: the registered truss queries are
+    "the state after exactly TRUSS_ROUNDS synchronized peel rounds" (the
+    oracle's identical-truncation unroll — at fixture scale this is far
+    from the fixpoint, so a converge-further shortcut would NOT match).
+    The twin therefore replays the delta THROUGH each round against the
+    base peel's per-round artifact states, never re-peeling the graph.
+
+    Orders only ADD edges, and each round is monotone under insertion:
+    supports within a superset subgraph are >= supports within the base's
+    (S_r^merged ⊇ S_r^base by induction). So round r's merged state
+    decomposes as base state E_r ⊕ a delta set D_r, and support within
+    S_{r-1} is the base artifact support PLUS the count of triangles
+    containing >= 1 D_{r-1} edge — one :func:`_frontier_triangles` pass
+    with a DELTA-sized frontier per round. D_r advances as
+
+      D_r = {D_{r-1} edges with corrected sup >= k-2}
+          ∪ {base edges removed at base round r whose correction
+             promotes them — necessarily inside the frontier-triangle
+             counts, so found by a broadcast join, never a scan}.
+
+    Cost per round: frontier wedge enumeration ∝ D, one cached-artifact
+    filter, broadcast joins on the (small) correction table. The final
+    answer re-corrects supports within S_rounds the same way. Exact for
+    ANY graph — no fixpoint/convergence assumption anywhere.
+
+    ``base_states``: list of ``rounds + 1`` (state_df, n_edges) pairs
+    from the base peel — state r holds (src, dst, sup) with sup measured
+    inside base-round-r's surviving subgraph (capture_states of
+    :func:`ktruss`)."""
+    debug = bool(os.environ.get("SPARK_GRAFT_TRUSS_DEBUG"))
+    t0 = time.perf_counter()
+    d = delta_edges.select("src", "dst").localCheckpoint()
+    n_d = d.count()
+    if debug:
+        print(f"[truss-delta] delta: {n_d} edges {time.perf_counter() - t0:.1f}s")
+    c = None
+    for r in range(1, rounds + 1):
+        if n_d == 0:
+            # the delta died out: every later merged round equals the
+            # base round — serve the artifact directly
+            fin, _ = base_states[rounds]
+            return fin.select("src", "dst", F.col("sup").alias("support"))
+        eb, nb = base_states[r - 1]
+        s_prev = eb.select("src", "dst").unionAll(d)
+        trid, _ = _frontier_triangles(d, s_prev, nb + n_d)
+        c = _triple_edge_counts(trid).localCheckpoint()
+        # delta survivors: support within S_{r-1} is just their count
+        d_surv = (
+            d.join(F.broadcast(c), ["src", "dst"], "left")
+            .filter(F.coalesce(F.col("c"), F.lit(0)) >= k - 2)
+            .select("src", "dst", F.lit(0).alias("promo"))
+        )
+        # promoted base edges: below threshold in the base round, pushed
+        # over it by delta-incident triangles — all inside c by
+        # construction, so the probe side is the correction table
+        promoted = (
+            eb.filter(F.col("sup") < k - 2)
+            .join(F.broadcast(c), ["src", "dst"])
+            .filter((F.col("sup") + F.col("c")) >= k - 2)
+            .select("src", "dst", F.lit(1).alias("promo"))
+        )
+        # one checkpoint + one pass for both counts (per-round fixed job
+        # overhead is a measurable slice of a delta-sized round)
+        d_next = d_surv.unionAll(promoted).localCheckpoint()
+        tag_counts = dict(
+            (row["promo"], row["n"])
+            for row in d_next.groupBy("promo").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        n_surv = tag_counts.get(0, 0)
+        n_promoted = tag_counts.get(1, 0)
+        # fixpoint short-circuit: every delta edge survived, nothing was
+        # promoted, and the base artifact round is an identity (padded
+        # same-object state) ⇒ S_r == S_{r-1} and every later round —
+        # including the final support correction, whose enumeration would
+        # replay this round's exact inputs — is the identity of this one.
+        # Serve the output from the correction table already in hand.
+        stable = (
+            n_promoted == 0
+            and n_surv == n_d
+            and base_states[r][0] is base_states[r - 1][0]
+        )
+        if stable:
+            if debug:
+                print(
+                    f"[truss-delta] round {r}: stable at D={n_d} "
+                    f"{time.perf_counter() - t0:.1f}s cumulative"
+                )
+            break
+        d = d_next.select("src", "dst")
+        n_d = n_surv + n_promoted
+        c = None  # this round's counts are not the final correction
+        if debug:
+            print(
+                f"[truss-delta] round {r}: D={n_d} "
+                f"{time.perf_counter() - t0:.1f}s cumulative"
+            )
+    eb, nb = base_states[rounds]
+    if n_d == 0:
+        return eb.select("src", "dst", F.col("sup").alias("support"))
+    if c is None:
+        s_fin = eb.select("src", "dst").unionAll(d)
+        trid, _ = _frontier_triangles(d, s_fin, nb + n_d)
+        c = _triple_edge_counts(trid)
+    return (
+        eb.join(F.broadcast(c), ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            (F.col("sup") + F.coalesce(F.col("c"), F.lit(0))).alias("support"),
+        )
+        .unionAll(
+            d.join(F.broadcast(c), ["src", "dst"], "left").select(
+                "src",
+                "dst",
+                F.coalesce(F.col("c"), F.lit(0)).alias("support"),
+            )
+        )
+    )
+
+
 @register("graph_ktruss_incremental", _ktruss_sql())
 def graph_ktruss_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The warm-peel composition, end to end: split orders 90/10 (the
@@ -1910,7 +2049,14 @@ def warm_truss_base(spark: SparkSession, sf_dir: str) -> None:
         base.count()
         sup = edge_support(base.select("src", "dst")).persist()
         sup.count()
-        _TRUSS_BASE_CACHE[key] = (base, sup)
+        # the base peel's PER-ROUND states (src, dst, sup-within-round-r
+        # subgraph) — the r11 artifact that lets the warm twin replay the
+        # delta through each truncation round (ktruss_truncation_delta)
+        # instead of re-peeling the merged graph. Each state is
+        # localCheckpoint-materialized by the peel itself.
+        states: list = []
+        ktruss(base.select("src", "dst"), support0=sup, capture_states=states)
+        _TRUSS_BASE_CACHE[key] = (base, sup, states)
 
 
 registry.WARMERS["graph_ktruss_warm"] = warm_truss_base
@@ -1926,24 +2072,28 @@ def graph_ktruss_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     point. This twin serves the base (edges, support) pair from
     ``_TRUSS_BASE_CACHE`` (built by :func:`warm_truss_base` outside the
     timer, the ivf_search_prebuilt discipline) so the timed region is
-    exactly what a nightly delta batch costs: fold the 10% order delta
-    into the support artifact (:func:`truss_support_delta`) + the warm
-    peel (``support0=`` skips the seed enumeration). Same result, same
-    full-recompute oracle as the cold entry; under
-    ``registry.STRICT_SERVE`` a cold base cache raises."""
+    exactly what a nightly delta batch costs: merge the 10% order delta
+    into the edge set and replay it through the peel's per-round base
+    states (:func:`ktruss_truncation_delta`, r11 — one delta-sized
+    frontier enumeration per truncation round, instead of re-peeling
+    the whole merged graph). Same result, same full-recompute oracle as
+    the cold entry; under ``registry.STRICT_SERVE`` a cold base cache
+    raises."""
     key = (spark.sparkContext.applicationId, sf_dir)
     registry.require_warm(_TRUSS_BASE_CACHE, key, "k-truss base artifact")
     if key not in _TRUSS_BASE_CACHE:
         warm_truss_base(spark, sf_dir)
-    base, base_sup = _TRUSS_BASE_CACHE[key]
+    base, base_sup, base_states = _TRUSS_BASE_CACHE[key]
     items = _base_items(spark, sf_dir)
-    maintained = truss_support_delta(
-        base, base_sup, items.filter(F.col("ok") % 10 == 0)
-    ).localCheckpoint()
-    return ktruss(
-        maintained.select("src", "dst"),
-        support0=maintained.select("src", "dst", "sup"),
+    # truss class ignores edge weights, so the merged edge SET is
+    # base ∪ (new-order pairs \ base) — no need to materialize the
+    # weight-merged table the way the support-artifact path does
+    delta_edges = (
+        copurchase_edges_from_items(items.filter(F.col("ok") % 10 == 0))
+        .select("src", "dst")
+        .join(base.select("src", "dst"), ["src", "dst"], "left_anti")
     )
+    return ktruss_truncation_delta(base_states, delta_edges)
 
 
 # --- personalized PageRank ---------------------------------------------------

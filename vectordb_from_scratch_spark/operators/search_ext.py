@@ -3,8 +3,9 @@ radius (threshold) search and MMR-diversified reranking.
 
 The reference's API surface is top-k only (``app/api/dto.py:58-65``);
 these are the other two query shapes every production vector store
-serves. Radius search is fully oracle-checked; MMR is rows-only
-(greedy argmax is not SQL-shaped) with a determinism test.
+serves. Both fully oracle-checked: radius search directly, MMR (r11)
+via an unrolled-CTE replay of the greedy chain over 6dp-rounded
+marginal scores.
 """
 
 from __future__ import annotations
@@ -111,7 +112,11 @@ def mmr_rerank(
                 red = (Xu @ Xu[picked].T).max(axis=1)
             else:
                 red = np.zeros(len(ids))
-            mmr = lam * rel - (1 - lam) * red
+            # 6dp-round the marginal score BEFORE the argmax (the same
+            # ranking discipline as every k-NN window): float near-ties
+            # collapse identically in both engines, so the greedy chain
+            # replays exactly in the unrolled-CTE oracle
+            mmr = np.round(lam * rel - (1 - lam) * red, 6)
             mmr[chosen] = -np.inf
             j = int(np.argmax(mmr))  # first max → lowest id on ties
             picked.append(j)
@@ -129,11 +134,72 @@ def mmr_rerank(
     )
 
 
-@register("knn_mmr_diversified")  # rows-only: greedy argmax not SQL-shaped
+def _mmr_sql(n_q: int = 10, shortlist: int = 50, k: int = 10, lam: float = 0.7) -> str:
+    """Unrolled-CTE replay of the greedy MMR chain (VERDICT r10 #4): the
+    k greedy steps each pick argmax of the 6dp-ROUNDED marginal score
+    (ties → lowest vec_id), exactly the kernel's np.round + first-max
+    argmax. MATERIALIZED CTEs for the same reason as _ktruss_sql: step i
+    references step i-1 twice (exclusion anti-join + redundancy max)."""
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(qv0, qv0)) * sqrt(list_dot_product(cv0, cv0)) = 0 "
+        "THEN 0.0 ELSE list_dot_product(qv0, cv0) "
+        "/ (sqrt(list_dot_product(qv0, qv0)) * sqrt(list_dot_product(cv0, cv0))) END"
+    )
+    unit = (
+        "CASE WHEN sqrt(list_dot_product({v}, {v})) = 0 THEN {v} "
+        "ELSE list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v}))) END"
+    )
+    ctes = [
+        f"""q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv0
+        FROM embeddings WHERE vec_id < {n_q}),
+c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS cv0 FROM embeddings),
+s AS MATERIALIZED (SELECT query_id, vec_id, {cos} AS score, cv0,
+       row_number() OVER (PARTITION BY query_id ORDER BY {cos} DESC, vec_id ASC) AS rnk
+       FROM q CROSS JOIN c),
+short AS MATERIALIZED (SELECT s.query_id, s.vec_id,
+       list_dot_product({unit.format(v="s.cv0")}, {unit.format(v="q.qv0")}) AS rel,
+       {unit.format(v="s.cv0")} AS cu
+       FROM s JOIN q USING (query_id) WHERE s.rnk <= {shortlist}),
+picked0 AS MATERIALIZED (SELECT query_id, vec_id, cu, 0 AS mmr_rank
+       FROM short WHERE FALSE)"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""pick{i} AS MATERIALIZED (
+  SELECT query_id, vec_id, cu FROM (
+    SELECT sh.query_id, sh.vec_id, sh.cu,
+           row_number() OVER (PARTITION BY sh.query_id
+             ORDER BY round({lam} * sh.rel - {1 - lam:.1f} * coalesce(mx.red, 0.0), 6) DESC,
+                      sh.vec_id ASC) AS rn
+    FROM short sh
+    LEFT JOIN (SELECT a.query_id, a.vec_id,
+                      max(list_dot_product(a.cu, p.cu)) AS red
+               FROM short a JOIN picked{i - 1} p USING (query_id)
+               GROUP BY a.query_id, a.vec_id) mx
+      ON mx.query_id = sh.query_id AND mx.vec_id = sh.vec_id
+    LEFT JOIN picked{i - 1} ex
+      ON ex.query_id = sh.query_id AND ex.vec_id = sh.vec_id
+    WHERE ex.vec_id IS NULL
+  ) WHERE rn = 1),
+picked{i} AS MATERIALIZED (
+  SELECT query_id, vec_id, cu, mmr_rank FROM picked{i - 1}
+  UNION ALL SELECT query_id, vec_id, cu, {i} AS mmr_rank FROM pick{i})"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT query_id, vec_id, mmr_rank::BIGINT AS mmr_rank FROM picked{k}
+"""
+
+
+@register("knn_mmr_diversified", _mmr_sql())
 def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-10: exact cosine shortlist (top-50) per query, then
     the MMR greedy pass per group — the serving pattern that stops near-
-    duplicate results crowding out coverage."""
+    duplicate results crowding out coverage. Value-oracled since r11: the
+    greedy argmax chain replays in an unrolled 10-step CTE because the
+    marginal score is 6dp-rounded before each argmax with (score DESC,
+    vec_id ASC) tie-break — the k-NN ranking discipline applied to the
+    sequential picker."""
     from vectordb_from_scratch_spark.operators import knn
 
     emb = load_table(spark, sf_dir, "embeddings")
