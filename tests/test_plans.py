@@ -388,11 +388,12 @@ def test_minhash_simhash_signatures_scan_local(spark, sf_oracle):
     assert plans.physical_plan(mh).count("md5") == 1
 
     sh = dedup.simhash_signatures(docs)
-    assert plans.n_shuffles(sh) == 1
-    assert plans.physical_plan(sh).count("md5") == 1
-    # partial aggregation (map-side combine) before the one exchange:
-    # the simple-mode plan must show HashAggregate below Exchange
+    # exactly one exchange, counted in simple mode (one line per node —
+    # formatted mode lists each node twice, tree + details section, so
+    # n_shuffles() there double-counts any nonzero total)
     simple = plans.physical_plan(sh, mode="simple")
+    assert simple.count("Exchange") == 1, simple
+    assert plans.physical_plan(sh).count("md5") == 1
     lines = simple.splitlines()
     agg_below = [
         i

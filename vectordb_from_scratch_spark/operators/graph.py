@@ -2660,7 +2660,12 @@ def _train_sgns(
                 F.lit(nv),
             ),
         )
-        .join(vocab, F.col("nidx") == F.col("idx"))
+        .join(
+            # node-sized lookup against the pair-sized draw table: same
+            # broadcast rationale (and size gate) as the training joins
+            F.broadcast(vocab) if nv <= 10_000_000 else vocab,
+            F.col("nidx") == F.col("idx"),
+        )
         .select(
             "center",
             F.col("node").alias("context"),
@@ -2671,15 +2676,31 @@ def _train_sgns(
     train = pos.unionByName(negs).localCheckpoint(eager=False)
     in_e = vocab_nodes.select("node", *_emb_init_cols("i", dims))
     out_e = vocab_nodes.select("node", *_emb_init_cols("o", dims))
+    # The embedding state is |V| rows of dims doubles. When that fits an
+    # executor comfortably, broadcast it into the pair join so the
+    # pair-sized train table is NEVER shuffled or sorted per iteration
+    # (guide §3.1 — Catalyst's static estimate for the distinct-derived
+    # node table undershoots so badly it planned both joins sort-merge,
+    # shuffling the 60·|V|-row train table twice per gradient). Gated on
+    # the ALREADY-COMPUTED vocabulary size, not a local-mode constant:
+    # past the cap (|V|·(dims+1)·8B ≈ 400 MB) the plan falls back to the
+    # shuffle joins that scale to billion-node vocabularies.
+    bcast_state = nv <= 10_000_000
     for _ in range(iters):
-        tr = train.join(
-            in_e.withColumnRenamed("node", "center"), "center"
-        ).join(out_e.withColumnRenamed("node", "context"), "context")
+        in_side = in_e.withColumnRenamed("node", "center")
+        out_side = out_e.withColumnRenamed("node", "context")
+        if bcast_state:
+            in_side, out_side = F.broadcast(in_side), F.broadcast(out_side)
+        tr = train.join(in_side, "center").join(out_side, "context")
         dot = sum(F.col(f"i{d}") * F.col(f"o{d}") for d in range(dims))
         gw = F.col("n_pairs") * (
             F.lit(1.0) / (F.lit(1.0) + F.exp(-dot)) - F.col("y")
         )
-        tr = tr.withColumn("gw", gw)
+        # materialize the scored pair table ONCE per iteration: both
+        # gradient aggregates read it, and without the checkpoint each
+        # re-evaluated the whole join chain (the plan held two copies of
+        # the pair join per round — guide §7.2's duplicated-subtree smell)
+        tr = tr.withColumn("gw", gw).localCheckpoint(eager=False)
         # per-node WEIGHTED-AVERAGE gradient (÷ Σ n_pairs): step size is
         # bounded by eta·max|vec| regardless of a node's pair mass — the
         # hub-proofing without which high-degree nodes take degree-sized
