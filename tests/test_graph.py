@@ -647,7 +647,8 @@ def test_recommendations_closed_form(spark):
 
 def test_graph_store_warms_per_query_and_releases(spark, sf_small):
     """ADVICE r6 #2: a query's warmer builds ONLY the graph-store pieces
-    that query consumes (graph_components needs just the edge table;
+    that query consumes (graph_components needs the edge table plus the
+    b-partitioned symmetric adjacency it shares with LPA since r11;
     graph_pagerank adds adj_uniform; graph_hits only the purchase
     table), and release_graph_store evicts a corpus's artifacts so a
     multi-corpus session doesn't hold every corpus forever."""
@@ -659,15 +660,16 @@ def test_graph_store_warms_per_query_and_releases(spark, sf_small):
 
     registry.WARMERS["graph_components"](spark, sf_small)
     assert (app, sf_small) in graph._EDGES_CACHE
-    assert art_kinds() == set()
+    assert art_kinds() == {"sym_b"}
     assert (app, sf_small) not in graph._PURCHASES_CACHE
 
     registry.WARMERS["graph_pagerank"](spark, sf_small)
-    assert art_kinds() == {"adj_uniform"}
+    assert art_kinds() == {"sym_b", "adj_uniform"}
 
     registry.WARMERS["graph_hits"](spark, sf_small)
     assert (app, sf_small) in graph._PURCHASES_CACHE
-    assert art_kinds() == {"adj_uniform"}  # hits added no adjacency shape
+    # hits added no adjacency shape
+    assert art_kinds() == {"sym_b", "adj_uniform"}
 
     graph.release_graph_store(sf_small)
     assert (app, sf_small) not in graph._EDGES_CACHE

@@ -936,6 +936,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 20,
     track_result: bool = True,
+    sym: DataFrame | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (node, label)
     where label = smallest node id in the component.
@@ -948,14 +949,18 @@ def connected_components(
     iterations settle real corpora. Previous iterations are unpersisted as
     soon as superseded — state is one (node, label) table, never the
     transitive closure."""
-    sym = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).unionAll(
-        edges.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
-    )
-    # cached hash-partitioned on the iteration join key: every round's
-    # sym⋈labels then reads the adjacency co-partitioned out of cache and
-    # exchanges only the (node, label) table (r6 — same discipline as
-    # graph.bfs_hops/pagerank)
-    sym = sym.repartition("b").persist()
+    own_sym = sym is None
+    if own_sym:
+        sym = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).unionAll(
+            edges.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+        )
+        # cached hash-partitioned on the iteration join key: every round's
+        # sym⋈labels then reads the adjacency co-partitioned out of cache
+        # and exchanges only the (node, label) table (r6 — same discipline
+        # as graph.bfs_hops/pagerank). ``sym`` lets graph_components serve
+        # the prebuilt session artifact instead (r11 — the same (a, b)
+        # b-partitioned table LPA already warms).
+        sym = sym.repartition("b").persist()
     # seed labels at min(self, direct neighbors): dup clusters are
     # near-cliques, so most components are already settled after this one
     # groupBy and the loop only runs for long chains
@@ -964,6 +969,7 @@ def connected_components(
         .agg(F.min("b").alias("_mb"))
         .select("node", F.least(F.col("node"), F.col("_mb")).alias("label"))
     ).persist()
+    prev_mat = labels  # the materialized frame the NEXT round releases
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -976,27 +982,25 @@ def connected_components(
         # lineage nests the previous one's, and driver-side analysis +
         # cache-manager plan matching grow superlinearly with iteration
         # count (measured on graph.bfs_hops: 54s/level by level 6)
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        ).localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # the convergence flag rides the SAME select (r11): the old label
+        # is already on the row, so comparing here saves the node-sized
+        # re-join per round the probe used to pay — the limit(1) count is
+        # still the materializing action for the checkpoint
+        nl = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
         )
-        labels.unpersist()
-        labels = new_labels
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select("node", nl.alias("label"), (nl < F.col("label")).alias("chg"))
+        ).localCheckpoint(eager=False)
+        changed = stepped.filter("chg").limit(1).count()
+        prev_mat.unpersist()
+        prev_mat = stepped
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
-    sym.unpersist()
+    if own_sym:
+        sym.unpersist()
     if not track_result:
         return labels
     # the final labels table stays persisted (the caller's action reads it,

@@ -522,6 +522,27 @@ TRI_BLOOM_MAX_FPP = 0.25
 #: (SCALE.md r7: 95% of shuffled bytes were non-closing wedges).
 TRI_BLOOM_WEDGE_FLOOR = 32 << 20
 
+#: r11 second gate, for the DELTA regimes (warm/incremental truss): the
+#: 32M floor models the FULL enumeration, where wedge volume and closing-
+#: edge volume rise together. A delta-sized frontier against a full graph
+#: inverts that: n_cand ≈ 10× n_edges at the 1M-order design point while
+#: the bitmap build stays edge-proportional, so the filter pays for
+#: itself far below the absolute floor. Engage when the wedge stream
+#: dwarfs the build side (ratio) AND is big enough for the broadcast
+#: probe to matter (absolute). Measured on the warm-truss round-1 kernel
+#: (tools/truss_bloom_probe.py): 13.4M wedges / 1.31M edges, 6.62 s →
+#: 5.18 s with identical triangle output.
+TRI_BLOOM_RATIO = 8
+TRI_BLOOM_RATIO_FLOOR = 4 << 20
+
+
+def _bloom_pays(n_cand: int, n_edges: int) -> bool:
+    """Cost-based bloom-prefilter gate: absolute floor (full-enumeration
+    calibration) or the delta-regime ratio test."""
+    return n_cand >= TRI_BLOOM_WEDGE_FLOOR or (
+        n_cand >= TRI_BLOOM_RATIO_FLOOR and n_cand >= TRI_BLOOM_RATIO * n_edges
+    )
+
 
 def _closing_bitmap(closing: DataFrame, n_edges: int) -> tuple[DataFrame, int] | None:
     """Broadcastable k=1 bloom bitmap over the closing-edge set, as a
@@ -723,7 +744,15 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_from_scratch_spark.operators.dedup import connected_components
 
     edges = shared_edges(spark, sf_dir).select("src", "dst")
-    labels = connected_components(edges, a_col="src", b_col="dst")
+    labels = connected_components(
+        edges,
+        a_col="src",
+        b_col="dst",
+        # serve the b-partitioned symmetric adjacency the session already
+        # warms for LPA (r11): the 2|E|-row repartition+persist used to
+        # run inside this query's timed region
+        sym=shared_artifact(spark, sf_dir, "sym_b"),
+    )
     w = Window.partitionBy("label")
     return labels.select(
         F.col("node").alias("part_id"),
@@ -778,7 +807,17 @@ def lpa_communities(
     window as WindowGroupLimit, so only each node's best label survives
     the final exchange. State is (node, label); nothing touches the
     driver; lineage is one linear chain of K stages (no double
-    references, so no checkpoint needed at default depth)."""
+    references, so no checkpoint needed at default depth).
+
+    ONE exchange per iteration (r11, guide §2.1): the joined frame is
+    repartitioned by ``node`` alone before the aggregate — hash(node)
+    satisfies both the (node, label) grouping clustering AND the window's
+    partitioning, so the count and the top-1 limit run in the SAME stage
+    instead of exchanging once on (node, label) and again on (node).
+    Early iterations carry near-edge-cardinality (node, label) pairs, so
+    the partial-agg shuffle the fused shape forgoes saved little anyway;
+    measured 13.3 s → 7.4 s cold / 9.9 s → 5.4 s warm for the 4-round
+    chain at sf0.1 (tools/lpa_iter_probe.py, identical label checksums)."""
     if sym is None:
         sym = track_persist(_sym(edges).repartition("b"))
     labels = sym.select(F.col("a").alias("node")).distinct().select(
@@ -788,7 +827,9 @@ def lpa_communities(
     for _ in range(iters):
         cnt = (
             sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(sym["a"].alias("node"), "label")
+            .select(sym["a"].alias("node"), "label")
+            .repartition("node")
+            .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels = (
@@ -1562,7 +1603,10 @@ TRUSS_REENUM_FRAC = 0.2
 
 
 def _frontier_triangles(
-    frontier: DataFrame, graph_edges: DataFrame, n_edges: int
+    frontier: DataFrame,
+    graph_edges: DataFrame,
+    n_edges: int,
+    deg: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """(triples, n_cand): every triangle of ``graph_edges`` containing at
     least one ``frontier`` edge, de-duplicated by sorted node triple
@@ -1574,7 +1618,10 @@ def _frontier_triangles(
     uses the bloom-bitmap prefilter above ``TRI_BLOOM_WEDGE_FLOOR`` and
     an estimate-scaled sort-free ShuffledHashJoin. ``n_edges`` sizes the
     SHJ build side. Both frames must be id-ordered (src < dst) edge
-    lists."""
+    lists. ``deg`` (r11) serves a prebuilt (node, deg) table — degrees of
+    ``graph_edges``' symmetrization — sparing the per-call 2|E|-row
+    aggregate; the pivot choice only shapes fanout, the sorted-triple
+    dedup keeps the output exact either way."""
     spark = graph_edges.sparkSession
     floor_part = spark.sparkContext.defaultParallelism
     sym_s = graph_edges.select(
@@ -1582,8 +1629,12 @@ def _frontier_triangles(
     ).unionAll(
         graph_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
-    deg_s = sym_s.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    deg_s = (
+        deg
+        if deg is not None
+        else sym_s.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     )
     r = (
         frontier.join(deg_s.withColumnRenamed("node", "src"), "src")
@@ -1625,7 +1676,7 @@ def _frontier_triangles(
         )
     )
     closing = graph_edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    bm = _closing_bitmap(closing, n_edges) if n_cand >= TRI_BLOOM_WEDGE_FLOOR else None
+    bm = _closing_bitmap(closing, n_edges) if _bloom_pays(n_cand, n_edges) else None
     if bm is not None:
         bitmap, n_words = bm
         cand = cand.join(
@@ -1869,11 +1920,35 @@ def truss_support_delta(
     )
 
 
+def _merged_deg(base_deg: DataFrame, d: DataFrame) -> DataFrame:
+    """Degrees of (base-state ∪ delta) from the PREBUILT base-state degree
+    table plus the delta's endpoint counts — a node-sized merge instead of
+    the 2|E|-row symmetrize-and-count (r11; exact: the union is disjoint,
+    so degrees add)."""
+    d_deg = (
+        d.select(F.col("src").alias("node"))
+        .unionAll(d.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dd"))
+    )
+    return (
+        base_deg.join(d_deg, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("deg"), F.lit(0))
+                + F.coalesce(F.col("dd"), F.lit(0))
+            ).alias("deg"),
+        )
+    )
+
+
 def ktruss_truncation_delta(
     base_states: list,
     delta_edges: DataFrame,
     k: int = TRUSS_K,
     rounds: int = TRUSS_ROUNDS,
+    base_degs: list | None = None,
 ) -> DataFrame:
     """Delta-proportional warm k-truss (VERDICT r10 #3) that replicates
     the TRUNCATION contract exactly: the registered truss queries are
@@ -1920,7 +1995,10 @@ def ktruss_truncation_delta(
             return fin.select("src", "dst", F.col("sup").alias("support"))
         eb, nb = base_states[r - 1]
         s_prev = eb.select("src", "dst").unionAll(d)
-        trid, _ = _frontier_triangles(d, s_prev, nb + n_d)
+        deg_r = (
+            _merged_deg(base_degs[r - 1], d) if base_degs is not None else None
+        )
+        trid, _ = _frontier_triangles(d, s_prev, nb + n_d, deg=deg_r)
         c = _triple_edge_counts(trid).localCheckpoint()
         # delta survivors: support within S_{r-1} is just their count
         d_surv = (
@@ -3540,7 +3618,7 @@ _QUERY_GRAPH_NEEDS: dict[str, tuple[tuple[str, ...], bool, bool]] = {
     "graph_hits": ((), False, True),
     "graph_triangle_counts": (("oriented",), True, False),
     "graph_clustering_coeff": (("oriented",), True, False),
-    "graph_components": ((), True, False),
+    "graph_components": (("sym_b",), True, False),
     "graph_bfs_hops": (("sym_a",), True, False),
     "graph_betweenness": (("sym_a",), True, False),
     "graph_closeness": (("sym_a",), True, False),
