@@ -200,6 +200,23 @@ def test_sssp_nondefault_seed_and_hops_match_oracle(spark, sf_oracle):
     registry.release_tracked()
 
 
+def test_frontier_broadcast_fallback_route_identical(spark, monkeypatch):
+    """The r11 gated frontier broadcast in bfs_hops/sssp_weighted must not
+    change results on either route: force the shuffle fallback by zeroing
+    the gate and assert both kernels return exactly what the (default)
+    broadcast route returns on the same graph."""
+    edges = _edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], weights=[5, 5, 1, 2, 2])
+    bfs_bcast = {r["part_id"]: r["hops"] for r in graph.bfs_hops(edges.select("src", "dst"), source=0).collect()}
+    sssp_bcast = {r["part_id"]: r["dist"] for r in graph.sssp_weighted(edges, source=0).collect()}
+    registry.release_tracked()
+    monkeypatch.setattr(graph, "ITER_STATE_BROADCAST_MAX", 0)
+    bfs_shuf = {r["part_id"]: r["hops"] for r in graph.bfs_hops(edges.select("src", "dst"), source=0).collect()}
+    sssp_shuf = {r["part_id"]: r["dist"] for r in graph.sssp_weighted(edges, source=0).collect()}
+    registry.release_tracked()
+    assert bfs_shuf == bfs_bcast == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    assert sssp_shuf == sssp_bcast
+
+
 def test_pagerank_uniform_on_regular_graph(spark):
     """On a k-regular graph (a cycle) PageRank is exactly uniform: the
     recurrence maps the uniform vector to itself, so every iterate stays

@@ -86,6 +86,33 @@ PAGERANK_DAMPING = 0.85
 #: 5.5s/iteration fully chained (SCALE.md r6).
 PAGERANK_CHECKPOINT_EVERY = 8
 
+#: Broadcast the per-iteration FRONTIER state (bfs_hops / sssp_weighted)
+#: into the join against the cached adjacency when the adjacency's ROW
+#: COUNT — an upper bound on the state's row count, and a number the
+#: kernel already has (the cached artifact's materializing count) — stays
+#: under this. Catalyst can't pick this side itself: the state is
+#: aggregate-derived each iteration, so its size estimate is garbage.
+#: 10M rows of (long, double) state is ≤ ~300 MB built — the SGNS
+#: embedding-state gate's envelope; past it the kernels fall back to the
+#: co-partitioned shuffle joins that scale to billion-node graphs (the
+#: .hint("merge") pins that route so the planner can't flip to an
+#: adjacency broadcast).
+#:
+#: Scope is DELIBERATELY only the two frontier kernels, whose state is
+#: EAGERLY checkpointed each round so the broadcast build reads a
+#: materialized RDD: measured −25/−35% at sf0.1 (OPTIMIZATION_r11.md).
+#: The same wrapper on the LAZY-chained kernels (pagerank / ppr / hits /
+#: lpa / random_walks, state checkpointed every 8 rounds or lazily) was
+#: measured and REJECTED — the per-iteration broadcast build re-executes
+#: the state lineage (graph_pagerank 11–15 s → 33–48 s, 3× worse).
+ITER_STATE_BROADCAST_MAX = 10_000_000
+
+
+def _iter_state(state: DataFrame, bcast: bool) -> DataFrame:
+    """The gated broadcast wrapper the frontier kernels apply to their
+    eagerly-checkpointed state before joining the cached adjacency."""
+    return F.broadcast(state) if bcast else state.hint("merge")
+
 # Shared oracle CTE prefix: distinct (order, part) items, basket-size cap,
 # then the id-ordered undirected edge list with co-occurrence weights.
 _EDGES_CTE = f"""
@@ -904,6 +931,11 @@ def bfs_hops(
     own_sym = sym is None
     if own_sym:
         sym = _sym(edges).repartition("a").persist()
+    # gated frontier broadcast (r11, guide §3.1): frontier and visited
+    # rows are both ≤ |V| ≤ the adjacency's row count, and both are
+    # eagerly checkpointed below so the broadcast build is a cheap read
+    # of a materialized RDD — measured −25% at sf0.1
+    bcast_state = sym.count() <= ITER_STATE_BROADCAST_MAX
     if source is None:
         frontier = edges.agg(F.min("src").alias("node"))
     else:
@@ -911,11 +943,14 @@ def bfs_hops(
     visited = frontier.withColumn("hops", F.lit(0).cast("long")).localCheckpoint()
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
+        f_in = _iter_state(frontier, bcast_state)
         nxt = (
-            frontier.join(sym, frontier["node"] == sym["a"])
+            f_in.join(sym, f_in["node"] == sym["a"])
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(
+                _iter_state(visited, bcast_state), "node", "left_anti"
+            )
             .withColumn("hops", F.lit(h).cast("long"))
         ).localCheckpoint()
         if nxt.limit(1).count() == 0:
@@ -994,6 +1029,11 @@ def sssp_weighted(
             .select("a", "b", (F.lit(1.0) / F.col("w0")).alias("w"))
             .repartition("a")
         )
+    # gated frontier broadcast (r11, guide §3.1): the distance table's
+    # rows ≤ |V| ≤ the adjacency's row count, and it is checkpointed
+    # EVERY round below, so the per-iteration broadcast build evaluates
+    # one round of lineage, not the whole chain — measured −35% at sf0.1
+    bcast_state = symw.count() <= ITER_STATE_BROADCAST_MAX
     if source is None:
         dist = edges.agg(F.min("src").alias("node")).select(
             "node", F.lit(0.0).alias("d")
@@ -1003,8 +1043,9 @@ def sssp_weighted(
             [(source, 0.0)], "node long, d double"
         )
     for _ in range(max_hops):
+        d_in = _iter_state(dist, bcast_state)
         relaxed = (
-            dist.join(symw, dist["node"] == symw["a"])
+            d_in.join(symw, d_in["node"] == symw["a"])
             .select(F.col("b").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
         dist = (
@@ -1365,6 +1406,10 @@ def pagerank(
         adjw = track_persist(_adj_from(_sym_w(edges), True))
     else:
         adjw = track_persist(_adj_from(_sym(edges.select("src", "dst")), False))
+    # NOT broadcasting the node-sized ranks into this join (r11): measured
+    # 3x WORSE (11-15 s -> 33-48 s at sf0.1) — ranks is a LAZY chain
+    # (checkpointed only every 8 rounds), so the per-iteration broadcast
+    # build re-executes the whole rank lineage; see OPTIMIZATION_r11.md.
     nodes = track_persist(adjw.select(F.col("a").alias("node")).distinct())
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     d = damping
