@@ -46,6 +46,12 @@ def main() -> None:
         SparkSession.builder.appName("serve-bench")
         .master(f"local[{__import__('os').environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.scheduler.mode", "FAIR")
+        # match the engine session's heap (session.py): the default 1g
+        # driver JVM GC-thrashes under 32 concurrent local jobs
+        .config(
+            "spark.driver.memory",
+            __import__("os").environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
