@@ -1111,6 +1111,11 @@ def betweenness_sampled(
     own_sym = sym is None
     if own_sym:
         sym = _sym(edges).repartition("a").persist()
+    # gated state broadcast (r11, the bfs_hops discipline): every level/δ
+    # frame below is an EAGER localCheckpoint, so the broadcast build reads
+    # a materialized RDD — the precondition the pagerank-family rejection
+    # established (see ITER_STATE_BROADCAST_MAX)
+    bcast_state = sym.count() <= ITER_STATE_BROADCAST_MAX
     seeds = _md5_seeds(sym, n_seeds)
     l0 = seeds.select(
         "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
@@ -1119,14 +1124,17 @@ def betweenness_sampled(
     visited = l0.select("s", "v")
     frontier = l0
     for _h in range(1, max_hops + 1):
+        f_in = _iter_state(frontier, bcast_state)
         cand = (
-            frontier.join(sym, frontier["v"] == sym["a"])
+            f_in.join(sym, f_in["v"] == sym["a"])
             .select("s", F.col("b").alias("vn"), "sigma")
             .groupBy("s", "vn")
             .agg(F.sum("sigma").alias("sigma"))
             .withColumnRenamed("vn", "v")
         )
-        lh = cand.join(visited, ["s", "v"], "left_anti").localCheckpoint()
+        lh = cand.join(
+            _iter_state(visited, bcast_state), ["s", "v"], "left_anti"
+        ).localCheckpoint()
         levels.append(lh)
         visited = visited.unionAll(lh.select("s", "v"))
         frontier = lh
@@ -1141,10 +1149,11 @@ def betweenness_sampled(
             F.col("sigma").alias("sigma_w"),
             F.col("delta").alias("delta_w"),
         )
+        low_in = _iter_state(lower, bcast_state)
         dep = (
-            lower.join(sym, lower["v"] == sym["a"])
+            low_in.join(sym, low_in["v"] == sym["a"])
             .join(
-                succ,
+                _iter_state(succ, bcast_state),
                 (F.col("s") == F.col("s2")) & (F.col("b") == F.col("w")),
             )
             .groupBy("s", "v")
@@ -1275,6 +1284,9 @@ def closeness_sampled(
     own_sym = sym is None
     if own_sym:
         sym = _sym(edges).repartition("a").persist()
+    # gated state broadcast (r11): frames are eager checkpoints, the
+    # bfs_hops precondition — see ITER_STATE_BROADCAST_MAX
+    bcast_state = sym.count() <= ITER_STATE_BROADCAST_MAX
     visited = (
         _md5_seeds(sym, n_seeds)
         .select("s", F.col("s").alias("v"), F.lit(0).cast("long").alias("hops"))
@@ -1282,11 +1294,16 @@ def closeness_sampled(
     )
     frontier = visited.select("s", "v")
     for h in range(1, max_hops + 1):
+        f_in = _iter_state(frontier, bcast_state)
         nxt = (
-            frontier.join(sym, frontier["v"] == sym["a"])
+            f_in.join(sym, f_in["v"] == sym["a"])
             .select("s", F.col("b").alias("v"))
             .distinct()
-            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .join(
+                _iter_state(visited.select("s", "v"), bcast_state),
+                ["s", "v"],
+                "left_anti",
+            )
             .withColumn("hops", F.lit(h).cast("long"))
         ).localCheckpoint()
         visited = visited.unionAll(nxt)
@@ -1527,6 +1544,11 @@ def kcore(
     sees nodes with surviving edges)."""
     if sym is None:
         sym = track_persist(_sym(edges).repartition("a"))
+    # gated frontier broadcast (r11, the bfs_hops discipline): the frontier
+    # is a filter over the eagerly-checkpointed node-sized degree state, so
+    # the broadcast build reads a materialized RDD; past the gate the
+    # frontier-built ShuffledHashJoin keeps the scalable route
+    bcast_state = sym.count() <= ITER_STATE_BROADCAST_MAX
     deg = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -1536,9 +1558,11 @@ def kcore(
         frontier = deg.filter(F.col("deg") < k).select("node")
         if frontier.limit(1).count() == 0:
             break
+        f_a = frontier.withColumnRenamed("node", "a")
         dec = (
             sym.join(
-                frontier.withColumnRenamed("node", "a").hint("shuffle_hash"), "a"
+                F.broadcast(f_a) if bcast_state else f_a.hint("shuffle_hash"),
+                "a",
             )
             .groupBy(F.col("b").alias("node"))
             .agg(F.count(F.lit(1)).alias("d"))
