@@ -961,6 +961,17 @@ def connected_components(
         # the prebuilt session artifact instead (r11 — the same (a, b)
         # b-partitioned table LPA already warms).
         sym = sym.repartition("b").persist()
+    # gated label-state broadcast (r11, the bfs_hops discipline): the
+    # per-round label table is node-sized and MATERIALIZED each round (the
+    # changed-probe count is the checkpoint's action), so the broadcast
+    # build reads cached rows — the eager-state precondition that made the
+    # same wrapper a 3x regression on pagerank's lazy chain. Past the gate
+    # the merge hint keeps the co-partitioned shuffle route.
+    from vectordb_from_scratch_spark.operators.graph import (
+        ITER_STATE_BROADCAST_MAX,
+    )
+
+    bcast = sym.count() <= ITER_STATE_BROADCAST_MAX
     # seed labels at min(self, direct neighbors): dup clusters are
     # near-cliques, so most components are already settled after this one
     # groupBy and the loop only runs for long chains
@@ -971,8 +982,9 @@ def connected_components(
     ).persist()
     prev_mat = labels  # the materialized frame the NEXT round releases
     for _ in range(max_iter):
+        l_in = F.broadcast(labels) if bcast else labels.hint("merge")
         nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
+            sym.join(l_in, sym["b"] == l_in["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )

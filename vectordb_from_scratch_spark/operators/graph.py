@@ -125,7 +125,9 @@ edges AS (SELECT a.pk AS src, b.pk AS dst, count(*)::BIGINT AS n_orders
 """
 
 
-def copurchase_edges_from_items(items: DataFrame) -> DataFrame:
+def copurchase_edges_from_items(
+    items: DataFrame, pre_distinct: bool = False
+) -> DataFrame:
     """(src, dst, n_orders) with src < dst from a raw (ok, pk) item list
     (duplicates allowed): distinct part pairs that co-occur in an order,
     weighted by how many orders share them.
@@ -140,8 +142,18 @@ def copurchase_edges_from_items(items: DataFrame) -> DataFrame:
     aggregate and both self-join sides — and without the persist Spark
     re-executes the distinct subtree per consumer once plans diverge
     past exchange reuse (measured at 1M orders: 57s -> ~12s derive,
-    r6b)."""
-    items = track_persist(items.select("ok", "pk").distinct())
+    r6b).
+
+    ``pre_distinct=True`` (r11): the caller passes an ALREADY-distinct
+    (and ideally persisted) item table — the incremental entries derive
+    base and delta edges from disjoint slices of ONE distinct pass
+    instead of paying the lineitem-scale distinct shuffle twice. Exact:
+    ok-disjoint slices make both the distinct and the per-ok basket
+    counts decompose."""
+    if pre_distinct:
+        items = items.select("ok", "pk")
+    else:
+        items = track_persist(items.select("ok", "pk").distinct())
     ok_small = (
         items.groupBy("ok").count().filter(F.col("count") <= MAX_BASKET).select("ok")
     )
@@ -377,7 +389,9 @@ def graph_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_edge_delta(base_edges: DataFrame, new_items: DataFrame) -> DataFrame:
+def merge_edge_delta(
+    base_edges: DataFrame, new_items: DataFrame, pre_distinct: bool = False
+) -> DataFrame:
     """Incrementally maintain the co-purchase edge artifact: derive edges
     from a batch of NEW orders only, then sum-merge them into the base
     table. Co-purchase counts are ADDITIVE over disjoint order sets (the
@@ -393,7 +407,7 @@ def merge_edge_delta(base_edges: DataFrame, new_items: DataFrame) -> DataFrame:
     discipline as the catalog's BM25/IVF segment deltas. Full-outer
     semantics fall out of the union+groupBy shape (an edge present in
     only one side keeps its count)."""
-    delta = copurchase_edges_from_items(new_items)
+    delta = copurchase_edges_from_items(new_items, pre_distinct=pre_distinct)
     return (
         base_edges.select("src", "dst", "n_orders")
         .unionByName(delta)
@@ -417,8 +431,14 @@ def graph_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental arithmetic is exact, not approximately refreshed."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    base = copurchase_edges_from_items(items.filter(F.col("ok") % 10 != 0))
-    return merge_edge_delta(base, items.filter(F.col("ok") % 10 == 0))
+    # one distinct pass for both slices (r11, see graph_ktruss_incremental)
+    items_d = track_persist(items.distinct())
+    base = copurchase_edges_from_items(
+        items_d.filter(F.col("ok") % 10 != 0), pre_distinct=True
+    )
+    return merge_edge_delta(
+        base, items_d.filter(F.col("ok") % 10 == 0), pre_distinct=True
+    )
 
 
 # --- triangle counting -------------------------------------------------------
@@ -445,20 +465,32 @@ SELECT part_id, n_triangles FROM tcounts
 """
 
 
-def oriented_edges(edges: DataFrame) -> DataFrame:
+def oriented_edges(edges: DataFrame, n_edges: int | None = None) -> DataFrame:
     """Degree-ordered orientation of an undirected (src, dst) edge list:
     (u, v, dv) where {src,dst} points from the smaller (degree, id)
     endpoint to the larger. The wedge join fans out by ORIENTED
     out-degree, which is O(√m)-bounded on any graph — the hub-proof
-    property ``tools/stress.py graph`` measures directly."""
+    property ``tools/stress.py graph`` measures directly.
+
+    ``n_edges`` (r11): callers that already know the edge count (the
+    truss peel's per-round state counts) pass it so the NODE-sized degree
+    table broadcasts into both endpoint joins instead of sort-merging the
+    edge list twice — gated on the same envelope as the frontier-state
+    broadcasts; past the gate the shuffle joins keep the scalable route."""
     deg = _sym(edges).groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    bcast = n_edges is not None and n_edges <= ITER_STATE_BROADCAST_MAX
+
+    def deg_as(name: str) -> DataFrame:
+        d = deg.withColumnRenamed("node", name)
+        return F.broadcast(d) if bcast else d
+
     e = (
-        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        edges.join(deg_as("src"), "src")
         .withColumnRenamed("deg", "dsrc")
         .join(
-            deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "ddst"),
+            deg_as("dst").withColumnRenamed("deg", "ddst"),
             "dst",
         )
     )
@@ -1639,15 +1671,22 @@ FROM t{rounds} e LEFT JOIN sf s ON s.src = e.src AND s.dst = e.dst
 """
 
 
-def edge_support(cur: DataFrame, oriented: DataFrame | None = None) -> DataFrame:
+def edge_support(
+    cur: DataFrame,
+    oriented: DataFrame | None = None,
+    n_edges: int | None = None,
+) -> DataFrame:
     """(src, dst, sup): per-edge triangle support over an id-ordered
     (src < dst) edge list — every edge that closes at least one
     triangle, counted by the shared enumeration (:func:`triangle_enum`,
     bloom prefilter and all) with each triangle exploded to its three
     normalized edges. Edges in no triangle are absent (callers coalesce
-    to 0)."""
+    to 0). ``n_edges`` rides into :func:`oriented_edges`' degree
+    broadcast gate."""
     if oriented is None:
-        oriented = track_persist(oriented_edges(cur).repartition("u"))
+        oriented = track_persist(
+            oriented_edges(cur, n_edges=n_edges).repartition("u")
+        )
     tri = triangle_enum(oriented)
     pairs = tri.select(
         F.explode(
@@ -1705,22 +1744,36 @@ def _frontier_triangles(
             F.count(F.lit(1)).alias("deg")
         )
     )
+    # r11: the degree table is NODE-sized — broadcast it into both
+    # endpoint joins (gated on the edge count the caller already has, the
+    # ITER_STATE_BROADCAST_MAX envelope) instead of sort-merging the
+    # frontier twice against an aggregate whose size estimate is garbage
+    small_graph = n_edges <= ITER_STATE_BROADCAST_MAX
+
+    def deg_as(name: str) -> DataFrame:
+        d = deg_s.withColumnRenamed("node", name)
+        return F.broadcast(d) if small_graph else d
+
     r = (
-        frontier.join(deg_s.withColumnRenamed("node", "src"), "src")
+        frontier.join(deg_as("src"), "src")
         .withColumnRenamed("deg", "ds")
         .join(
-            deg_s.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dd"),
+            deg_as("dst").withColumnRenamed("deg", "dd"),
             "dst",
         )
     )
     fwd = F.struct("ds", "src") < F.struct("dd", "dst")
+    # eager checkpoint (r11): the pivot feeds BOTH the wedge estimate and
+    # the candidate expansion — unmaterialized it re-executed the frontier
+    # ⋈ deg ⋈ deg subtree once per consumer (guide §7.2)
     piv = r.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("p"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("q"),
         F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("dp"),
-    )
+    ).localCheckpoint()
     est_row = piv.agg(F.sum("dp").alias("c")).collect()[0]
     n_cand = int(est_row["c"] or 0)
+    n_piv = piv.count()  # cheap: checkpointed rows
     n_part = int(
         min(
             WEDGE_MAX_PARTITIONS,
@@ -1733,8 +1786,13 @@ def _frontier_triangles(
             ),
         )
     )
+    # broadcast the frontier-sized pivot into the adjacency expansion when
+    # it fits (delta regimes: the pivot is delta-sized while sym_s is the
+    # full graph — streaming the cached edge table beats sorting it);
+    # large decrement-round frontiers keep the shuffle route
+    piv_in = F.broadcast(piv) if n_piv <= ITER_STATE_BROADCAST_MAX else piv
     cand = (
-        piv.join(sym_s, piv["p"] == sym_s["a"])
+        piv_in.join(sym_s, piv_in["p"] == sym_s["a"])
         .filter(F.col("b") != F.col("q"))
         .select(
             "p",
@@ -1880,7 +1938,7 @@ def ktruss(
                 .select("src", "dst")
                 .localCheckpoint()
             )
-            sup_new = edge_support(surv)
+            sup_new = edge_support(surv, n_edges=n_state - n_removed)
             state = (
                 surv.join(sup_new, ["src", "dst"], "left")
                 .select(
@@ -1942,7 +2000,10 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def truss_support_delta(
-    base_edges: DataFrame, base_support: DataFrame, new_items: DataFrame
+    base_edges: DataFrame,
+    base_support: DataFrame,
+    new_items: DataFrame,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Incrementally maintain the whole-graph per-edge support artifact
     under a WHOLE-ORDER delta batch (VERDICT r8 #2 — the
@@ -1967,7 +2028,9 @@ def truss_support_delta(
     ``ktruss(..., support0=maintained)`` skips the seed enumeration —
     the ~95–140 s floor at the 1M-order design point — and pays only
     the peel rounds (SCALE.md r9)."""
-    merged = merge_edge_delta(base_edges, new_items).localCheckpoint()
+    merged = merge_edge_delta(
+        base_edges, new_items, pre_distinct=pre_distinct
+    ).localCheckpoint()
     n_edges = merged.count()
     new_e = merged.select("src", "dst").join(
         base_edges.select("src", "dst"), ["src", "dst"], "left_anti"
@@ -2156,12 +2219,19 @@ def graph_ktruss_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the warm peel are exact, not approximately refreshed."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    # ONE distinct pass serves base and delta derivation (r11): the ok%10
+    # slices are order-disjoint, so distinct and basket counts decompose
+    items_d = track_persist(items.distinct())
     base = copurchase_edges_from_items(
-        items.filter(F.col("ok") % 10 != 0)
+        items_d.filter(F.col("ok") % 10 != 0), pre_distinct=True
     ).localCheckpoint()
-    base_sup = edge_support(base.select("src", "dst"))
+    n_base = base.count()
+    base_sup = edge_support(base.select("src", "dst"), n_edges=n_base)
     maintained = truss_support_delta(
-        base, base_sup, items.filter(F.col("ok") % 10 == 0)
+        base,
+        base_sup,
+        items_d.filter(F.col("ok") % 10 == 0),
+        pre_distinct=True,
     ).localCheckpoint()
     return ktruss(
         maintained.select("src", "dst"),
@@ -2193,8 +2263,8 @@ def warm_truss_base(spark: SparkSession, sf_dir: str) -> None:
         base = copurchase_edges_from_items(
             items.filter(F.col("ok") % 10 != 0)
         ).persist()
-        base.count()
-        sup = edge_support(base.select("src", "dst")).persist()
+        n_base = base.count()
+        sup = edge_support(base.select("src", "dst"), n_edges=n_base).persist()
         sup.count()
         # the base peel's PER-ROUND states (src, dst, sup-within-round-r
         # subgraph) — the r11 artifact that lets the warm twin replay the

@@ -154,6 +154,43 @@ def kmeans_cosine(
     return C
 
 
+def train_sample(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> np.ndarray:
+    """The deterministic training sample behind :func:`train_centroids`'s
+    lattice path: first ``KQ_SAMPLE`` rows by md5 draw order, returned as
+    an (n, d) float64 matrix. Exposed separately (r11) so a caller
+    training several prefix-dim variants of the SAME corpus (the PCA
+    eval battery) collects once and slices driver-side — the draw order
+    depends only on ``id_col``, so ``sample[:, :r]`` equals the sample
+    of the r-sliced corpus exactly."""
+    from vectordb_from_scratch_spark.functions import texthash
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(texthash.hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(KQ_SAMPLE)
+        .collect()
+    )
+    # re-sort driver-side: collect() of an ordered-limit plan keeps
+    # order today, but the oracle contract shouldn't lean on it
+    rows.sort(key=lambda r: _md5_rank(r[0]))
+    return np.array([r[1] for r in rows], dtype="float64")
+
+
+def centroids_from_sample(
+    spark: SparkSession,
+    X: np.ndarray,
+    n_clusters: int,
+    max_iter: int = DEFAULT_TRAIN_ITERS,
+) -> DataFrame:
+    """Lattice Lloyd's over an already-collected draw-ordered sample →
+    the centroids DataFrame (the second half of :func:`train_centroids`)."""
+    C = kmeans_grid(X, n_clusters, iters=max_iter)
+    centers = [(cid, [float(x) for x in c]) for cid, c in enumerate(C)]
+    return spark.createDataFrame(centers, "cluster_id INT, centroid ARRAY<DOUBLE>")
+
+
 def train_centroids(
     corpus: DataFrame,
     n_clusters: int = DEFAULT_N_CLUSTERS,
@@ -183,23 +220,10 @@ def train_centroids(
     centroids are exact lattice points (ints / KQ_GRID). Without an id
     the legacy seeded float trainer runs (rows-only surfaces like the
     catalog's sample_vectors path)."""
-    from vectordb_from_scratch_spark.functions import texthash
-
     spark = corpus.sparkSession
     if id_col is not None and id_col in corpus.columns:
-        rows = (
-            corpus.select(id_col, vec_col)
-            .orderBy(
-                texthash.hash60(F.col(id_col).cast("string")), F.col(id_col)
-            )
-            .limit(KQ_SAMPLE)
-            .collect()
-        )
-        # re-sort driver-side: collect() of an ordered-limit plan keeps
-        # order today, but the oracle contract shouldn't lean on it
-        rows.sort(key=lambda r: _md5_rank(r[0]))
-        X = np.array([r[1] for r in rows], dtype="float64")
-        C = kmeans_grid(X, n_clusters, iters=max_iter)
+        X = train_sample(corpus, vec_col=vec_col, id_col=id_col)
+        return centroids_from_sample(spark, X, n_clusters, max_iter=max_iter)
     else:
         vecs = corpus.select(vec_col)
         # the count only decides the sampling fraction — callers that know

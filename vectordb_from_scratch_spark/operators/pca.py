@@ -434,14 +434,29 @@ def eval_pca_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("query_vec"),
     )
-    full_top = knn.topk(emb, fq, k=PCA_RECALL_K).select("query_id", "vec_id")
+    # persisted: the exact reference feeds each r's overlap join, and an
+    # unmaterialized subtree would be re-evaluated once per union branch
+    # (guide §7.2 duplicated-subtree smell)
+    full_top = track_persist(
+        knn.topk(emb, fq, k=PCA_RECALL_K).select("query_id", "vec_id")
+    )
+    # ONE md5-ordered sample collect at r_max, sliced per r (r11): the
+    # draw order depends only on vec_id, so sample[:, :r] is exactly the
+    # sample the r-sliced corpus would have produced — 3 TakeOrdered jobs
+    # collapse to 1. Same for the rerank query table.
+    Xfull = ivf_ops.train_sample(reduced, vec_col="rv")
+    qpdf_full = (
+        reduced.filter(F.col("vec_id") < PCA_RECALL_Q)
+        .select(F.col("vec_id").alias("query_id"), F.col("rv").alias("query_vec"))
+        .toPandas()
+    )
     outs = []
     for r in PCA_INDEX_RS:
         red_r = reduced.select(
             "vec_id", F.slice(F.col("rv"), 1, r).alias("rv")
         )
-        centroids = ivf_ops.train_centroids(
-            red_r, n_clusters=n_clusters, vec_col="rv", n_hint=n
+        centroids = ivf_ops.centroids_from_sample(
+            spark, Xfull[:, :r], n_clusters
         )
         assignments = ivf_ops.assign(
             red_r, centroids, id_col="vec_id", vec_col="rv"
@@ -449,9 +464,10 @@ def eval_pca_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rq = red_r.filter(F.col("vec_id") < PCA_RECALL_Q).select(
             F.col("vec_id").alias("query_id"), F.col("rv").alias("query_vec")
         )
+        qpdf_r = qpdf_full.assign(query_vec=qpdf_full["query_vec"].map(lambda v: list(v[:r])))
         red_top = ivf_ops.search(
             red_r, centroids, assignments, rq,
-            k=PCA_RECALL_K, id_col="vec_id", vec_col="rv",
+            k=PCA_RECALL_K, id_col="vec_id", vec_col="rv", qpdf=qpdf_r,
         ).select("query_id", "vec_id")
         ov = (
             red_top.join(full_top, ["query_id", "vec_id"])
@@ -520,20 +536,30 @@ def eval_pca_route_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("query_vec"),
     )
     qpdf = fq.toPandas()  # PCA_RECALL_Q rows — probe-table class
-    full_top = knn.topk(emb, fq, k=PCA_RECALL_K).select("query_id", "vec_id")
+    # persisted: reused by every union branch's overlap join (guide §7.2)
+    full_top = track_persist(
+        knn.topk(emb, fq, k=PCA_RECALL_K).select("query_id", "vec_id")
+    )
+    # one sample collect serves all three reduced r's (prefix-stable draw,
+    # see eval_pca_ivf_recall); the full-dim reference row samples its own
+    # (different vector column, same ids)
+    Xred = ivf_ops.train_sample(reduced, vec_col="rv")
     outs = []
     for r in (*PCA_INDEX_RS, DIMS):
         if r == DIMS:  # full-dim routing reference, identical config
             red_r = emb.select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("rv")
             )
+            centroids = ivf_ops.train_centroids(
+                red_r, n_clusters=n_clusters, vec_col="rv", n_hint=n
+            )
         else:
             red_r = reduced.select(
                 "vec_id", F.slice(F.col("rv"), 1, r).alias("rv")
             )
-        centroids = ivf_ops.train_centroids(
-            red_r, n_clusters=n_clusters, vec_col="rv", n_hint=n
-        )
+            centroids = ivf_ops.centroids_from_sample(
+                spark, Xred[:, :r], n_clusters
+            )
         assignments = ivf_ops.assign(
             red_r, centroids, id_col="vec_id", vec_col="rv"
         )
