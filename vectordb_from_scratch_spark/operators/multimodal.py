@@ -1403,7 +1403,12 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (pad blocks carry byte 0 → Y=0, Cb=255, Cr=85, mirrored in the
     oracle's pad terms)."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_jpeg_color_features(synth_jpeg_color_assets(docs))
+    return _jpeg_roundtrip(
+        docs,
+        _color_roundtrip_row(encode_jpeg_color_blocks),
+        _JPEG_COLOR_SCHEMA,
+        _JPEG_COLOR_COLS,
+    )
 
 
 # --- 4:2:0 subsampled chroma (r9, VERDICT r8 #5) ------------------------------
@@ -1536,7 +1541,12 @@ def multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates to itself), which the oracle states directly from the
     source bytes; pad MCUs carry byte 0 → Y=0, Cb=255, Cr=85."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_jpeg_color_features(synth_jpeg_420_assets(docs))
+    return _jpeg_roundtrip(
+        docs,
+        _color_roundtrip_row(encode_jpeg_420_blocks),
+        _JPEG_COLOR_SCHEMA,
+        _JPEG_COLOR_COLS,
+    )
 
 
 def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
@@ -1617,6 +1627,77 @@ def decode_jpeg_features(jpeg_df: DataFrame) -> DataFrame:
     )
 
 
+def _jpeg_roundtrip(docs: DataFrame, row_fn, schema: str, columns: list) -> DataFrame:
+    """Fused synth→decode round-trip over the sampled documents (r11,
+    guide §4.1): the composed ``decode(synth(docs))`` chain put TWO
+    nested PythonRunners in every task — chained mapInPandas stages with
+    no exchange between them each hold their own worker, so 32 tasks
+    demanded 64 Python workers (measured: the second wave blew past the
+    warm pool and re-paid the fork+import storm) and every encoded JPEG
+    crossed JVM→Python→JVM→Python. The fused kernel encodes and decodes
+    in ONE worker per task and only the stats rows cross back; the
+    computation per document is unchanged."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                row_fn(int(did), bytes(t, "utf-8"))
+                for did, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=columns)
+
+    return spread(
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.length("text") > 0)).select(
+            "doc_id", "text"
+        )
+    ).mapInPandas(roundtrip, schema=schema)
+
+
+def _gray_roundtrip_row(aid: int, pix: bytes) -> tuple:
+    img = _decode_jpeg_gray(encode_jpeg_gray_blocks(pix))
+    return (
+        aid,
+        int(img.shape[1]),
+        int(img.shape[0]),
+        int(img.max()),
+        int(img.sum()),
+        int(img.size),
+    )
+
+
+def _color_roundtrip_row(encode_fn):
+    def row(aid: int, pix: bytes) -> tuple:
+        y, cb, cr = _decode_jpeg(encode_fn(pix))
+        return (
+            aid,
+            int(y.shape[1]),
+            int(y.shape[0]),
+            int(y.sum()),
+            int(cb.sum()),
+            int(cr.sum()),
+            int(y.max()),
+            int(y.size),
+        )
+
+    return row
+
+
+_JPEG_GRAY_COLS = ["asset_id", "width", "height", "max_pixel", "pixel_sum", "n_pixels"]
+_JPEG_GRAY_SCHEMA = (
+    "asset_id long, width long, height long, max_pixel long, "
+    "pixel_sum long, n_pixels long"
+)
+_JPEG_COLOR_COLS = [
+    "asset_id", "width", "height", "y_sum", "cb_sum", "cr_sum", "y_max", "n_pixels",
+]
+_JPEG_COLOR_SCHEMA = (
+    "asset_id long, width long, height long, y_sum long, "
+    "cb_sum long, cr_sum long, y_max long, n_pixels long"
+)
+
+
 _JPEG_SQL = f"""
 WITH a AS (SELECT doc_id AS asset_id, text FROM documents
            WHERE doc_id % 3 = 0 AND length(text) > 0),
@@ -1648,7 +1729,9 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-valued pad blocks contribute nothing; max_pixel is the max byte
     since text is printable ASCII > 0)."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_jpeg_features(synth_jpeg_assets(docs))
+    return _jpeg_roundtrip(
+        docs, _gray_roundtrip_row, _JPEG_GRAY_SCHEMA, _JPEG_GRAY_COLS
+    )
 
 
 # aHash sample-index arithmetic for the block-constant JPEG layout: grid
