@@ -244,9 +244,21 @@ def main() -> None:
     # Warm the JVM/parquet footers so per-query numbers measure the query,
     # not session startup (the driver compares totals at fixed sf).
     registry.QUERIES["knn_cosine_topk"](spark, sf_dir).count()
-    # Warm the Python worker pool once (same discipline), then keep it warm
-    # across JVM-only stretches — see _start_python_worker_keepalive.
-    spark.range(0, 32, 1, 32).mapInPandas(lambda it: it, "id long").count()
+    # Warm the Python worker pool to its PEAK demand (same discipline),
+    # then keep it warm across JVM-only stretches — see
+    # _start_python_worker_keepalive. Peak = 2 workers × cores: chained
+    # Python stages with no exchange between them (synth→decode/hash
+    # pairs) hold one worker per LEVEL per task, so a cores-sized warmup
+    # leaves the second wave to pay the fork storm mid-run (measured:
+    # multimodal_image_ahash drew 21.7s when only 33 workers were warm).
+    p = spark.sparkContext.defaultParallelism
+    ident = lambda it: it  # noqa: E731
+    (
+        spark.range(0, p, 1, p)
+        .mapInPandas(ident, "id long")
+        .mapInPandas(ident, "id long")
+        .count()
+    )
     _start_python_worker_keepalive(spark)
 
     # Serve twins (*_prebuilt) must never include build cost in their
