@@ -259,7 +259,9 @@ def main() -> None:
         .mapInPandas(ident, "id long")
         .count()
     )
-    _start_python_worker_keepalive(spark)
+    # Keep the returned stop event and set it once the timed loop is done
+    # (ADVICE r11: the daemon thread should not outlive the measurement).
+    keepalive_stop = _start_python_worker_keepalive(spark)
 
     # Serve twins (*_prebuilt) must never include build cost in their
     # timed region: run each one's registered warmer OUTSIDE the timer,
@@ -284,6 +286,7 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    keepalive_stop.set()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Persist the COMPLETE per-query record in-repo (VERDICT r6 #6): the
     # driver's tail capture truncates long stdout (only 65 of 129 r6
@@ -306,11 +309,15 @@ def main() -> None:
     with open(os.path.join(bdir, "bench_full.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
-    # Full record first (per-query timings), then a FINAL minimal line.
-    # The driver's tail capture keeps the END of stdout, so when the full
-    # line outgrows the capture window its truncated FRONT loses "metric"/
-    # "value" (this made BENCH_r03.json parse as null). The last line is
-    # small and self-contained, so the headline number always survives.
+    # Full record first (per-query timings), then two compact lines that
+    # BOTH fit the driver's ~2000-char tail capture, ending with the
+    # minimal total line its parser expects. The driver's tail keeps the
+    # END of stdout, so when the full per-query line outgrows the capture
+    # window its truncated FRONT loses "metric"/"value" (this made
+    # BENCH_r03.json parse as null) — PERF_r10/r11 had empty per_query
+    # maps for exactly that reason. The per-FAMILY subtotal line (r12,
+    # VERDICT r11 #2) is ~700 chars, so family-granularity comparisons
+    # survive the capture even though per-query ones don't.
     print(
         json.dumps(
             {
@@ -318,6 +325,21 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    per_family: dict[str, float] = {}
+    for name, dt in timings.items():
+        fam = name.split("_", 1)[0]
+        per_family[fam] = per_family.get(fam, 0.0) + dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_family_totals",
+                "value": round(total, 3),
+                "unit": "sec",
+                "per_family": {f: round(v, 1) for f, v in sorted(per_family.items())},
                 "sf": sf_val,
             }
         )

@@ -603,6 +603,64 @@ def _bloom_pays(n_cand: int, n_edges: int) -> bool:
     )
 
 
+def _close_wedges(cand: DataFrame, closing: DataFrame, n_edges: int,
+                  n_cand: int, n_part: int | None = None,
+                  bcast: bool = False, bloom: bool | None = None) -> DataFrame:
+    """The wedge-closing join every triangle kernel funnels through:
+    keep the ``cand`` rows whose (x, y) pair is an actual edge of
+    ``closing`` (a distinct id-ordered edge list, so the inner join
+    matches at most once per candidate — pure filtering, value-neutral
+    across routes).
+
+    Routes, CALLER-decided (r12, guide §2.4/§3.1 — measured per regime,
+    tools/tri_profile.py):
+    - ``bcast=True``: broadcast the closing SET itself — one in-stage
+      hash probe, no bitmap build pass, no exchange on EITHER side,
+      exact (the bloom filter only ever pre-filtered this same join).
+      The wedge stream then never leaves the stage that generates it.
+      Right for the DELTA/frontier regime, where the candidate stream
+      dwarfs the edge-sized closing side and the per-call exchanges it
+      removes repeat every round; measured WORSE for the one-shot full
+      enumeration (graph_triangle_counts 3.3→7.0 s: the driver-serial
+      broadcast build of a 1.3M-row relation costs more than the single
+      exchange it replaces), so callers must gate it on both the regime
+      and the ITER_STATE_BROADCAST_MAX envelope.
+    - otherwise the r7 route verbatim: bloom-bitmap prefilter when
+      ``bloom`` says it pays (callers keep their calibrated gates),
+      wedge-estimate-scaled exchanges, sort-free ShuffledHashJoin built
+      on the edge-sized closing side."""
+    if bcast:
+        return cand.join(F.broadcast(closing), ["x", "y"])
+    if bloom is None:
+        bloom = _bloom_pays(n_cand, n_edges)
+    bm = _closing_bitmap(closing, n_edges) if bloom else None
+    if bm is not None:
+        bitmap, n_words = bm
+        cand = cand.join(
+            F.broadcast(bitmap),
+            F.pmod(F.xxhash64("x", "y"), F.lit(n_words)) == F.col("w_idx"),
+        ).filter(
+            F.expr(
+                "(word & shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pmod(xxhash64(y, x), 64) AS INT))) != 0"
+            )
+        ).drop("w_idx", "word")
+    if n_part is None:
+        n_part = int(
+            min(
+                WEDGE_MAX_PARTITIONS,
+                max(
+                    closing.sparkSession.sparkContext.defaultParallelism,
+                    n_cand * WEDGE_ROW_BYTES // WEDGE_PARTITION_TARGET_BYTES + 1,
+                    n_edges * WEDGE_ROW_BYTES // SHJ_BUILD_TARGET_BYTES + 1,
+                ),
+            )
+        )
+    return cand.repartition(n_part, "x", "y").join(
+        closing.repartition(n_part, "x", "y").hint("shuffle_hash"), ["x", "y"]
+    )
+
+
 def _closing_bitmap(closing: DataFrame, n_edges: int) -> tuple[DataFrame, int] | None:
     """Broadcastable k=1 bloom bitmap over the closing-edge set, as a
     (w_idx, word) table: word index = xxhash64(x,y) mod n_words, bit =
@@ -676,7 +734,6 @@ def triangle_enum(oriented: DataFrame) -> DataFrame:
     prefilter, estimate-scaled exchange, sort-free closing join).
     ``oriented`` should be persisted hash-partitioned on ``u``."""
     n_wedges, n_edges = _wedge_stats(oriented)
-    n_part = _wedge_partitions(oriented, n_wedges)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(
@@ -689,28 +746,17 @@ def triangle_enum(oriented: DataFrame) -> DataFrame:
     # {x,y} closes the triangle; its orientation is forced to x→y because
     # (deg_x, x) < (deg_y, y) held in the wedge condition
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    bm = (
-        _closing_bitmap(closing, n_edges)
-        if n_wedges >= TRI_BLOOM_WEDGE_FLOOR
-        else None
-    )
-    if bm is not None:
-        bitmap, n_words = bm
-        wedges = (
-            wedges.join(
-                F.broadcast(bitmap),
-                F.pmod(F.xxhash64("x", "y"), F.lit(n_words)) == F.col("w_idx"),
-            )
-            .filter(
-                F.expr(
-                    "(word & shiftleft(CAST(1 AS BIGINT), "
-                    "CAST(pmod(xxhash64(y, x), 64) AS INT))) != 0"
-                )
-            )
-            .select("apex", "x", "y")
-        )
-    return wedges.repartition(n_part, "x", "y").join(
-        closing.repartition(n_part, "x", "y").hint("shuffle_hash"), ["x", "y"]
+    # One-shot full enumeration: keep the r7 route (bloom above the
+    # calibrated absolute floor, plain SHJ below it). The broadcast-closing
+    # route measured 2× WORSE here (see _close_wedges) — it is a frontier-
+    # regime move, not a full-enumeration one.
+    return _close_wedges(
+        wedges,
+        closing,
+        n_edges,
+        n_wedges,
+        _wedge_partitions(oriented, n_wedges),
+        bloom=n_wedges >= TRI_BLOOM_WEDGE_FLOOR,
     )
 
 
@@ -1146,8 +1192,14 @@ def betweenness_sampled(
     # gated state broadcast (r11, the bfs_hops discipline): every level/δ
     # frame below is an EAGER localCheckpoint, so the broadcast build reads
     # a materialized RDD — the precondition the pagerank-family rejection
-    # established (see ITER_STATE_BROADCAST_MAX)
-    bcast_state = sym.count() <= ITER_STATE_BROADCAST_MAX
+    # established (see ITER_STATE_BROADCAST_MAX). Gate on the broadcast
+    # FRAMES' own envelope (ADVICE r11): visited/succ grow to
+    # n_seeds × reachable-node rows, so the bound is n_seeds × the NODE
+    # count (one node-sized aggregate, reused by the seed draw's distinct
+    # anyway), not the edge count alone — an edge-count gate understates
+    # the frame by up to n_seeds× near the boundary.
+    n_nodes = sym.select("a").distinct().count()
+    bcast_state = n_seeds * n_nodes <= ITER_STATE_BROADCAST_MAX
     seeds = _md5_seeds(sym, n_seeds)
     l0 = seeds.select(
         "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
@@ -1317,8 +1369,11 @@ def closeness_sampled(
     if own_sym:
         sym = _sym(edges).repartition("a").persist()
     # gated state broadcast (r11): frames are eager checkpoints, the
-    # bfs_hops precondition — see ITER_STATE_BROADCAST_MAX
-    bcast_state = sym.count() <= ITER_STATE_BROADCAST_MAX
+    # bfs_hops precondition — see ITER_STATE_BROADCAST_MAX. The visited
+    # frame is n_seeds × reachable-node rows, so the gate is
+    # n_seeds × node count like betweenness_sampled's (ADVICE r11).
+    n_nodes = sym.select("a").distinct().count()
+    bcast_state = n_seeds * n_nodes <= ITER_STATE_BROADCAST_MAX
     visited = (
         _md5_seeds(sym, n_seeds)
         .select("s", F.col("s").alias("v"), F.lit(0).cast("long").alias("hops"))
@@ -1803,25 +1858,13 @@ def _frontier_triangles(
         )
     )
     closing = graph_edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    bm = _closing_bitmap(closing, n_edges) if _bloom_pays(n_cand, n_edges) else None
-    if bm is not None:
-        bitmap, n_words = bm
-        cand = cand.join(
-            F.broadcast(bitmap),
-            F.pmod(F.xxhash64("x", "y"), F.lit(n_words)) == F.col("w_idx"),
-        ).filter(
-            F.expr(
-                "(word & shiftleft(CAST(1 AS BIGINT), "
-                "CAST(pmod(xxhash64(y, x), 64) AS INT))) != 0"
-            )
-        )
-    tri = (
-        cand.select("p", "q", "w", "x", "y")
-        .repartition(n_part, "x", "y")
-        .join(
-            closing.repartition(n_part, "x", "y").hint("shuffle_hash"),
-            ["x", "y"],
-        )
+    # frontier regime keeps the r11 route (bloom per _bloom_pays + SHJ).
+    # r12 measured the broadcast-closing alternative FLAT-to-noise here
+    # (warm 13.4 s → 14.5 s, incremental ~24.5 s both routes, 3-repeat
+    # medians): the per-call driver-serial broadcast build of the edge-
+    # sized closing relation eats exactly what the removed exchanges save.
+    tri = _close_wedges(
+        cand.select("p", "q", "w", "x", "y"), closing, n_edges, n_cand, n_part
     )
     trid = tri.select(F.array_sort(F.array("p", "q", "w")).alias("t")).distinct()
     return trid, n_cand
