@@ -465,7 +465,11 @@ SELECT part_id, n_triangles FROM tcounts
 """
 
 
-def oriented_edges(edges: DataFrame, n_edges: int | None = None) -> DataFrame:
+def oriented_edges(
+    edges: DataFrame,
+    n_edges: int | None = None,
+    deg: DataFrame | None = None,
+) -> DataFrame:
     """Degree-ordered orientation of an undirected (src, dst) edge list:
     (u, v, dv) where {src,dst} points from the smaller (degree, id)
     endpoint to the larger. The wedge join fans out by ORIENTED
@@ -476,10 +480,16 @@ def oriented_edges(edges: DataFrame, n_edges: int | None = None) -> DataFrame:
     truss peel's per-round state counts) pass it so the NODE-sized degree
     table broadcasts into both endpoint joins instead of sort-merging the
     edge list twice — gated on the same envelope as the frontier-state
-    broadcasts; past the gate the shuffle joins keep the scalable route."""
-    deg = _sym(edges).groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    broadcasts; past the gate the shuffle joins keep the scalable route.
+
+    ``deg`` (r12): a prebuilt (node, deg) table — degrees of ``edges``'
+    symmetrization — sparing the 2|E|-row aggregate when the caller
+    already holds one (the incremental truss composition computes base
+    degrees once and threads them through orientation AND delta)."""
+    if deg is None:
+        deg = _sym(edges).groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     bcast = n_edges is not None and n_edges <= ITER_STATE_BROADCAST_MAX
 
     def deg_as(name: str) -> DataFrame:
@@ -746,17 +756,23 @@ def triangle_enum(oriented: DataFrame) -> DataFrame:
     # {x,y} closes the triangle; its orientation is forced to x→y because
     # (deg_x, x) < (deg_y, y) held in the wedge condition
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    # One-shot full enumeration: keep the r7 route (bloom above the
-    # calibrated absolute floor, plain SHJ below it). The broadcast-closing
-    # route measured 2× WORSE here (see _close_wedges) — it is a frontier-
-    # regime move, not a full-enumeration one.
+    # One-shot full enumeration: the r7 route (bloom prefilter + SHJ),
+    # with the bloom gated by _bloom_pays (r12) — absolute floor OR the
+    # r11 ratio test — instead of the absolute floor alone. The ratio
+    # test models exactly this shape: wedge volume (shuffle saved) vs
+    # edge volume (bitmap build cost); the incremental truss's base seed
+    # enumeration (33.0M wedges / 1.07M edges at sf0.1) sat 1.6% under
+    # the absolute floor while its wedge exchange was the query's single
+    # heaviest stage (123 of 491 core-s, r12 event-log attribution).
+    # Measured A/B at that point: see OPTIMIZATION_r12.md. The broadcast-
+    # closing route stays out — it measured 2× WORSE here (_close_wedges).
     return _close_wedges(
         wedges,
         closing,
         n_edges,
         n_wedges,
         _wedge_partitions(oriented, n_wedges),
-        bloom=n_wedges >= TRI_BLOOM_WEDGE_FLOOR,
+        bloom=_bloom_pays(n_wedges, n_edges),
     )
 
 
@@ -1730,6 +1746,7 @@ def edge_support(
     cur: DataFrame,
     oriented: DataFrame | None = None,
     n_edges: int | None = None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, sup): per-edge triangle support over an id-ordered
     (src < dst) edge list — every edge that closes at least one
@@ -1737,10 +1754,10 @@ def edge_support(
     bloom prefilter and all) with each triangle exploded to its three
     normalized edges. Edges in no triangle are absent (callers coalesce
     to 0). ``n_edges`` rides into :func:`oriented_edges`' degree
-    broadcast gate."""
+    broadcast gate; ``deg`` serves a prebuilt degree table (r12)."""
     if oriented is None:
         oriented = track_persist(
-            oriented_edges(cur, n_edges=n_edges).repartition("u")
+            oriented_edges(cur, n_edges=n_edges, deg=deg).repartition("u")
         )
     tri = triangle_enum(oriented)
     pairs = tri.select(
@@ -1826,9 +1843,16 @@ def _frontier_triangles(
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("q"),
         F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("dp"),
     ).localCheckpoint()
-    est_row = piv.agg(F.sum("dp").alias("c")).collect()[0]
+    # ONE pass for both scalars (r12): the wedge estimate and the pivot
+    # row count ride the same aggregate over the checkpointed pivot —
+    # every frontier call (peel decrement rounds, the warm twin's 8
+    # truncation-replay rounds, the support delta) pays one job here,
+    # not two
+    est_row = piv.agg(
+        F.sum("dp").alias("c"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     n_cand = int(est_row["c"] or 0)
-    n_piv = piv.count()  # cheap: checkpointed rows
+    n_piv = int(est_row["n"])
     n_part = int(
         min(
             WEDGE_MAX_PARTITIONS,
@@ -1897,6 +1921,7 @@ def ktruss(
     reenum_frac: float = TRUSS_REENUM_FRAC,
     support0: DataFrame | None = None,
     capture_states: list | None = None,
+    state0: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, support): the edges of the k-truss — the maximal
     subgraph where every edge participates in ≥ k-2 triangles — with
@@ -1951,18 +1976,27 @@ def ktruss(
     enumeration entirely (the ~95–140 s floor at the 1M design point)
     and pays only the rounds."""
     cur = edges.select("src", "dst")
-    sup0 = (
-        support0.select("src", "dst", "sup")
-        if support0 is not None
-        else edge_support(cur, oriented=oriented0)
-    )
-    state = (
-        cur.join(sup0, ["src", "dst"], "left")
-        .select(
-            "src", "dst", F.coalesce(F.col("sup"), F.lit(0)).alias("sup")
+    if state0 is not None:
+        # complete prejoined (src, dst, sup) state from the caller — a
+        # narrow projection of an already-materialized frame (r12): the
+        # incremental entry's maintained artifact covers EVERY merged
+        # edge with sup coalesced to 0, so the seed join below would be
+        # a self-join of the same checkpointed table. Skipping it saves
+        # one edge-sized join + one checkpoint materialization.
+        state = state0
+    else:
+        sup0 = (
+            support0.select("src", "dst", "sup")
+            if support0 is not None
+            else edge_support(cur, oriented=oriented0)
         )
-        .localCheckpoint()
-    )
+        state = (
+            cur.join(sup0, ["src", "dst"], "left")
+            .select(
+                "src", "dst", F.coalesce(F.col("sup"), F.lit(0)).alias("sup")
+            )
+            .localCheckpoint()
+        )
     n_state = state.count()
     if capture_states is not None:
         capture_states.append((state, n_state))
@@ -2047,6 +2081,7 @@ def truss_support_delta(
     base_support: DataFrame,
     new_items: DataFrame,
     pre_distinct: bool = False,
+    base_deg: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally maintain the whole-graph per-edge support artifact
     under a WHOLE-ORDER delta batch (VERDICT r8 #2 — the
@@ -2078,7 +2113,19 @@ def truss_support_delta(
     new_e = merged.select("src", "dst").join(
         base_edges.select("src", "dst"), ["src", "dst"], "left_anti"
     )
-    trid, _ = _frontier_triangles(new_e, merged.select("src", "dst"), n_edges)
+    # ``base_deg`` (r12): merged degrees from the prebuilt base degree
+    # table + the new edges' endpoint counts — the node-sized _merged_deg
+    # merge (exact: the union is edge-disjoint) instead of re-aggregating
+    # the 2|E|-row merged symmetrization inside _frontier_triangles. The
+    # new-edge set then feeds two consumers (degree merge + frontier), so
+    # it is checkpointed once.
+    deg_m = None
+    if base_deg is not None:
+        new_e = new_e.localCheckpoint(eager=False)
+        deg_m = _merged_deg(base_deg, new_e)
+    trid, _ = _frontier_triangles(
+        new_e, merged.select("src", "dst"), n_edges, deg=deg_m
+    )
     delta = _triple_edge_counts(trid)
     return (
         merged.join(base_support, ["src", "dst"], "left")
@@ -2269,16 +2316,31 @@ def graph_ktruss_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         items_d.filter(F.col("ok") % 10 != 0), pre_distinct=True
     ).localCheckpoint()
     n_base = base.count()
-    base_sup = edge_support(base.select("src", "dst"), n_edges=n_base)
+    # ONE base degree pass (r12) serves the seed orientation AND (via the
+    # node-sized _merged_deg) the delta's merged-degree table — the 2|E|
+    # aggregate used to run twice, once inside each
+    base_deg = (
+        _sym(base)
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    base_sup = edge_support(
+        base.select("src", "dst"), n_edges=n_base, deg=base_deg
+    )
     maintained = truss_support_delta(
         base,
         base_sup,
         items_d.filter(F.col("ok") % 10 == 0),
         pre_distinct=True,
+        base_deg=base_deg,
     ).localCheckpoint()
+    # state0: maintained covers every merged edge with sup already
+    # coalesced — the peel can consume it directly instead of re-joining
+    # the frame with itself (r12)
     return ktruss(
         maintained.select("src", "dst"),
-        support0=maintained.select("src", "dst", "sup"),
+        state0=maintained.select("src", "dst", "sup"),
     )
 
 

@@ -544,7 +544,17 @@ def eval_pca_route_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see eval_pca_ivf_recall); the full-dim reference row samples its own
     # (different vector column, same ids)
     Xred = ivf_ops.train_sample(reduced, vec_col="rv")
-    outs = []
+    # Route per r, but rerank ONCE (r12, VERDICT r11 #7 / guide §4.1):
+    # every branch reranks its candidates against the SAME full-dim
+    # vectors with the SAME queries, so the per-pair cosine is branch-
+    # independent (row-wise numpy ops — no batch-shape dependence). The
+    # union's distinct (query_id, vec_id) pool goes through ONE Arrow
+    # scoring pass and each branch joins its scores back — 4 Python
+    # boundaries collapse to 1 and overlapping candidates score once.
+    # Each branch's candidate set is checkpointed: it feeds the pool AND
+    # its own rerank join, and unmaterialized the Arrow assign subtree
+    # would re-execute per consumer (guide §7.2).
+    cands = []
     for r in (*PCA_INDEX_RS, DIMS):
         if r == DIMS:  # full-dim routing reference, identical config
             red_r = emb.select(
@@ -569,11 +579,22 @@ def eval_pca_route_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes = ivf_ops.probe_clusters_df(
             centroids, rq, ivf_ops.DEFAULT_N_PROBES
         )
-        cand = assignments.join(F.broadcast(probes), "cluster_id").select(
-            "query_id", "vec_id"
+        cand = (
+            assignments.join(F.broadcast(probes), "cluster_id")
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=False)
         )
-        cand_vec = cand.join(emb.select("vec_id", "embedding"), "vec_id")
-        rerank = knn.score_pairs_pandas(cand_vec, qpdf, "vec_id", "embedding")
+        cands.append((r, cand))
+    pool = cands[0][1]
+    for _, c in cands[1:]:
+        pool = pool.unionByName(c)
+    pool_vec = pool.distinct().join(emb.select("vec_id", "embedding"), "vec_id")
+    scores = track_persist(
+        knn.score_pairs_pandas(pool_vec, qpdf, "vec_id", "embedding")
+    )
+    outs = []
+    for r, cand in cands:
+        rerank = cand.join(scores, ["query_id", "vec_id"])
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("vec_id").asc()
         )
