@@ -6,9 +6,17 @@ construction, which is exactly the parallelism claim under test).
 - lineitem: l_orderkey += i * ORD_STRIDE, l_partkey += i * PART_STRIDE
   (each copy is its own co-purchase graph; part keys shifted so the
   copies don't share nodes).
-- documents: doc_id += i * DOC_STRIDE, per-copy marker token appended to
-  text (near-dup structure within a copy preserved; copies don't collapse
-  into exact duplicates).
+- documents: doc_id += i * DOC_STRIDE, and copy i>0's every word gets a
+  per-copy suffix (``w`` → ``wc{i}``) — the text analog of key-shifting:
+  each copy is the ORIGINAL corpus over a disjoint vocabulary, so the
+  within-copy near-dup/shingle/df structure is preserved exactly while
+  copies share zero shingles. (Tried and rejected: a marker append left
+  every doc a near-dup of its 9 copies — candidate pairs quadratic in K,
+  OOMed an 8 GB driver; a word rotation preserved all but the seam
+  shingles — same blowup; a per-copy word shuffle flattened the 31-word
+  corpus's natural trigram df skew, so NO shingle was prefix-rare and
+  the PPJoin posting lists exploded. All three measure a pathological
+  corpus, not scaling.)
 - events: event_id/user_id shifted per copy.
 Tables not listed are symlinked unchanged.
 
@@ -57,8 +65,14 @@ replicate(
 def mut_docs(t: pa.Table, i: int) -> pa.Table:
     t = shift(t, "doc_id", i * DOC_STRIDE)
     j = t.schema.get_field_index("text")
-    txt = pc.binary_join_element_wise(t.column(j), pa.scalar(f"copymark{i}"), " ")
-    return t.set_column(j, "text", txt)
+    if i == 0:
+        return t
+    sfx = f"c{i}"
+    texts = [
+        " ".join(w + sfx for w in s.split(" "))
+        for s in t.column(j).to_pylist()
+    ]
+    return t.set_column(j, "text", pa.array(texts, type=t.column(j).type))
 
 
 replicate("documents", mut_docs)

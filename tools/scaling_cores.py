@@ -13,12 +13,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_jaccard_prefix",
     "graph_pagerank",
     "graph_pagerank_weighted",
     "graph_node_embeddings",
     "graph_node2vec_walks",
-    "dedup_minhash_lsh",
-    "dedup_jaccard_prefix",
     "streaming_attribution_pairs",
     "graph_ktruss",
     "graph_ktruss_warm",
